@@ -1,0 +1,72 @@
+"""Table catalog over the parquet test fixtures.
+
+Maps the fixture star schema (TESTDATA.md / FIXTURES.md) to DataFrames.
+At 100 TB the same loader points at partitioned object-store prefixes —
+the parquet scan benefits from Catalyst predicate pushdown, column
+pruning, and (when the layout is partitioned by e.g. (table, date) —
+SURVEY.md §4 partition-pruning row) static + dynamic partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark's reader has no ns
+# timestamp type, so session.py sets nanosAsLong and we rebuild a µs
+# TimestampType here (fixture values are µs-precision; see FIXTURES.md).
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+# Session confs the engine depends on regardless of who built the
+# SparkSession (the driver harness passes its own): set at runtime —
+# all three are dynamic SQL confs.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one fixture table by name from a scale-factor directory."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # `div` = integer division: ns values exceed double's 2^53
+            # exact-integer range, so float division would drift by ±1µs
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table; also registers each as a temp view so
+    the SQL surface (spark.sql) sees the same catalog as the DataFrame
+    API."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,56 @@
+"""Flagship query (SURVEY.md §5.2) — one plan exercising the core path:
+
+parquet scan → filter → CDC compaction (latest event per key,
+/root/reference/README.md:17,:64 contract) → broadcast enrichment join
+against the customer dimension → hash aggregate per market segment.
+
+Scale shape: the only wide shuffle is the window partition on user_id;
+the dimension join is a broadcast (no shuffle); the final aggregate is
+partial+final hash agg. That plan survives a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+FLAGSHIP_ORACLE = """
+WITH latest AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN l.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchasers,
+       ROUND(SUM(l.value), 2) AS sum_value
+FROM latest l JOIN customer c ON l.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("flagship_cdc_compaction", oracle=FLAGSHIP_ORACLE, tags=("flagship",))
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-user × customer dim → per-segment rollup."""
+    events = load_table(spark, "events", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (events
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .drop("rn"))
+
+    return (latest
+            .join(F.broadcast(customer), latest.user_id == customer.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("n_purchasers"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

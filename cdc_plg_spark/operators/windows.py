@@ -1,0 +1,187 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Ordering semantics inherit the reference's core ordered-stream guarantee
+(/root/reference/README.md:17 — TiCDC delivers *ordered* row-level
+change data); ``dedup_latest_per_key`` is the canonical CDC→table
+compaction implied by README.md:17 + README.md:64 (flush ≤ resolved-ts
+implies replayable upsert state).
+
+Scale notes: every window here partitions by a key (user_id,
+l_orderkey, …) — one shuffle on the partition key, then a sort within
+partitions. At 100 TB the win is that Spark's window exec spills, and
+AQE handles skewed keys; we never window over an unpartitioned frame
+(that would serialize the whole table through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+    FROM lineitem
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank line items within each order by price (deterministic tiebreak)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return li.select("l_orderkey", "l_linenumber",
+                     F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           NTILE(4)       OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile over customers per segment."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(event_id)  OVER w AS prev_event_id,
+           LEAD(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-between-events per user via lag/lead."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (rowsBetween unboundedPreceding..current)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_orderkey", "o_custkey",
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"))
+
+
+@register(
+    "win_sliding_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER w AS n_win,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS sum_win
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-day range frame per customer (rangeBetween over epoch secs)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (Window.partitionBy("o_custkey").orderBy(F.unix_timestamp("o_orderdate"))
+         .rangeBetween(-2592000, 0))
+    return o.select("o_orderkey", "o_custkey",
+                    F.count(F.lit(1)).over(w).alias("n_win"),
+                    F.round(F.sum("o_totalprice").over(w), 2).alias("sum_win"))
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS last_type,
+           FIRST_VALUE(event_id)   OVER w AS first_event_id,
+           LAST_VALUE(event_id)    OVER w AS last_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user over the full partition frame."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(w).alias("last_event_id"),
+    ).distinct()
+
+
+@register(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           ROUND(value, 4) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc",),
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest event per key by commit time.
+
+    This is the canonical changelog→table materialization implied by the
+    reference's ordered-change-stream + resolved-ts flush contract
+    (/root/reference/README.md:17, :64). At scale: one hash shuffle on
+    the primary key, sort within partitions, no global sort.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("ts_us"),
+                      "event_type",
+                      F.round("value", 4).alias("value")))

@@ -1,0 +1,104 @@
+"""Operator/query registry — the implementation contract of SURVEY.md §2.
+
+Every operator in the inventory registers here under its stable ID:
+
+    @register("agg_hash_groupby", oracle=\"\"\"SELECT ...\"\"\")
+    def agg_hash_groupby(spark, sf_dir): ...
+
+The driver harness (``__spark_entry__.py``) exposes the registry as
+``queries()`` / ``oracle_sql()``; operators whose semantics DuckDB can't
+express (streaming, approximate sketches, ML-backed LSH) register with
+``oracle=None`` and get the driver's rows-only check.
+
+Oracle-authoring discipline (FIXTURES.md "Oracle harness notes"):
+- alias every computed column identically in Spark and SQL;
+- round floating aggregates the same on both sides;
+- cast integer SUMs to BIGINT in DuckDB (it widens to HUGEINT);
+- never rely on row order.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+# Modules that register queries on import (SURVEY.md §2 sections).
+_QUERY_MODULES = (
+    "cdc_plg_spark.flagship",
+    "cdc_plg_spark.operators.relational",
+    "cdc_plg_spark.operators.joins",
+    "cdc_plg_spark.operators.aggregates",
+    "cdc_plg_spark.operators.windows",
+    "cdc_plg_spark.operators.sorts",
+    "cdc_plg_spark.operators.setops",
+    "cdc_plg_spark.functions.scalar",
+    "cdc_plg_spark.operators.udfs",
+    "cdc_plg_spark.operators.text",
+    "cdc_plg_spark.operators.dedup",
+    "cdc_plg_spark.operators.similarity",
+    "cdc_plg_spark.operators.multimodal",
+    "cdc_plg_spark.streaming.queries",
+    "cdc_plg_spark.sources.queries",
+)
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags,
+                                doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (idempotent)."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # tolerate not-yet-built stages so the registry is usable mid-build
+            if e.name and e.name.startswith("cdc_plg_spark"):
+                continue
+            raise
+
+
+def queries() -> dict[str, QueryFn]:
+    load_all()
+    return {q.name: q.fn for q in _REGISTRY.values()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+
+
+def get(name: str) -> Query:
+    load_all()
+    return _REGISTRY[name]
+
+
+def all_entries() -> dict[str, Query]:
+    load_all()
+    return dict(_REGISTRY)

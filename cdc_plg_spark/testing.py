@@ -1,0 +1,90 @@
+"""Local differential-test harness mirroring the driver's oracle gate.
+
+The driver runs each registry query on Spark and its oracle SQL on
+DuckDB over the same parquet, then compares row-count + schema +
+order-insensitive value hash. This module reproduces that comparison
+locally so operators are validated before the round gate runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from cdc_plg_spark.catalog import TABLES
+
+TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def duckdb_conn(sf_dir: str = TEST_SF_DIR) -> duckdb.DuckDBPyConnection:
+    """Fresh DuckDB connection with fixture tables registered as views."""
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sorted-column, µs-timestamp, row-sorted canonical form."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # unify list-likes (Spark arrays come back as ndarray, DuckDB as list)
+            pdf[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    if len(pdf) and len(pdf.columns):
+        key = pdf.astype(str)
+        order = np.lexsort([key[c].to_numpy() for c in reversed(list(key.columns))])
+        pdf = pdf.iloc[order].reset_index(drop=True)
+    return pdf
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                        name: str = "", float_rtol: float = 1e-6,
+                        float_atol: float = 1e-6) -> None:
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: schema mismatch: spark={list(a.columns)} oracle={list(b.columns)}")
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype(float).to_numpy()
+            bv = bv.astype(float).to_numpy()
+            ok = np.isclose(av, bv, rtol=float_rtol, atol=float_atol, equal_nan=True)
+            assert ok.all(), (
+                f"{name}: column {c!r}: {int((~ok).sum())} value mismatches, "
+                f"first at row {int(np.argmax(~ok))}: {av[np.argmax(~ok)]} vs {bv[np.argmax(~ok)]}")
+        else:
+            # integer columns may come back int64 vs Int64/float — compare as objects
+            mism = av.astype(str) != bv.astype(str)
+            assert not mism.any(), (
+                f"{name}: column {c!r}: {int(mism.sum())} mismatches, first at row "
+                f"{int(np.argmax(mism.to_numpy()))}: "
+                f"{av[mism].iloc[0]!r} vs {bv[mism].iloc[0]!r}")
+
+
+def check_query(spark, name: str, sf_dir: str = TEST_SF_DIR) -> int:
+    """Run one registry query against its oracle; returns the row count."""
+    from cdc_plg_spark import registry
+
+    q = registry.get(name)
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0
+        return len(spark_pdf)
+    con = duckdb_conn(sf_dir)
+    try:
+        oracle_pdf = con.execute(q.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+    return len(spark_pdf)
