@@ -1,0 +1,81 @@
+"""Set operators (SURVEY.md §2.7): union all/distinct, intersect, except.
+
+Multiset semantics follow SQL: Spark `unionByName` = UNION ALL,
+`intersect` = INTERSECT (distinct), `exceptAll` = EXCEPT ALL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+
+def _cust_nations(spark, sf_dir):
+    return (load_table(spark, "customer", sf_dir)
+            .select(F.col("c_nationkey").alias("nationkey")))
+
+
+def _supp_nations(spark, sf_dir):
+    return (load_table(spark, "supplier", sf_dir)
+            .select(F.col("s_nationkey").alias("nationkey")))
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT nationkey, src FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, no dedup shuffle — zero-shuffle concat)."""
+    c = _cust_nations(spark, sf_dir).withColumn("src", F.lit("customer"))
+    s = _supp_nations(spark, sf_dir).withColumn("src", F.lit("supplier"))
+    return c.unionByName(s)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): one hash shuffle on the full row."""
+    return (_cust_nations(spark, sf_dir)
+            .unionByName(_supp_nations(spark, sf_dir))
+            .distinct())
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — nations having both customers and suppliers."""
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, occurrence-counted)."""
+    return _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir))

@@ -30,6 +30,17 @@ def duckdb_conn(sf_dir: str = TEST_SF_DIR) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon(v):
+    """Canonical scalar/array form: numpy → python, arrays → tuples."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Sorted-column, µs-timestamp, row-sorted canonical form."""
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
@@ -39,7 +50,7 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
             # unify list-likes (Spark arrays come back as ndarray, DuckDB as list)
-            pdf[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            pdf[c] = s.map(_canon)
     if len(pdf) and len(pdf.columns):
         key = pdf.astype(str)
         order = np.lexsort([key[c].to_numpy() for c in reversed(list(key.columns))])
