@@ -34,6 +34,9 @@ _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # engine semantics are permissive-SQL (Spark 4 defaults ANSI on;
+    # oracle parity and hash wraparound both assume non-ANSI)
+    "spark.sql.ansi.enabled": "false",
 }
 
 

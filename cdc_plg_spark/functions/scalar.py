@@ -1,0 +1,319 @@
+"""Scalar function surface (SURVEY.md §2.8) + JSON event decode (§2.1).
+
+The JSON family is `[REF]` — JSON is the reference's wire format for
+event payloads (/root/reference/README.md:75); the rest is the standard
+analytics function surface mandated by the real-time-analytics use case
+(README.md:15). One representative query per family; each oracle
+bridges Spark↔DuckDB dialect deltas (FIXTURES.md notes):
+
+  Spark                       DuckDB
+  split                       string_split           (1-based indexing)
+  size / array_distinct       len / list_distinct
+  transform/filter/aggregate  list_transform/list_filter/list_reduce
+  initcap                     (emulated: upper(head)||tail per word)
+  dayofweek (1=Sun)           dayofweek (0=Sun) + 1
+  get_json_object             json_extract_string
+  bround                      round_even
+  ceil/floor → BIGINT         ceil/floor → DOUBLE (cast)
+
+Everything here is JVM-side whole-stage-codegen'd expression work — no
+Python UDFs anywhere in these paths (the UDF surface lives in
+operators/udfs.py and is deliberately separate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           substring(c_name, 10, 4) AS name_sub,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           regexp_extract(c_name, '#(\\d+)', 1) AS cust_digits,
+           regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+           (c_name LIKE 'Customer#%') AS is_customer,
+           string_split(c_name, '#')[1] AS name_head,
+           concat(upper(substring(lower(c_mktsegment), 1, 1)),
+                  substring(lower(c_mktsegment), 2)) AS seg_title
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat_ws/upper/lower/trim/substring/length/lpad/
+    regexp_extract/regexp_replace/LIKE/split/initcap."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 10, 4).alias("name_sub"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"#(\d+)", 1).alias("cust_digits"),
+        F.regexp_replace("c_name", "0+", "0").alias("squeezed"),
+        F.col("c_name").like("Customer#%").alias("is_customer"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+        F.initcap(F.lower("c_mktsegment")).alias("seg_title"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           quarter(o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1 AS dow,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+               AS days_to_cutoff,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc/extract/diff/add/epoch/last_day."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("1998-12-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days_to_cutoff"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           pow(l_quantity, 2) AS qty_sq,
+           l_orderkey % 7 AS key_mod,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_quantity, l_tax * 100) AS l,
+           round_even(l_quantity / 2, 0) AS half_qty_banker
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/ceil/floor/sqrt/ln/exp/pow/pmod/greatest/least/
+    banker's rounding (bround ↔ round_even on exact .5 halves)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("l"),
+        F.bround(F.col("l_quantity") / 2, 0).alias("half_qty_banker"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           string_split(text, ' ')[1] AS first_token,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           len(replace(text, ' ', '')) AS sum_token_len,
+           list_aggregate(string_split(text, ' '), 'min') AS min_token,
+           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order fns: size/contains/getItem/
+    distinct/aggregate/sort/slice/filter — all JVM expressions, the
+    scale-safe way to process token lists (no UDF, no explode-shuffle)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        toks.getItem(0).alias("first_token"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                    F.lit(0), lambda a, x: a + x).alias("sum_token_len"),
+        F.array_min(toks).alias("min_token"),
+        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
+               AS mkeys,
+           map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
+               AS mvals,
+           cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
+               AS msize
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: construction, key/value extraction, cardinality
+    (insertion order preserved identically in both engines)."""
+    ev = load_table(spark, "events", sf_dir)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")))
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.size(m).alias("msize"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           to_json(struct_pack(id := event_id, t := event_type)) AS envelope
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (the reference's wire format, README.md:75):
+    get_json_object path extraction, schema-applied from_json, to_json."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
+        F.to_json(F.struct(F.col("event_id").alias("id"),
+                           F.col("event_type").alias("t"))).alias("envelope"),
+    )
+
+
+@register(
+    "fn_cast_null",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderstatus AS INT) AS bad_cast,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_fixed,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           isnan(CAST('NaN' AS DOUBLE)) AS nan_check,
+           coalesce(try_cast(o_orderstatus AS INT), -1) AS nvl_fallback
+    FROM orders
+    """,
+)
+def fn_cast_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts & null handling: cast/try_cast/coalesce/nullif/isnan/nvl."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("OPEN")).alias("status_fixed"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.isnan(F.lit("NaN").cast("double")).alias("nan_check"),
+        F.nvl(F.col("o_orderstatus").try_cast("int"), F.lit(-1)).alias("nvl_fallback"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           sha256(concat(c_name, '|', c_mktsegment)) AS sha_val,
+           md5(c_name) AS md5_val
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash family (the masking primitive, README.md:24)."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")), 256)
+         .alias("sha_val"),
+        F.md5("c_name").alias("md5_val"),
+    )
+
+
+@register("fn_hash_native", tags=("spark-only",))
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hash family with no DuckDB twin (rows-only check):
+    xxhash64 (the engine's cheap content-hash workhorse for dedup),
+    crc32, and Murmur3 `hash`."""
+    c = load_table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx64"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        F.hash("c_name", "c_mktsegment").alias("murmur"),
+    )
+
+
+@register(
+    "decode_json_event",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("cdc",),
+)
+def decode_json_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC envelope decode (README.md:75 — JSON host↔guest payloads):
+    serialize each event to a JSON envelope, then parse it back through
+    a typed schema (`from_json` → select data.*). The oracle checks the
+    round trip is lossless against the raw columns."""
+    ev = load_table(spark, "events", sf_dir)
+    envelope = ev.select(F.to_json(F.struct(
+        "event_id", "user_id", "event_type", "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"))).alias("value"))
+    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, k BIGINT"
+    return (envelope
+            .select(F.from_json("value", schema).alias("data"))
+            .select("data.*")
+            .withColumn("value", F.round("value", 4)))

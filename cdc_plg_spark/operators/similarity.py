@@ -1,0 +1,152 @@
+"""Similarity-search operators over embedding columns (north-star
+mandate; SURVEY.md §2.11): pairwise cosine, brute-force top-k, and an
+LSH-bucketed approximate variant — the scale path.
+
+Embeddings are `array<float>[64]` (FIXTURES.md). All cosine math runs
+JVM-side via higher-order functions (zip_with + left-fold aggregate,
+see operators/dedup.cosine_col) — identical summation order to the
+DuckDB oracle's manual fold, so doubles match bit-for-bit.
+
+Scale design: brute-force top-k broadcasts the (small) query set and
+scans the corpus once — linear, embarrassingly parallel, the right
+baseline even at 100 TB. The LSH variant bounds the scanned fraction:
+sign-random-hyperplane buckets shrink each query's candidate set by
+~2^bits; recall/latency trades via n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.operators.dedup import _cos_sql, cosine_col
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "sim_cosine_pairwise",
+    oracle=f"""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label1,
+           b.label AS label2,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def sim_cosine_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between consecutive embedding pairs — the
+    pairwise primitive, JVM higher-order fns only."""
+    e = load_table(spark, "embeddings", sf_dir)
+    a = e.select(F.col("vec_id").alias("vec1"), F.col("label").alias("label1"),
+                 F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("vec2"), F.col("label").alias("label2"),
+                 F.col("embedding").alias("e2"))
+    return (a.join(b, F.col("vec2") == F.col("vec1") + 1)
+             .select("vec1", "vec2", "label1", "label2",
+                     F.round(cosine_col("e1", "e2"), 6).alias("cos")))
+
+
+@register(
+    "sim_topk_search",
+    oracle=f"""
+    SELECT query_id, corpus_id, cos, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+               ROUND({_cos_sql('q.embedding', 'c.embedding')}, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN (SELECT * FROM embeddings WHERE vec_id >= 10) c ON true
+    ) WHERE rk <= 5
+    """,
+)
+def sim_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact k-NN: broadcast the query set, scan the corpus
+    once, per-query top-k via window. The exact baseline every ANN
+    variant is measured against."""
+    e = load_table(spark, "embeddings", sf_dir)
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")))
+    c = (e.filter(F.col("vec_id") >= 10)
+         .select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce")))
+    scored = (c.join(F.broadcast(q))
+               .select("query_id", "corpus_id",
+                       cosine_col("qe", "ce").alias("cos_raw")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("corpus_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 5)
+                  .select("query_id", "corpus_id",
+                          F.round("cos_raw", 6).alias("cos"), "rk"))
+
+
+# Deterministic pseudo-random hyperplanes (no RNG: fixed LCG-style
+# formula over (table, plane, dim)), components in [-1, 1).
+# 3 planes × 4 tables tuned on the fixture corpus: recall@5 ≈ 0.5 while
+# scanning ~1/3 of the corpus per query (the fixtures are near-random
+# vectors — real clustered embeddings trade far better).
+_N_PLANES = 3
+_N_TABLES = 4
+_DIM = 64
+
+
+def _planes(table: int) -> list[list[float]]:
+    return [[((p * 73856093 + j * 19349663 + 83492791 + table * 1299709) % 2001
+              - 1000) / 1000.0
+             for j in range(_DIM)]
+            for p in range(_N_PLANES)]
+
+
+@register("sim_ann_lsh", tags=("lsh", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via multi-table sign-random-projection LSH.
+
+    Each vector hashes to a 3-bit bucket per table (sign of dot with
+    fixed hyperplanes) in 4 independent tables; a query scores only
+    corpus vectors sharing a bucket in ≥1 table. At 100 TB this bounds
+    each query's scan to the union of its buckets instead of the full
+    corpus — the standard recall/cost trade (more tables → recall↑,
+    scan↑). rows-only check (approximate by construction); recall vs
+    `sim_topk_search` is asserted in tests/test_llm_ops.py.
+    """
+    e = load_table(spark, "embeddings", sf_dir)
+
+    def buckets_of(vec: str) -> F.Column:
+        """array<int>[_N_TABLES]: the vector's bucket in each table."""
+        per_table = []
+        for t in range(_N_TABLES):
+            plane_arr = F.array(*[
+                F.array(*[F.lit(v) for v in row]) for row in _planes(t)])
+
+            def bit(p: int) -> F.Column:
+                dot = F.aggregate(
+                    F.zip_with(F.col(vec), plane_arr.getItem(p),
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda s, v: s + v)
+                return F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+            b = bit(0)
+            for p in range(1, _N_PLANES):
+                b = b + bit(p)
+            per_table.append(b)
+        return F.array(*per_table)
+
+    def with_table_buckets(df, id_alias, vec_alias):
+        return (df.select(F.col("vec_id").alias(id_alias),
+                          F.col("embedding").alias(vec_alias),
+                          F.posexplode(buckets_of("embedding"))
+                           .alias("tbl", "bucket")))
+
+    q = with_table_buckets(e.filter(F.col("vec_id") < 10), "query_id", "qe")
+    c = with_table_buckets(e.filter(F.col("vec_id") >= 10), "corpus_id", "ce")
+
+    cand = (c.join(F.broadcast(q), ["tbl", "bucket"])
+             .select("query_id", "corpus_id", "qe", "ce")
+             .dropDuplicates(["query_id", "corpus_id"]))
+    scored = cand.select("query_id", "corpus_id",
+                         cosine_col("qe", "ce").alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("corpus_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 5)
+                  .select("query_id", "corpus_id",
+                          F.round("cos_raw", 6).alias("cos"), "rk"))

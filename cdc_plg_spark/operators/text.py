@@ -1,0 +1,194 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11
++ north-star mandate): stats, quality filtering, language ID, token
+counting, fingerprinting, tf-idf keywords.
+
+All pure JVM expressions (split / higher-order array fns / window) —
+no Python in the hot path, so each op scales to 100 TB of documents
+with one shuffle where a groupBy/window requires it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+def _toks():
+    return F.split("text", " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+               AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc/char/token/source counts."""
+    d = load_table(spark, "documents", sf_dir)
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.round(F.avg(F.size(_toks()).cast("double")), 6).alias("avg_tokens"),
+                  F.countDistinct("source").alias("n_sources")))
+
+
+@register(
+    "text_filter_quality",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6)
+               AS avg_token_len
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 2000
+      AND lang IN ('en', 'de', 'fr')
+      AND len(string_split(text, ' ')) >= 20
+      AND len(list_distinct(string_split(text, ' '))) * 1.0
+          / len(string_split(text, ' ')) > 0.2
+    """,
+)
+def text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter: length bounds, language allowlist,
+    minimum token count, minimum type/token (vocabulary) ratio — the
+    standard pre-training corpus hygiene pass."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(_toks())
+    return (d.filter(F.col("n_chars").between(100, 2000)
+                     & F.col("lang").isin("en", "de", "fr")
+                     & (n_tokens >= 20)
+                     & (F.size(F.array_distinct(_toks())) * 1.0 / n_tokens > 0.2))
+             .select("doc_id", "lang", "n_chars",
+                     n_tokens.alias("n_tokens"),
+                     F.round(F.col("n_chars").cast("double") / n_tokens, 6)
+                      .alias("avg_token_len")))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and'))) >
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('data', 'table', 'row', 'column')))
+                THEN 'en-ish' ELSE 'tech-ish' END AS guessed_register,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'a', 'of', 'and'))) AS stopword_hits
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-scoring language/register ID — the n-gram-heuristic
+    shape (count evidence-set hits per class, argmax). Deterministic and
+    fully vectorized; a real model would swap in via pandas UDF."""
+    d = load_table(spark, "documents", sf_dir)
+    stop_hits = F.size(F.filter(_toks(), lambda x: x.isin("the", "a", "of", "and")))
+    tech_hits = F.size(F.filter(_toks(), lambda x: x.isin("data", "table", "row", "column")))
+    return d.select(
+        "doc_id", "lang",
+        F.when(stop_hits > tech_hits, "en-ish").otherwise("tech-ish")
+         .alias("guessed_register"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+         .alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+               i -> md5(array_to_string(string_split(text,' ')[i:i+4], ' '))),
+               'min') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle document fingerprint: min hash over 5-gram
+    shingles (winnowing-style). Content-defined, order-sensitive, and
+    computed entirely with higher-order array fns — the primitive under
+    MinHash dedup (operators/dedup.py)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _toks()
+    n = F.size(toks)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))))
+    return d.select("doc_id", F.array_min(shingle_hashes).alias("fingerprint"))
+
+
+@register(
+    "tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY source, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT source) AS df FROM tok GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+        SELECT tf.source, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_sources AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT source, token, score, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY score DESC, token) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tf-idf top-3 terms: explode → tf counts → doc-freq
+    join (broadcast — vocabulary is small relative to the corpus) →
+    per-source top-k window."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(_toks()).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select(F.countDistinct("source").alias("n_sources"))
+    scored = (tf.join(F.broadcast(df), "token")
+                .crossJoin(F.broadcast(n_sources))
+                .select("source", "token",
+                        F.round(F.col("tf") * F.log(F.col("n_sources")
+                                .cast("double") / F.col("df")), 6).alias("score")))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 3)
+                  .select("source", "token", "score", "rk"))

@@ -1,0 +1,164 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference's plugin mechanism — arbitrary user code invoked per
+event batch over a serialized boundary (WASM/waPC guest_call,
+/root/reference/README.md:75-91) — maps to Spark's Python UDF tiers.
+The engine's stance, in cost order:
+
+1. built-in expressions (everything else in this package) — JVM,
+   whole-stage codegen, zero crossing;
+2. Arrow-vectorized pandas UDFs / applyInPandas / mapInPandas — one
+   Arrow batch per crossing, ~10-100× faster than row-at-a-time;
+3. row-at-a-time @udf — kept ONLY as a documented anti-pattern
+   (`udf_scalar_py`), mirroring how the RFC itself concedes WASM
+   plugins are much slower than native ones (README.md:124).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "udf_scalar_py",
+    oracle="""
+    SELECT c_custkey,
+           CAST(string_split(c_name, '#')[2] AS BIGINT) % 97 AS key_bucket
+    FROM customer
+    """,
+)
+def udf_scalar_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the per-event guest_call shape
+    (README.md:87). ANTI-PATTERN at scale: one Python crossing per row;
+    kept for parity. Use `udf_pandas_scalar` instead."""
+
+    @udf("bigint")
+    def key_bucket(name: str) -> int:
+        return int(name.split("#")[1]) % 97
+
+    c = load_table(spark, "customer", sf_dir)
+    return c.select("c_custkey", key_bucket("c_name").alias("key_bucket"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, ROUND(ln(1 + value) * 2, 6) AS scaled
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (Series→Series): the
+    batch-vectorized replacement for the reference's per-event
+    transform hook (README.md:89). One Arrow batch per crossing."""
+
+    @pandas_udf("double")
+    def scaled(v: pd.Series) -> pd.Series:
+        return np.round(np.log1p(v) * 2, 6)
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_id", scaled("value").alias("scaled"))
+
+
+@register(
+    "udaf_pandas_agg",
+    oracle="""
+    SELECT event_type, ROUND(exp(AVG(ln(value))), 6) AS geo_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a pandas UDAF (Series→scalar): geometric
+    mean per group. Spark runs it per shuffle-partition group with
+    Arrow transfer — the custom-aggregate plugin shape."""
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.round(np.exp(np.log(v.to_numpy()).mean()), 6))
+
+    # NOTE: Spark forbids mixing group-aggregate pandas UDFs with
+    # built-in aggregates in one agg() — keep the UDAF alone.
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(geo_mean("value").alias("geo_mean")))
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS demeaned
+    FROM events
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group table transform via applyInPandas (grouped-map):
+    each user's events arrive as one pandas DataFrame. This is the
+    reference's per-table plugin unit (TablePipeline, README.md:95)
+    expressed as a keyed Arrow batch."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["user_id", "event_id"]].copy()
+        out["demeaned"] = np.round(pdf["value"] - pdf["value"].mean(), 4)
+        return out
+
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select("user_id", "event_id", "value")
+              .groupBy("user_id")
+              .applyInPandas(demean, "user_id bigint, event_id bigint, demeaned double"))
+
+
+@register(
+    "udtf_map_partitions",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(floor(value / 10) AS BIGINT) AS value_bucket
+    FROM events
+    """,
+)
+def udtf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition transform via mapInPandas — the out-of-process
+    batch runner shape (README.md:44-49): user code sees an iterator of
+    Arrow batches per partition and streams batches back."""
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "value_bucket": np.floor(pdf["value"] / 10).astype("int64"),
+            })
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.mapInPandas(
+        bucketize, "event_id bigint, event_type string, value_bucket bigint")
+
+
+@register(
+    "udtf_lateral",
+    oracle="""
+    SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' '))),
+                   i -> struct_pack(pos := i - 1,
+                                    token := string_split(text, ' ')[i]))) AS u
+        FROM documents)
+    """,
+)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row→many-rows lateral expansion: posexplode of the token
+    array. JVM-side generator — the scale path for row-expanding
+    transforms (a Python UDTF would do the same work at Python speed)."""
+    d = load_table(spark, "documents", sf_dir)
+    return (d.select("doc_id", F.posexplode(F.split("text", " "))
+                     .alias("pos", "token")))
