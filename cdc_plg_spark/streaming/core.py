@@ -1,0 +1,103 @@
+"""Structured-Streaming core: CDC envelope, replay harness, run helpers.
+
+This module realizes the reference's event-flow contract
+(/root/reference/README.md §3 trace in SURVEY.md):
+
+- ordered row-level change events (README.md:17)  → streaming DataFrame
+  with envelope (commit_ts, op, table, before, after)
+- resolved-ts flush (README.md:64)               → event-time watermark
+- checkpoint-ts broadcast (README.md:65)         → checkpointLocation
+  commit log + epoch id in foreachBatch
+- plugin sink (README.md:59-68)                  → foreachBatch
+
+Replay harness: every streaming operator is verified by running the
+stream over the static events parquet with trigger(availableNow=True)
+into a memory sink and comparing against the equivalent batch query
+(SURVEY.md §5.3) — deterministic, no wall-clock dependence.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import ensure_session_confs
+
+# Parquet-file schema of the events fixture, with ts widened to long ns
+# (nanosAsLong) exactly as the batch reader sees it.
+EVENTS_RAW_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                     "event_type STRING, value DOUBLE, props STRING")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as an unbounded stream (file source).
+
+    File sources need an explicit schema; ts arrives as long ns and is
+    rebuilt into a µs TimestampType — same normalization as
+    catalog.load_table.
+    """
+    ensure_session_confs(spark)
+    # events.parquet is a single file; a non-glob path would make
+    # FileStreamSource force basePath to it (must be a directory). A glob
+    # skips that branch and leaves our directory basePath in effect.
+    path = os.path.join(sf_dir, "events.[p]arquet")
+    df = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+          .option("basePath", sf_dir).parquet(path))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def to_cdc_envelope(events: DataFrame) -> DataFrame:
+    """Wrap raw events in the reference's change-event envelope
+    (model.RowChangedEvent, README.md:62): commit_ts + op + table +
+    before/after images. op is derived deterministically from the
+    event type (signup→I, error→D, else U)."""
+    row_t = "struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"
+    image = F.struct("event_id", "user_id", "event_type", "value")
+    null_image = F.lit(None).cast(row_t)
+    return events.select(
+        F.col("ts").alias("commit_ts"),
+        F.when(F.col("event_type") == "signup", "I")
+         .when(F.col("event_type") == "error", "D")
+         .otherwise("U").alias("op"),
+        F.lit("events").alias("table"),
+        # inserts have no before-image; deletes have no after-image
+        F.when(F.col("event_type") == "signup", null_image)
+         .otherwise(image).alias("before"),
+        F.when(F.col("event_type") == "error", null_image)
+         .otherwise(image).alias("after"),
+    )
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str = "append",
+                 name: str | None = None) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint_dir: str) -> None:
+    """The reference's pluggable sink (README.md:59-68,:73): user code
+    receives (micro-batch DataFrame, epoch_id). epoch_id is the
+    checkpoint-ts analogue — sinks key idempotent writes on it
+    (README.md:119's idempotence requirement)."""
+    q = (stream_df.writeStream
+         .foreachBatch(batch_fn)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,219 @@
+"""Streaming operators (SURVEY.md §2.9), registry-wired.
+
+Each query runs its stream to completion with trigger(availableNow)
+over the static events fixture (deterministic replay, SURVEY.md §5.3)
+and returns the materialized result, so the driver's harness can hash
+it like any batch query. Where the final state is SQL-expressible the
+oracle is real DuckDB SQL (tumbling/sliding buckets, gaps-and-islands
+sessions, distinct-dedup); multi-batch behaviors (watermark eviction,
+checkpoint restart) are exercised in tests/test_streaming.py.
+
+Watermarks ARE the reference's resolved-ts contract (README.md:64):
+"all events ≤ T have arrived" drives state finalization exactly as
+FlushRowChangedEvents(resolvedTs) drives sink flush.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.registry import register
+from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10-minute windows per event_type. State is keyed on
+    (window, event_type); the watermark bounds state size — without it
+    a 100 TB stream would accrete windows forever."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,4)"))
+                   .cast("double").alias("sum_value")))
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(F.col("window.start").alias("window_start"),
+                      "event_type", "n", "sum_value")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 1]) AS k)
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - k * 300)
+                AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN offs
+    WHERE epoch(ts) < floor(epoch(ts) / 300) * 300 - k * 300 + 600
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in
+    two overlapping windows; the oracle reproduces the window algebra
+    with an explicit offset unnest."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    session_window merges adjacent state at watermark advance; the
+    oracle is the classic batch gaps-and-islands rewrite."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    out = run_to_table(agg, output_mode="complete")
+    return out.select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      "n_events")
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+               AS window_start,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts under a 30-minute watermark. In a single
+    availableNow replay nothing is late, so the result equals the batch
+    query — the multi-batch eviction behavior (late rows beyond the
+    watermark dropped, state freed) is asserted separately in
+    tests/test_streaming.py::test_watermark_drops_late_data."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (ev.groupBy(F.window("ts", "1 hour"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once event dedup by id (README.md:119's idempotence):
+    the same source is read twice and unioned — every event arrives
+    twice — and dropDuplicates on event_id restores the original set.
+    State is one key per event_id, bounded by the watermark in the
+    `dropDuplicatesWithinWatermark` variant."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (a.unionByName(b)
+                .dropDuplicates(["event_id"])
+                .select("event_id", "user_id", "event_type"))
+    return run_to_table(deduped, output_mode="append")
+
+
+@register(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState — the Spark
+    replacement for the reference's stateful plugin hook (README.md:89,
+    plugins keep their own state between events). Maintains a running
+    (count, sum) per user; emits the updated state each batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 4)]})
+
+    ev = read_events_stream(spark, sf_dir)
+    result = (ev.groupBy("user_id")
+                .applyInPandasWithState(
+                    track,
+                    outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+                    stateStructType="n BIGINT, total DOUBLE",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout))
+    out = run_to_table(result, output_mode="update")
+    # update mode emits one row per key per batch; keep the final state
+    return (out.groupBy("user_id")
+               .agg(F.max("n_events").alias("n_events"),
+                    F.round(F.max("total_value"), 4).alias("total_value")))
+
+
+@register("stream_checkpoint", tags=("streaming",))
+def stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed foreachBatch sink — the checkpoint-ts / 2PC-restart
+    contract (README.md:65, :99-119): micro-batches land exactly-once
+    keyed by epoch id; restart-resumes-from-commit-log is asserted in
+    tests/test_streaming.py::test_checkpoint_restart_no_reprocess.
+    rows-only: epoch assignment isn't SQL-expressible."""
+    import tempfile
+
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    out_dir = tempfile.mkdtemp(prefix="cdc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        # idempotent apply: the epoch id keys the write (README.md:119)
+        (df.withColumn("epoch_id", F.lit(epoch_id))
+           .write.mode("append").parquet(out_dir))
+
+    ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
+    run_foreach_batch(ev, write_batch, ckpt)
+    return spark.read.parquet(out_dir).select("event_id", "user_id", "epoch_id")

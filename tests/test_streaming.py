@@ -1,0 +1,151 @@
+"""Multi-batch streaming behaviors the single-replay oracle can't see:
+watermark late-data eviction and checkpointed exactly-once restart
+(the reference's resolved-ts / checkpoint-ts contracts,
+/root/reference/README.md:64-65, :119).
+
+Each test feeds a file-source stream one file per trigger
+(maxFilesPerTrigger=1) so watermarks advance between micro-batches
+deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.streaming.core import run_foreach_batch
+
+
+def _write_batch_file(spark, rows, schema, path, name):
+    from datetime import datetime
+    rows = [tuple(datetime.fromisoformat(v) if isinstance(v, str) and ":" in v
+                  else v for v in r) for r in rows]
+    (spark.createDataFrame(rows, schema)
+     .coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name)))
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="cdc_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_stream(spark, src_dir, max_files=1):
+    return (spark.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src_dir + "/*"))
+
+
+def test_watermark_drops_late_data(spark, tdir):
+    """A row older than (max event time - watermark delay) arriving in a
+    later batch must be dropped from the windowed aggregate — Spark's
+    watermark implements the RFC's resolved-ts flush: once T is
+    resolved, events <= T are final."""
+    src = os.path.join(tdir, "src")
+    os.makedirs(src)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    # batch 1: events at 10:00 and 12:00 -> watermark advances to 11:50
+    _write_batch_file(spark, [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (2, "2024-01-01 12:00:00", 1, 1.0),
+    ], schema, src, "b1")
+
+    ev = _events_stream(spark, src).withWatermark("ts", "10 minutes")
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+
+    name = "wm_late_sink"
+    ckpt = os.path.join(tdir, "ckpt")
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # batch 2: one late row at 10:30 (< 11:50 watermark -> dropped),
+        # one on-time row at 13:00
+        _write_batch_file(spark, [
+            (3, "2024-01-01 10:30:00", 1, 1.0),
+            (4, "2024-01-01 13:00:00", 1, 1.0),
+        ], schema, src, "b2")
+        q.processAllAvailable()
+        # batch 3: push watermark past 13:00 so the 12:00 window closes
+        _write_batch_file(spark, [
+            (5, "2024-01-01 14:00:00", 1, 1.0),
+        ], schema, src, "b3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {r["window"].start.hour: r["n"]
+           for r in spark.table(name).collect()}
+    # 10:00 window closed with ONE row: the late event_id=3 was dropped
+    assert out.get(10) == 1, f"late row leaked into closed window: {out}"
+    assert out.get(12) == 1
+
+
+def test_checkpoint_restart_no_reprocess(spark, tdir):
+    """Stop a checkpointed foreachBatch query, add data, restart with the
+    same checkpointLocation: already-committed batches must not re-emit
+    (exactly-once via the commit log = the RFC's checkpoint-ts)."""
+    src = os.path.join(tdir, "src")
+    os.makedirs(src)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    out_dir = os.path.join(tdir, "out")
+    ckpt = os.path.join(tdir, "ckpt")
+
+    seen_epochs = []
+
+    def write_batch(df, epoch_id):
+        seen_epochs.append(epoch_id)
+        (df.withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(out_dir))
+
+    _write_batch_file(spark, [(1, "2024-01-01 10:00:00", 1, 1.0)],
+                      schema, src, "b1")
+    run_foreach_batch(_events_stream(spark, src), write_batch, ckpt)
+    first_run_rows = spark.read.parquet(out_dir).count()
+    assert first_run_rows == 1
+
+    # restart from the same checkpoint with one new file
+    _write_batch_file(spark, [(2, "2024-01-01 11:00:00", 1, 1.0)],
+                      schema, src, "b2")
+    run_foreach_batch(_events_stream(spark, src), write_batch, ckpt)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 2, "restart reprocessed committed data"
+    # the restarted run got a fresh epoch id (commit log advanced)
+    assert len(set(seen_epochs)) == len(seen_epochs)
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_cdc_envelope_roundtrip(spark, sf_small):
+    """to_cdc_envelope emits the RowChangedEvent shape (README.md:62):
+    inserts carry no before-image, deletes no after-image, and the JSON
+    wire format (README.md:75) round-trips losslessly."""
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import to_cdc_envelope
+
+    ev = load_table(spark, "events", sf_small).limit(200)
+    env = to_cdc_envelope(ev)
+    rows = env.collect()
+    assert rows, "envelope empty"
+    for r in rows:
+        if r["op"] == "I":
+            assert r["before"] is None and r["after"] is not None
+        elif r["op"] == "D":
+            assert r["after"] is None and r["before"] is not None
+        else:
+            assert r["before"] is not None and r["after"] is not None
+
+    # JSON wire round-trip: to_json -> from_json preserves the envelope
+    wire = env.select(F.to_json(F.struct("*")).alias("value"))
+    decoded = wire.select(
+        F.from_json("value", env.schema).alias("e")).select("e.*")
+    # from_json marks every field nullable; compare names + types only
+    assert [(f.name, f.dataType) for f in decoded.schema.fields] == \
+           [(f.name, f.dataType) for f in env.schema.fields]
+    assert decoded.count() == len(rows)
