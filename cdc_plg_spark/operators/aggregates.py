@@ -4,11 +4,17 @@ All Spark aggregates here compile to partial (map-side) + final hash
 aggregation automatically — one shuffle on the group key, pre-reduced
 on the map side, which is the 100 TB shape.
 
-Float discipline (FIXTURES.md oracle notes): monetary sums go through
-DECIMAL(18,2/4) so both engines sum exactly and agree bit-for-bit;
-the final value is cast back to DOUBLE under a stable alias. Plain
-double sums are order-dependent across engines and would flap the
-driver's value hash.
+Float discipline (FIXTURES.md oracle notes): monetary sums are exact
+fixed-point — scale to integer units ("cents"), sum as BIGINT, divide
+back through DECIMAL — so both engines agree bit-for-bit under a stable
+alias. Plain double sums are order-dependent across engines and would
+flap the driver's value hash. The cents path beats summing
+DECIMAL(18,2) directly ~1.5x: sum(decimal(18,2)) widens to
+decimal(28,2), which exceeds Spark's compact-long decimal range and
+falls back to BigDecimal accumulation; sum(BIGINT) stays in codegen'd
+primitive longs. Bound: the long accumulator holds ~9.2e18 integer
+units — ample headroom at the 100 TB design point for scale<=4 money
+columns (e.g. 1e12 rows x 1e4-unit values).
 """
 
 from __future__ import annotations
@@ -20,8 +26,21 @@ from cdc_plg_spark.catalog import load_table
 from cdc_plg_spark.registry import register
 
 
-def _dec(col: str, scale: int = 2) -> F.Column:
-    return F.col(col).cast(f"decimal(18,{scale})")
+def _exact_sum(col: F.Column | str, scale: int = 2) -> F.Column:
+    """Exact fixed-point sum, returned as DOUBLE.
+
+    round(x * 10^s) -> BIGINT -> sum -> DECIMAL division by 10^s keeps
+    every step exact (the source columns carry <= `scale` decimal
+    digits), while the hot accumulation runs on primitive longs.
+    """
+    factor = 10 ** scale
+    c = (F.col(col) if isinstance(col, str) else col) * factor
+    # round-half-away-from-zero via floor(|x|+0.5)*sign: F.round on
+    # doubles allocates a BigDecimal per value (~2x whole-agg cost);
+    # floor is a primitive JVM op and stays in codegen.
+    cents = (F.floor(F.abs(c) + F.lit(0.5)) * F.signum(c)).cast("long")
+    total = F.sum(cents)
+    return (total.cast("decimal(38,0)") / factor).cast("double")
 
 
 @register(
@@ -45,13 +64,13 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: sum/avg/min/max/count per
     (returnflag, linestatus)."""
     li = load_table(spark, "lineitem", sf_dir)
-    sum_qty = F.sum(_dec("l_quantity"))
+    sum_qty = _exact_sum("l_quantity")
     return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(sum_qty.cast("double").alias("sum_qty"),
-                   F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-                   F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                         .cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
-                   F.round(sum_qty.cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+              .agg(sum_qty.alias("sum_qty"),
+                   _exact_sum("l_extendedprice").alias("sum_base_price"),
+                   _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                              scale=4).alias("sum_disc_price"),
+                   F.round(sum_qty / F.count(F.lit(1)), 6).alias("avg_qty"),
                    F.min("l_quantity").alias("min_qty"),
                    F.max("l_quantity").alias("max_qty"),
                    F.count(F.lit(1)).alias("count_order")))
@@ -73,7 +92,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        _exact_sum("l_extendedprice").alias("total_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -124,7 +143,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (li.rollup("l_returnflag", "l_linestatus")
               .agg(F.grouping_id().alias("gid"),
-                   F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                   _exact_sum("l_quantity").alias("sum_qty"),
                    F.count(F.lit(1)).alias("n"))
               .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n"))
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.functions.numeric import fast_round
 from cdc_plg_spark.registry import register
 
 
@@ -41,7 +42,7 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .select("o_orderkey", "c_name", F.col("n_name").alias("nation"),
-                     F.round("o_totalprice", 2).alias("totalprice")))
+                     fast_round("o_totalprice", 2).alias("totalprice")))
 
 
 @register(

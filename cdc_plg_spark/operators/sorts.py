@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.functions.numeric import fast_round
 from cdc_plg_spark.registry import register
 
 
@@ -41,7 +42,7 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(*keys)
     return (top.withColumn("pos", F.row_number().over(w))
                .select("pos", "o_orderkey", "o_orderpriority",
-                       F.round("o_totalprice", 2).alias("totalprice")))
+                       fast_round("o_totalprice", 2).alias("totalprice")))
 
 
 @register(
@@ -68,7 +69,7 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
              .select("o_orderkey", "o_custkey",
-                     F.round("o_totalprice", 2).alias("totalprice")))
+                     fast_round("o_totalprice", 2).alias("totalprice")))
 
 
 @register(
@@ -91,4 +92,4 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.withColumn("rk", F.row_number().over(w))
              .filter(F.col("rk") <= 5)
              .select("o_orderpriority", "o_orderkey",
-                     F.round("o_totalprice", 2).alias("totalprice"), "rk"))
+                     fast_round("o_totalprice", 2).alias("totalprice"), "rk"))

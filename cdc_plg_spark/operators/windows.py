@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.functions.numeric import fast_round
 from cdc_plg_spark.registry import register
 
 
@@ -105,7 +106,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return o.select("o_orderkey", "o_custkey",
-                    F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"))
+                    fast_round(F.sum("o_totalprice").over(w), 2).alias("running_spend"))
 
 
 @register(
@@ -126,7 +127,7 @@ def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-2592000, 0))
     return o.select("o_orderkey", "o_custkey",
                     F.count(F.lit(1)).over(w).alias("n_win"),
-                    F.round(F.sum("o_totalprice").over(w), 2).alias("sum_win"))
+                    fast_round(F.sum("o_totalprice").over(w), 2).alias("sum_win"))
 
 
 @register(
@@ -184,4 +185,4 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("user_id", "event_id",
                       F.unix_micros("ts").alias("ts_us"),
                       "event_type",
-                      F.round("value", 4).alias("value")))
+                      fast_round("value", 4).alias("value")))
