@@ -1,0 +1,310 @@
+"""Source/sink operators (SURVEY.md §2.1) + streaming joins (§2.3).
+
+The reference's sink contract is a pluggable per-event-batch writer
+(/root/reference/README.md:59-68): EmitRowChangedEvents + Flush +
+checkpoint broadcast. Spark-native mapping:
+
+- Kafka sink with custom partition routing (README.md:17,:21 — the
+  RFC's first motivating plugin) → (key, value) encoding with an
+  explicit routing key column; `format("kafka")` in production.
+- MySQL-protocol batched sink (README.md:17,:22 — Doris batch-write
+  plugin) → `df.write.jdbc` (JDBC batching native) / foreachBatch
+  micro-batch INSERT batching.
+- Object-store sink (README.md:23) → partitioned parquet write.
+- The generic plugin sink (README.md:59-68,:73) → foreachBatch.
+
+No Kafka broker or JDBC server exists in this container, so those two
+sinks produce their exact wire payloads (routing key + serialized
+value; batched INSERT statements) as DataFrames — the network write is
+a one-line `.format("kafka")` / `.jdbc(url)` swap, and the payload
+construction is the part with engine semantics to verify.
+
+Scale notes: sinks write partitioned-by-(table/date) layouts so the
+object store gets partition pruning on read-back; the Kafka key is the
+routing policy, so partition skew is controlled by key choice (salt
+hot tables with a bucket suffix).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.registry import register
+
+
+# ---------------------------------------------------------------- scans
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet table scan with projection — column pruning reaches the
+    reader (ReadSchema lists exactly these 5 columns; see
+    tests/test_plans.py plan audits)."""
+    from cdc_plg_spark.functions.numeric import fast_round
+
+    o = load_table(spark, "orders", sf_dir)
+    return o.select("o_orderkey", "o_custkey", "o_orderstatus",
+                    fast_round("o_totalprice", 2).alias("totalprice"),
+                    F.col("o_orderdate").cast("date").alias("orderdate"))
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    """Deterministic per-sf cache dir for text-format round-trips."""
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"cdc_scan_{fmt}{sf_tag}")
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-applied text ingestion (README.md:75 — JSON wire format):
+    round-trip the nation table through JSON-lines and CSV with explicit
+    schemas, join the two reads on the key, and verify both against the
+    parquet-backed oracle. Explicit schemas (no inference pass) are the
+    100 TB discipline — schema inference is a full extra scan."""
+    n = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey")
+    base = _roundtrip_dir(sf_dir, "txt")
+    jdir, cdir = base + "_json", base + "_csv"
+    if not os.path.exists(jdir):
+        n.write.mode("overwrite").json(jdir)
+    if not os.path.exists(cdir):
+        n.write.mode("overwrite").option("header", "true").csv(cdir)
+    schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    from_json = spark.read.schema(schema).json(jdir)
+    from_csv = (spark.read.schema(schema).option("header", "true").csv(cdir)
+                .withColumnRenamed("n_name", "n_name_csv")
+                .withColumnRenamed("n_regionkey", "n_regionkey_csv"))
+    # inner join on key: any row lost/corrupted by either format drops
+    # out or mismatches the oracle
+    return (from_json.join(from_csv, "n_nationkey")
+            .filter(F.col("n_name") == F.col("n_name_csv"))
+            .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@register("source_cdc_stream", tags=("streaming", "cdc"))
+def source_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC changelog source (README.md:17): unbounded ordered
+    row-change events in the RowChangedEvent envelope
+    (commit_ts, op, table, before, after — README.md:62). Materialized
+    via availableNow replay; rows-only (struct columns don't hash
+    portably across engines). Envelope invariants are asserted in
+    tests/test_streaming.py::test_cdc_envelope_roundtrip."""
+    from cdc_plg_spark.streaming.core import (read_events_stream,
+                                              run_to_table, to_cdc_envelope)
+
+    env = to_cdc_envelope(read_events_stream(spark, sf_dir))
+    out = run_to_table(env, output_mode="append")
+    return out.select(
+        "commit_ts", "op", "table",
+        F.col("before.event_id").alias("before_event_id"),
+        F.col("after.event_id").alias("after_event_id"),
+        F.col("after.value").alias("after_value"))
+
+
+# ---------------------------------------------------------------- sinks
+
+@register(
+    "sink_kafka",
+    oracle="""
+    SELECT CAST(user_id % 16 AS VARCHAR) AS key,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sink_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka sink payload with custom partition routing (README.md:17,
+    :21 — the RFC's partition-dispatch plugin): the routing policy IS
+    the key column (user_id bucketed to 16 partitions, keeping each
+    user's events ordered within a partition — the RFC's ordering
+    guarantee). Produces the exact (key, value) pairs
+    `.format("kafka")` would ship; aggregated per key so the oracle
+    checks the routing distribution."""
+    ev = load_table(spark, "events", sf_dir)
+    payload = ev.select(
+        (F.col("user_id") % 16).cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value"),
+        "user_id")
+    # in production:  payload.select("key","value").write.format("kafka")
+    #                        .option("kafka.bootstrap.servers", ...).save()
+    return (payload.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "sink_jdbc_batch",
+    oracle="""
+    WITH numbered AS (
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS p,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(rn // 500 AS BIGINT) AS batch_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS batch_total
+    FROM numbered GROUP BY 1
+    """,
+)
+def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-protocol batched sink (README.md:17,:22 — the Doris
+    batch-write-optimization plugin): rows are packed into fixed-size
+    INSERT batches (batchsize=500, the knob `df.write.jdbc` exposes as
+    `batchsize`). Emits one row per batch with its row count and
+    checksum — the batch packing is the semantics under test; the
+    network write is `.jdbc(url, table, properties={"batchsize": 500})`."""
+    from cdc_plg_spark.functions.numeric import fast_round
+    from pyspark.sql import Window
+
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", fast_round("o_totalprice", 2).alias("p")))
+    w = Window.orderBy("o_orderkey")
+    numbered = o.withColumn("rn", F.row_number().over(w) - 1)
+    return (numbered
+            .groupBy((F.col("rn") / 500).cast("bigint").alias("batch_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 (F.sum(F.round(F.col("p") * 100).cast("long"))
+                  .cast("double") / 100).alias("batch_total")))
+
+
+@register(
+    "sink_object_store",
+    oracle="""
+    SELECT year(o_orderdate) AS yr, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def sink_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store sink (README.md:23): write orders partitioned by
+    (year, status) — the (table, date) layout SURVEY.md §4 prescribes
+    for partition pruning — then read back and aggregate per partition.
+    The oracle sees the pre-write data, so the round-trip must be
+    lossless and the partition columns must survive the layout."""
+    o = load_table(spark, "orders", sf_dir).withColumn(
+        "yr", F.year("o_orderdate"))
+    out_dir = _roundtrip_dir(sf_dir, "objstore")
+    if not os.path.exists(out_dir):
+        (o.write.mode("overwrite")
+          .partitionBy("yr", "o_orderstatus").parquet(out_dir))
+    back = spark.read.parquet(out_dir)
+    return (back.groupBy("yr", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .cast("double") / 100).alias("total")))
+
+
+@register(
+    "sink_foreach_plugin",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_foreach_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC's core abstraction (README.md:59-68,:73): a pluggable
+    per-batch sink. User code receives (micro-batch DataFrame, epoch_id)
+    — EmitRowChangedEvents + checkpoint-ts in one callback. Here the
+    plugin is a per-event-type accumulator writing parquet keyed by
+    epoch (idempotent apply, README.md:119); the final table must equal
+    the batch aggregate."""
+    import tempfile as _tf
+
+    from cdc_plg_spark.streaming.core import (read_events_stream,
+                                              run_foreach_batch)
+
+    out_dir = _tf.mkdtemp(prefix="cdc_plugin_sink_")
+    ckpt = _tf.mkdtemp(prefix="cdc_plugin_ckpt_")
+
+    def plugin(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("user_id").alias("n_users"))
+         .withColumn("epoch_id", F.lit(epoch_id))
+         .write.mode("append").parquet(out_dir))
+
+    ev = read_events_stream(spark, sf_dir).select("event_type", "user_id")
+    run_foreach_batch(ev, plugin, ckpt)
+    # merge per-epoch partials (availableNow may run >1 batch)
+    return (spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("n_users").alias("n_users")))
+
+
+# ------------------------------------------------------- streaming joins
+
+@register("join_enrich_stream_static", tags=("streaming",))
+def join_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream × static dimension enrichment (README.md:89 — plugins
+    consult reference data per event via host_call; Spark-native: the
+    dimension is just a DataFrame joined into the stream). The static
+    side is broadcast per micro-batch — no stream state. rows-only:
+    verified against the equivalent batch join in
+    tests/test_streaming_joins.py."""
+    from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = (load_table(spark, "customer", sf_dir)
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    enriched = (ev.join(F.broadcast(dim), "user_id")
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    return run_to_table(enriched, output_mode="complete")
+
+
+@register("join_interval_stream", tags=("streaming",))
+def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each 'click' event joins 'view'
+    events of the same user within the preceding 10 minutes. Watermarks
+    on BOTH sides bound the join state (Spark evicts rows outside the
+    interval once the watermark passes — the resolved-ts contract
+    applied to join state). rows-only: verified against the equivalent
+    batch range join in tests/test_streaming_joins.py."""
+    from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
+
+    base = read_events_stream(spark, sf_dir)
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "1 hour"))
+    views = (base.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", "1 hour"))
+    joined = clicks.join(
+        views,
+        F.expr("""
+            c_user = v_user AND
+            v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts < c_ts
+        """))
+    out = run_to_table(joined, output_mode="append")
+    return (out.groupBy("c_user")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("click_id").alias("n_clicks")))
