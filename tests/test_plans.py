@@ -61,3 +61,50 @@ def test_whole_stage_codegen_on_core_path(spark, sf_small):
     # '*(n)' prefixes mark whole-stage-codegen'd spans in simple mode
     assert "*(1)" in p and "*(2)" in p, p
     assert "isFinalPlan=true" in p, p
+
+
+def test_scan_parquet_prunes_and_pushes(spark, sf_small):
+    df = q("scan_parquet", spark, sf_small)
+    p = plan_str(df, "formatted")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    # 5 projected source columns only — o_comment etc. must not be read
+    assert read and "o_comment" not in read[0] and "o_orderpriority" not in read[0], read
+
+
+def test_topk_search_broadcasts_queries(spark, sf_small):
+    # the query set must broadcast; the corpus scan must not shuffle
+    # before scoring
+    assert_in_plan(q("sim_topk_search", spark, sf_small),
+                   "BroadcastNestedLoopJoin")
+
+
+def test_asof_join_is_single_pass(spark, sf_small):
+    # as-of = range-join + per-key top-1: exactly one window sort over
+    # the candidate set, no cartesian re-expansion
+    p = plan_str(q("join_asof", spark, sf_small), "formatted")
+    assert "Window" in p or "WindowGroupLimit" in p, p
+
+
+def test_stream_static_enrich_broadcasts(spark, sf_dir):
+    """The static dimension must broadcast per micro-batch (no stream
+    state, no shuffle of the stream side for the join)."""
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import read_events_stream
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = (load_table(spark, "customer", sf_dir)
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    j = ev.join(F.broadcast(dim), "user_id")
+    # streaming plans can't explain() until started; check the logical plan
+    assert "ResolvedHint" in j._jdf.queryExecution().analyzed().toString() or \
+           "UnresolvedHint" in j._jdf.queryExecution().logical().toString()
+
+
+def test_exact_sum_stays_primitive(spark, sf_small):
+    """The money-sum hot path must aggregate BIGINT, not Decimal —
+    the whole point of the cents encoding (BASELINE.md)."""
+    p = plan_str(q("agg_hash_groupby", spark, sf_small), "formatted")
+    assert "partial_sum" in p, p
+    # decimal accumulation would show sum(cast(... as decimal
+    assert "as decimal(18,2))), " not in p, p

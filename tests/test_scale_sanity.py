@@ -1,0 +1,36 @@
+"""Scale sanity (SURVEY.md §5.4): representative queries must agree
+with their per-sf oracle at EVERY fixture scale factor, not just the
+driver's sf0.01 — catches partition-count assumptions, overflow in the
+fixed-point sum path, and literals accidentally tuned to one sf.
+
+The subset spans the shapes that scale differently: partial+final agg,
+broadcast + shuffle joins, window compaction, text explode, and the
+fixed-point cents encoding (whose overflow headroom claim is exactly
+what a scale-up would test).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_plg_spark.testing import check_query
+
+SCALE_QUERIES = (
+    "agg_hash_groupby",        # exact cents sums, partial+final
+    "agg_global",
+    "join_inner_hash",         # broadcast
+    "join_sortmerge",          # shuffle join
+    "dedup_latest_per_key",    # CDC compaction window
+    "topk_per_group",
+    "text_stats",              # explode + agg
+    "sim_topk_search",         # vectorized UDF + broadcast NLJ
+    "flagship_cdc_compaction",
+)
+
+SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+
+
+@pytest.mark.parametrize("sf", SFS, ids=lambda p: p.rsplit("/", 1)[-1])
+@pytest.mark.parametrize("name", SCALE_QUERIES)
+def test_query_agrees_at_scale(spark, name, sf):
+    check_query(spark, name, sf_dir=sf)
