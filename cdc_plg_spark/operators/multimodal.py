@@ -90,3 +90,84 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames, F.lit(30))).alias("frame_idx")))
+
+
+@register(
+    "mm_resize_stub",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id, n_chars AS n_bytes,
+               1 + (n_chars % 640) AS w, 1 + ((n_chars * 7) % 480) AS h
+        FROM documents
+    )
+    SELECT doc_id, w, h,
+           CAST(floor(w * least(256.0 / w, 256.0 / h)) AS BIGINT) AS new_w,
+           CAST(floor(h * least(256.0 / w, 256.0 / h)) AS BIGINT) AS new_h,
+           least(n_bytes,
+                 CAST(floor(w * least(256.0 / w, 256.0 / h)) AS BIGINT)
+                 * CAST(floor(h * least(256.0 / w, 256.0 / h)) AS BIGINT))
+               AS out_bytes
+    FROM meta
+    """,
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: decode metadata → fit-into-256×256 box
+    (aspect-preserving) → re-encode. The pixel work is the stubbed part
+    (out_bytes caps at new_w*new_h); the engine part is real — resize
+    params computed per Arrow batch in numpy, payload bytes dropped
+    before any shuffle, output schema typed."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = pdf["payload"].str.len().to_numpy(dtype="int64")
+            w = 1 + (n % 640)
+            h = 1 + ((n * 7) % 480)
+            scale = np.minimum(256.0 / w, 256.0 / h)
+            new_w = np.floor(w * scale).astype("int64")
+            new_h = np.floor(h * scale).astype("int64")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "w": w, "h": h,
+                "new_w": new_w, "new_h": new_h,
+                "out_bytes": np.minimum(n, new_w * new_h),
+            })
+
+    d = load_table(spark, "documents", sf_dir)
+    binary = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return binary.mapInPandas(
+        resize_batches,
+        "doc_id bigint, w bigint, h bigint, new_w bigint, new_h bigint, "
+        "out_bytes bigint")
+
+
+@register(
+    "mm_audio_chunks",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, n_chars AS n_samples,
+               unnest(generate_series(0, n_chars - 1, 4000)) AS chunk_start
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, chunk_start,
+           least(chunk_start + 4000, n_samples) AS chunk_end,
+           least(chunk_start + 4000, n_samples) - chunk_start AS chunk_len
+    FROM chunks
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction shape: a waveform (n_samples from
+    metadata; real audio would be the binary payload) split into fixed
+    4000-sample windows — one row per chunk with exact boundaries. The
+    fan-out is JVM sequence+explode (no Python in the loop); the
+    per-chunk DSP kernel would slot into a mapInPandas stage exactly
+    like mm_resize_stub's."""
+    d = load_table(spark, "documents", sf_dir).filter(F.col("n_chars") > 0)
+    starts = F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(4000))
+    return (d.select("doc_id", F.col("n_chars").alias("n_samples"),
+                     F.explode(starts).alias("chunk_start"))
+            .select("doc_id", "chunk_start",
+                    F.least(F.col("chunk_start") + 4000,
+                            F.col("n_samples")).alias("chunk_end"),
+                    (F.least(F.col("chunk_start") + 4000, F.col("n_samples"))
+                     - F.col("chunk_start")).alias("chunk_len")))
