@@ -223,3 +223,80 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("kind") == 1)
                 .select(F.col("event_id").alias("purchase_id"), "user_id",
                         F.unix_micros("ts").alias("ts_us"), "last_click_id"))
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS order_total
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located large-large join via bucketing: both sides written
+    `bucketBy(8, join_key).sortBy(join_key)`, so the join compiles to a
+    SortMergeJoin with NO Exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle). At 100 TB
+    this is the standard answer for a fact-fact join that repeats every
+    run: pay the shuffle once at write time, never again at read time.
+    Same result as the shuffle-join form (the oracle is the plain join).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    base = _os.path.join(_tf.gettempdir(), f"cdc_bucketed{sf_tag}")
+    specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for t, key in specs.items():
+        tbl = f"bkt_{t}{sf_tag}".replace(".", "_").replace("-", "_")
+        if not spark.catalog.tableExists(tbl):
+            (load_table(spark, t, sf_dir)
+             .write.mode("overwrite")
+             .bucketBy(8, key).sortBy(key)
+             .option("path", _os.path.join(base, t))
+             .saveAsTable(tbl))
+    o = spark.table(f"bkt_orders{sf_tag}".replace(".", "_").replace("-", "_"))
+    li = spark.table(f"bkt_lineitem{sf_tag}".replace(".", "_").replace("-", "_"))
+    # merge hint: the point is the co-located SortMergeJoin (at fixture
+    # scale AQE would broadcast instead and hide the property under test)
+    return (o.hint("merge").join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                  .cast("double") / 100).alias("order_total")))
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient shuffle join via key salting: the fact side's key
+    gains a deterministic salt (event_id % N), the dimension side is
+    exploded into N salted replicas, and the join runs on
+    (key, salt) — a hot key's rows now spread over N reducer partitions
+    instead of one straggler. AQE's skew-join split is the first-line
+    fix; explicit salting is the portable fallback when a single key
+    exceeds even a split partition (SURVEY.md §4). Result is identical
+    to the unsalted join (the oracle is the plain join)."""
+    n_salt = 8
+    ev = (load_table(spark, "events", sf_dir)
+          .select("user_id", "event_type",
+                  (F.col("event_id") % n_salt).alias("salt")))
+    cust = (load_table(spark, "customer", sf_dir)
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+            .withColumn("salt", F.explode(F.array(
+                *[F.lit(i) for i in range(n_salt)]))))
+    # defeat the broadcast so the exercise is the shuffle-join path the
+    # technique exists for (dims small enough to broadcast don't skew)
+    joined = ev.hint("shuffle_hash").join(cust, ["user_id", "salt"])
+    return (joined.groupBy("event_type", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -181,7 +181,9 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     tok = d.select("source", F.explode(_toks()).alias("token"))
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("source").alias("df"))
+    # doc-frequency from the tf relation — its rows are already distinct
+    # (source, token), so this avoids a second explode over the corpus
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_sources = d.select(F.countDistinct("source").alias("n_sources"))
     scored = (tf.join(F.broadcast(df), "token")
                 .crossJoin(F.broadcast(n_sources))

@@ -108,3 +108,16 @@ def test_exact_sum_stays_primitive(spark, sf_small):
     assert "partial_sum" in p, p
     # decimal accumulation would show sum(cast(... as decimal
     assert "as decimal(18,2))), " not in p, p
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small):
+    """Both sides bucketed+sorted on the join key: the join must be a
+    SortMergeJoin reading bucket-aligned — NO shuffle exchange anywhere
+    in the plan (the post-join aggregate's distribution is satisfied by
+    the bucket partitioning too), and no Sort beyond the bucket order."""
+    df = q("join_bucketed_colocated", spark, sf_small)
+    df.collect()
+    p = plan_str(df, "simple")
+    assert "SortMergeJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Bucketed: true" in p, p
