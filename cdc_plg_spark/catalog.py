@@ -37,6 +37,12 @@ _REQUIRED_RUNTIME_CONFS = {
     # engine semantics are permissive-SQL (Spark 4 defaults ANSI on;
     # oracle parity and hash wraparound both assume non-ANSI)
     "spark.sql.ansi.enabled": "false",
+    # size shuffles to the box, not Spark's 200 default: AQE coalesces
+    # batch plans anyway, but STREAMING aggs lock the state fan-out to
+    # this value at first checkpoint — 200 near-empty state partitions
+    # per query is pure overhead at fixture scale (scale runs override
+    # per deployment)
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
 }
 
 

@@ -162,3 +162,40 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return (d.select("doc_id", F.posexplode(F.split("text", " "))
                      .alias("pos", "token")))
+
+
+@register(
+    "udtf_python_native",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE WHEN len(string_split(text, ' ')) >= 40 THEN 'long'
+                WHEN len(string_split(text, ' ')) >= 15 THEN 'medium'
+                ELSE 'short' END AS bucket
+    FROM documents
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 3.5+ `@udtf`): arbitrary per-row
+    expansion logic in a class-based table function — the closest
+    Spark-native analogue to the reference's out-of-process plugin
+    runner (README.md:44-49), with the host↔guest boundary replaced by
+    the Arrow channel. Row-at-a-time Python: keep it OFF hot paths
+    (udtf_lateral shows the JVM generator form of the same shape)."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="n_tokens BIGINT, bucket STRING")
+    class TokenBucket:
+        def eval(self, text: str):
+            n = len(text.split(" ")) if text else 0
+            bucket = ("long" if n >= 40 else
+                      "medium" if n >= 15 else "short")
+            yield n, bucket
+
+    spark.udtf.register("token_bucket", TokenBucket)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView(
+        "udtf_docs_v")
+    return spark.sql("""
+        SELECT d.doc_id, d.lang, t.n_tokens, t.bucket
+        FROM udtf_docs_v d, LATERAL token_bucket(d.text) t
+    """)

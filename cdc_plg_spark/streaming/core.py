@@ -72,6 +72,20 @@ def to_cdc_envelope(events: DataFrame) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming to the RocksDB state store — the 100 TB
+    default (SURVEY.md §4): state spills to local disk instead of
+    living on the JVM heap, so watermark-bounded joins/aggs with
+    hundreds of millions of keys don't OOM executors. Takes effect for
+    queries started after the call."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+
+
 def run_to_table(stream_df: DataFrame, output_mode: str = "append",
                  name: str | None = None) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
