@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "cdc_plg_spark.operators.dedup",
     "cdc_plg_spark.operators.similarity",
     "cdc_plg_spark.operators.multimodal",
+    "cdc_plg_spark.operators.maintenance",
     "cdc_plg_spark.streaming.queries",
     "cdc_plg_spark.sources.queries",
 )

@@ -217,3 +217,98 @@ def stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("event_id", "user_id", "ts")
     run_foreach_batch(ev, write_batch, ckpt)
     return spark.read.parquet(out_dir).select("event_id", "user_id", "epoch_id")
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(epoch(ts)) - MIN(epoch(ts)) AS span_s
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key state via transformWithStateInPandas (Spark 4's successor
+    to applyInPandasWithState, with typed state variables and timers) —
+    tracks per-user event count and first/last timestamps. Falls back to
+    an applyInPandasWithState implementation of the same computation
+    when the API (or its python-protobuf wire dependency) is
+    unavailable, so the operator degrades instead of breaking."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+        from google.protobuf import descriptor  # noqa: F401 - TWS wire dep
+    except ImportError:  # pragma: no cover - Spark < 4.0 / no protobuf
+        return _span_via_apply_in_pandas_with_state(spark, sf_dir)
+
+    class SpanTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "span", "n BIGINT, first_s BIGINT, last_s BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, first_s, last_s = 0, None, None
+            if self._state.exists():
+                n, first_s, last_s = self._state.get()
+            for pdf in rows:
+                secs = (pdf["ts"].astype("int64") // 1_000_000_000)
+                n += len(pdf)
+                lo, hi = int(secs.min()), int(secs.max())
+                first_s = lo if first_s is None else min(first_s, lo)
+                last_s = hi if last_s is None else max(last_s, hi)
+            self._state.update((n, first_s, last_s))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "span_s": [last_s - first_s]})
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    result = (ev.groupBy("user_id")
+              .transformWithStateInPandas(
+                  SpanTracker(),
+                  outputStructType="user_id BIGINT, n_events BIGINT, span_s BIGINT",
+                  outputMode="Update",
+                  timeMode="None"))
+    out = run_to_table(result, output_mode="update")
+    return (out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("span_s").alias("span_s")))
+
+
+def _span_via_apply_in_pandas_with_state(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Fallback engine for stream_transform_with_state: identical
+    per-user (count, time-span) state kept through the older
+    applyInPandasWithState API."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, first_s, last_s = state.get
+        else:
+            n, first_s, last_s = 0, None, None
+        for pdf in pdf_iter:
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            n += len(pdf)
+            lo, hi = int(secs.min()), int(secs.max())
+            first_s = lo if first_s is None else min(first_s, lo)
+            last_s = hi if last_s is None else max(last_s, hi)
+        state.update((n, first_s, last_s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "span_s": [last_s - first_s]})
+
+    ev = read_events_stream(spark, sf_dir)
+    result = (ev.groupBy("user_id")
+              .applyInPandasWithState(
+                  track,
+                  outputStructType="user_id BIGINT, n_events BIGINT, span_s BIGINT",
+                  stateStructType="n BIGINT, first_s BIGINT, last_s BIGINT",
+                  outputMode="update",
+                  timeoutConf=GroupStateTimeout.NoTimeout))
+    out = run_to_table(result, output_mode="update")
+    return (out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max("span_s").alias("span_s")))
