@@ -300,3 +300,53 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.hint("shuffle_hash").join(cust, ["user_id", "salt"])
     return (joined.groupBy("event_type", "c_mktsegment")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND epoch(v.ts) >= epoch(c.ts) - 600 AND epoch(v.ts) < epoch(c.ts)
+    GROUP BY c.user_id
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large interval join with an EQUI-PREFIX: the scale path the
+    plain theta join can't take (a raw range predicate between two big
+    tables compiles to a nested-loop over every pair). Each side gets a
+    time bucket of the interval width (10 min); a right-side row can
+    only match left buckets {b, b+1}, so the left explodes into those
+    two bucket keys and the join runs as an ordinary hash/sort-merge
+    equi join on (user_id, bucket) with the exact range predicate as a
+    post-filter. Work drops from |L|x|R| per user to only
+    adjacent-bucket pairs — the same banding trick every production
+    interval join (IP-range lookup, sessionization, sensor alignment)
+    uses at 100 TB."""
+    ev = load_table(spark, "events", sf_dir)
+    width = 600  # seconds = the interval length
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.unix_timestamp("ts").alias("c_s")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.unix_timestamp("ts").alias("v_s"))
+             .withColumn("bucket", (F.col("v_s") / width).cast("long")))
+    # a click at c_s matches views with v_s in [c_s-600, c_s): those
+    # views live in buckets {floor(c_s/600)-1, floor(c_s/600)}; explode
+    # the click side into both candidate buckets
+    cb = (F.col("c_s") / width).cast("long")
+    clicks2 = clicks.withColumn("bucket",
+                                F.explode(F.array(cb - 1, cb)))
+    joined = (clicks2.join(
+        views,
+        (clicks2.c_user == views.v_user) &
+        (clicks2.bucket == views.bucket) &
+        (views.v_s >= clicks2.c_s - width) & (views.v_s < clicks2.c_s)))
+    return (joined.groupBy(F.col("c_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("click_id").alias("n_clicks")))

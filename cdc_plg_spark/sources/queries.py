@@ -171,7 +171,13 @@ def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSERT batches (batchsize=500, the knob `df.write.jdbc` exposes as
     `batchsize`). Emits one row per batch with its row count and
     checksum — the batch packing is the semantics under test; the
-    network write is `.jdbc(url, table, properties={"batchsize": 500})`."""
+    network write is `.jdbc(url, table, properties={"batchsize": 500})`.
+
+    Scale note: the global row_number here exists only so the DuckDB
+    oracle can reproduce the batch assignment deterministically. The
+    production form packs batches PER PARTITION (each JDBC writer task
+    batches its own partition's rows — what df.write.jdbc does
+    natively), which needs no global sort."""
     from cdc_plg_spark.functions.numeric import fast_round
     from pyspark.sql import Window
 
