@@ -50,6 +50,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def read_cdc_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
+                   value_schema: str, starting_offsets: str = "earliest",
+                   ) -> DataFrame:
+    """Production CDC source: a Kafka topic of JSON change events
+    (README.md:17's ordered row-change stream over README.md:75's JSON
+    wire format). Key = routing key (ordering unit), value = the
+    serialized RowChangedEvent; this parses the envelope into typed
+    columns. Requires the spark-sql-kafka connector on the classpath —
+    no broker exists in this container, so tests use the file-source
+    replay (`read_events_stream`) which yields the identical envelope
+    downstream.
+
+    Scale notes: one Kafka partition maps to one Spark input partition;
+    `minPartitions` can fan heavier topics wider, and maxOffsetsPerTrigger
+    bounds micro-batch size for backpressure.
+    """
+    ensure_session_confs(spark)
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return (raw.select(
+        F.col("key").cast("string").alias("routing_key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("e"),
+        "timestamp")
+        .select("routing_key", "e.*", "timestamp"))
+
+
 def to_cdc_envelope(events: DataFrame) -> DataFrame:
     """Wrap raw events in the reference's change-event envelope
     (model.RowChangedEvent, README.md:62): commit_ts + op + table +
