@@ -79,3 +79,20 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# bump when any cached-artifact format changes: derived artifacts in
+# /tmp (text round-trips, bucketed tables, compaction fragments) are
+# reused across runs, and a stale layout must never satisfy a newer
+# operator
+CACHE_VERSION = 2
+
+
+def cache_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf, version) scratch dir for derived
+    artifacts that are expensive to rebuild per run."""
+    import tempfile
+
+    sf_tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(),
+                        f"cdc_{kind}_v{CACHE_VERSION}{sf_tag}")

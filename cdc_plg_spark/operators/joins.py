@@ -246,10 +246,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same result as the shuffle-join form (the oracle is the plain join).
     """
     import os as _os
-    import tempfile as _tf
 
-    sf_tag = sf_dir.rstrip("/").replace("/", "_")
-    base = _os.path.join(_tf.gettempdir(), f"cdc_bucketed{sf_tag}")
+    from cdc_plg_spark.catalog import CACHE_VERSION, cache_dir
+
+    sf_tag = f"_v{CACHE_VERSION}" + sf_dir.rstrip("/").replace("/", "_")
+    base = cache_dir("bucketed", sf_dir)
     specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
     for t, key in specs.items():
         tbl = f"bkt_{t}{sf_tag}".replace(".", "_").replace("-", "_")

@@ -78,10 +78,9 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, and verify the data is bit-identical to the source. The
     oracle reads the ORIGINAL table — any row lost or duplicated by
     the rewrite mismatches."""
-    import tempfile
+    from cdc_plg_spark.catalog import cache_dir
 
-    sf_tag = sf_dir.rstrip("/").replace("/", "_")
-    frag = os.path.join(tempfile.gettempdir(), f"cdc_compact{sf_tag}")
+    frag = cache_dir("compact", sf_dir)
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", F.col("ts").cast("long").alias("ts_us"), "value")
     if not os.path.exists(frag):

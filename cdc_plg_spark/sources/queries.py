@@ -62,8 +62,9 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     """Deterministic per-sf cache dir for text-format round-trips."""
-    sf_tag = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), f"cdc_scan_{fmt}{sf_tag}")
+    from cdc_plg_spark.catalog import cache_dir
+
+    return cache_dir(f"scan_{fmt}", sf_dir)
 
 
 @register(

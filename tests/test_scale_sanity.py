@@ -25,6 +25,7 @@ SCALE_QUERIES = (
     "text_stats",              # explode + agg
     "sim_topk_search",         # vectorized UDF + broadcast NLJ
     "flagship_cdc_compaction",
+    "stream_tumbling_agg",     # streaming replay + windowed state
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
