@@ -1,0 +1,182 @@
+"""Composite analytics queries — multi-operator plans over the star
+schema, the "实时数据分析" (real-time data analytics) use case the
+reference names first among its motivations
+(/root/reference/README.md:15). Each composes operators from §2 the
+way a production workload would: selective scans → broadcast dims →
+shuffle agg → ordered top-k.
+
+Scale notes mirror the component operators: filters reach the scans,
+dimensions broadcast, every aggregate is partial+final, top-k compiles
+to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.functions.numeric import fast_round
+from cdc_plg_spark.operators.aggregates import _exact_sum
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "analytics_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter on the customer dim (broadcast),
+    date filters pushed to both fact scans, revenue agg, top-10."""
+    c = (load_table(spark, "customer", sf_dir)
+         .filter(F.col("c_mktsegment") == "BUILDING"))
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderdate") < "1995-03-15"))
+    li = (load_table(spark, "lineitem", sf_dir)
+          .filter(F.col("l_shipdate") > "1995-03-15"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.col("o_orderdate").cast("date").alias("orderdate"),
+                     "o_orderpriority")
+            .agg(_exact_sum(rev, scale=4).alias("revenue"))
+            .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+            .limit(10))
+
+
+@register(
+    "analytics_nation_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact → two chained broadcast dims → per-nation
+    revenue, ordered."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(_exact_sum(rev, scale=4).alias("revenue"))
+            .orderBy(F.desc("revenue")))
+
+
+@register(
+    "analytics_sessionize_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def analytics_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands, 30-min inactivity gap):
+    the offline twin of stream_session_window — one window pass marks
+    session starts, a running sum numbers them, then a plain group-by.
+    Linear per user; no self-join."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_s", F.when(gap > 1800, 1).when(gap.isNull(), 1).otherwise(0))
+    wsum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = marked.withColumn("session_id", F.sum("new_s").over(wsum))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "analytics_histogram",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def analytics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets, top-capped): a single
+    partial+final agg on the bucket expression — the shape dashboards
+    compute over billions of rows."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"),
+                     F.lit(9))
+    return (o.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
+
+
+@register(
+    "analytics_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def analytics_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|z| > 3): tiny aggregated
+    stats table broadcast back against the fact — two passes over the
+    data, no per-group window sort (the window form would shuffle and
+    sort every row; the join form shuffles only the group stats)."""
+    ev = load_table(spark, "events", sf_dir)
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("z", z)
+            .filter(F.abs("z") > 3)
+            .select("event_id", "event_type", fast_round("z", 4).alias("z")))
