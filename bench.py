@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "sim_topk_search",           # brute-force cosine top-k
     "fn_string",                 # scalar function pipeline
     "decode_json_event",         # JSON envelope decode
+    "analytics_shipping_priority",  # TPC-H Q3 shape
+    "analytics_nation_volume",      # TPC-H Q5 shape
+    "analytics_sessionize_batch",   # gaps-and-islands sessionization
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
