@@ -206,3 +206,20 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
                    F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
                    F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty")))
+
+
+@register("agg_approx_quantile", tags=("approx",))
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via percentile_approx (Greenwald-Khanna
+    sketch): mergeable partial sketches, one shuffle of sketch state —
+    the 100 TB path, since the exact percentile (agg_stats) must
+    materialize per-group sorted values. rows-only: sketch results are
+    engine-specific (accuracy asserted vs the exact percentile in
+    tests/test_llm_ops.py::test_approx_quantile_close_to_exact)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+                  .alias("p50_approx"),
+                 F.percentile_approx("l_extendedprice", 0.99, 10000)
+                  .alias("p99_approx"),
+                 F.count(F.lit(1)).alias("n")))

@@ -69,3 +69,25 @@ def test_exact_dedup_idempotent(spark, sf_dir):
     """Dedup of the dedup output is a fixpoint."""
     first = run("dedup_exact", spark, sf_dir)
     assert first.content_hash.nunique() == len(first)
+
+
+def test_approx_quantile_close_to_exact(spark, sf_dir):
+    """The sketch percentile must land within 0.5% relative error of
+    the exact percentile at sf0.01 (accuracy=10000 => eps=1e-4)."""
+    from pyspark.sql import functions as F
+
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.registry import get
+
+    approx = {r["l_returnflag"]: (r["p50_approx"], r["p99_approx"])
+              for r in get("agg_approx_quantile").fn(spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {r["l_returnflag"]: (r["p50"], r["p99"])
+             for r in (li.groupBy("l_returnflag")
+                       .agg(F.percentile("l_extendedprice", 0.5).alias("p50"),
+                            F.percentile("l_extendedprice", 0.99).alias("p99"))
+                       .collect())}
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.005, (k, a, e)
