@@ -129,3 +129,51 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
          .when(F.col("o_totalprice") < 200000, "medium")
          .otherwise("large").alias("size_bucket"),
     )
+
+
+@register(
+    "reshape_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def reshape_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority × status. The
+    pivot values are DECLARED (not discovered) — at 100 TB value
+    discovery is an extra full scan, and an unbounded value set makes
+    an unbounded schema; the declared-list form compiles to one
+    partial+final conditional aggregation, same as the oracle's CASE
+    form."""
+    o = load_table(spark, "orders", sf_dir)
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .na.fill(0, ["F", "O", "P"]))
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, k AS measure, v AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               unnest(['quantity', 'extendedprice', 'discount']) AS k,
+               unnest([l_quantity, l_extendedprice, l_discount]) AS v
+        FROM lineitem
+    )
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long): three measure columns become
+    (measure, value) rows via the native UNPIVOT generator — no join,
+    no UDF, output is 3× rows but each narrow."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "value",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
