@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "cdc_plg_spark.operators.multimodal",
     "cdc_plg_spark.operators.maintenance",
     "cdc_plg_spark.operators.analytics",
+    "cdc_plg_spark.operators.subqueries",
     "cdc_plg_spark.streaming.queries",
     "cdc_plg_spark.sources.queries",
 )
