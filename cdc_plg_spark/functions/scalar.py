@@ -315,3 +315,32 @@ def decode_json_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         fast_round("value", 4).alias("value"),
         F.from_json("props", "k BIGINT")["k"].alias("k"))
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS lo_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           l_orderkey << 2 AS shifted_l,
+           l_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(l_orderkey) AS INT) AS popcount
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount — flag packing and
+    hash mixing primitives (SimHash and the LSH bucketing are built on
+    these)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"))

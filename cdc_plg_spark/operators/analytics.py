@@ -180,3 +180,35 @@ def analytics_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("z", z)
             .filter(F.abs("z") > 3)
             .select("event_id", "event_type", fast_round("z", 4).alias("z")))
+
+
+@register(
+    "analytics_profile_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS price_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS price_max,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           CAST(MIN(o_orderdate) AS DATE) AS date_min,
+           CAST(MAX(o_orderdate) AS DATE) AS date_max
+    FROM orders
+    """,
+)
+def analytics_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile: null counts, distinct counts, and
+    ranges for several columns in a SINGLE aggregate — one scan, one
+    reduce, however many columns are profiled. The per-column-query
+    alternative scans the table once per column; at 100 TB that
+    difference is the whole job."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min(F.col("o_orderdate").cast("date")).alias("date_min"),
+        F.max(F.col("o_orderdate").cast("date")).alias("date_max"))

@@ -28,7 +28,6 @@ hot tables with a bucket suffix).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
