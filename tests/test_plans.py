@@ -121,3 +121,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small):
     assert "SortMergeJoin" in p, p
     assert "Exchange hashpartitioning" not in p, p
     assert "Bucketed: true" in p, p
+
+
+def test_partitioned_layout_prunes(spark, sf_small):
+    """The (yr, status)-partitioned object-store layout must serve a
+    yr-filtered read with partition pruning: the scan's PartitionFilters
+    carry the predicate and the data filter list stays empty."""
+    from cdc_plg_spark.catalog import cache_dir
+    from pyspark.sql import functions as F
+
+    q("sink_object_store", spark, sf_small).collect()  # ensure layout exists
+    back = (spark.read.parquet(cache_dir("scan_objstore", sf_small))
+            .filter(F.col("yr") == 1995))
+    p = plan_str(back, "formatted")
+    part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert part and "yr" in part[0], p
