@@ -223,3 +223,29 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile_approx("l_extendedprice", 0.99, 10000)
                   .alias("p99_approx"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+           ROUND(covar_pop(l_quantity, l_discount), 4) AS covar_pop_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample/
+    population covariance. Spark computes these as mergeable moment
+    sketches (partial+final agg) — one shuffle of tiny state, never the
+    raw pairs. Rounded to 4dp: both engines accumulate co-moments in
+    different orders, so trailing float digits are not comparable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                  .alias("corr_qty_price"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 4)
+                  .alias("covar_qty_disc"),
+                 F.round(F.covar_pop("l_quantity", "l_discount"), 4)
+                  .alias("covar_pop_qty_disc")))

@@ -212,3 +212,67 @@ def analytics_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("status_distinct"),
         F.min(F.col("o_orderdate").cast("date")).alias("date_min"),
         F.max(F.col("o_orderdate").cast("date")).alias("date_max"))
+
+
+@register(
+    "analytics_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def analytics_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per-user
+    first-touch timestamps via conditional aggregation in ONE scan and
+    one keyed shuffle, then a global rollup of stage counts. The
+    textbook alternative — one self-join per funnel stage — is quadratic
+    in stages; this shape is how funnels stay linear at 100 TB."""
+    ev = load_table(spark, "events", sf_dir)
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+         .alias("n_view_click"),
+        F.sum(F.when((F.col("t_purchase") > F.col("t_click"))
+                     & (F.col("t_click") > F.col("t_view")), 1).otherwise(0))
+         .alias("n_full_funnel"))
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE WHEN lang = 'en' THEN '20' ELSE '80' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates driven by a
+    portable content hash (md5 of the key), here 12.5% of 'en' docs and
+    50% of everything else. Unlike ``df.sample`` this is reproducible
+    across engines, runs, and partitionings — the property a training-
+    data pipeline needs for auditable corpus construction. Pure filter:
+    no shuffle, fully pushed into the scan stage."""
+    d = load_table(spark, "documents", sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", "20").otherwise("80")
+    return (d.filter(bucket < thresh)
+             .select("doc_id", "lang", "n_chars"))

@@ -194,3 +194,36 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rk", F.row_number().over(w))
                   .filter(F.col("rk") <= 3)
                   .select("source", "token", "score", "rk"))
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(n_chars, 1), 400)) AS start
+        FROM documents
+    )
+    SELECT d.doc_id, CAST(s.start AS BIGINT) AS start,
+           substring(d.text, CAST(s.start AS INT), 500) AS chunk,
+           length(substring(d.text, CAST(s.start AS INT), 500)) AS chunk_chars
+    FROM documents d JOIN starts s USING (doc_id)
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into overlapping
+    windows (500 chars, stride 400 → 100-char overlap) — the standard
+    pre-tokenization step for LLM corpus prep. All JVM-side:
+    ``sequence`` builds the start offsets, ``explode`` fans out, and
+    ``substring`` slices; no Python crossing, no self-join. At 100 TB
+    the fan-out is per-row and pipelined inside whole-stage codegen —
+    output partitioning follows the input, so no shuffle at all."""
+    d = load_table(spark, "documents", sf_dir)
+    starts = F.sequence(F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)),
+                        F.lit(400))
+    chunk = F.substring(F.col("text"), F.col("start"), F.lit(500))
+    return (d.select("doc_id", "text",
+                     F.explode(starts).alias("start"))
+             .select("doc_id", F.col("start").cast("long").alias("start"),
+                     chunk.alias("chunk"),
+                     F.length(chunk).alias("chunk_chars")))

@@ -186,3 +186,56 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.unix_micros("ts").alias("ts_us"),
                       "event_type",
                       fast_round("value", 4).alias("value")))
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions (cume_dist / percent_rank) per priority
+    class — same single-shuffle-per-partition-key cost model as the
+    ranking family."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", "o_orderpriority",
+                    F.round(F.cume_dist().over(w), 6).alias("cd"),
+                    F.round(F.percent_rank().over(w), 6).alias("pr"))
+
+
+@register(
+    "scd2_from_cdc",
+    oracle="""
+    SELECT user_id, event_id, ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           ROUND(value, 4) AS value,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("cdc",),
+)
+def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history materialization from a change stream: each
+    event opens a validity interval [ts, next_ts); the newest row per
+    key is open-ended (is_current). The companion of
+    ``dedup_latest_per_key`` — that keeps only current state, this keeps
+    full history, the two tables a CDC consumer materializes from the
+    reference's ordered changelog (/root/reference/README.md:17).
+    At scale: identical cost to any keyed window — one shuffle on the
+    key, sorted within partitions, no self-join (the naive interval
+    build joins the table to itself on "next event")."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select("user_id", "event_id",
+                     F.col("ts").alias("valid_from"),
+                     nxt.alias("valid_to"),
+                     fast_round("value", 4).alias("value"),
+                     nxt.isNull().alias("is_current"))
