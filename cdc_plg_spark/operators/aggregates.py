@@ -249,3 +249,33 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("covar_qty_disc"),
                  F.round(F.covar_pop("l_quantity", "l_discount"), 4)
                   .alias("covar_pop_qty_disc")))
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_n FROM (
+        SELECT l_returnflag,
+               ROUND(l_quantity, 2) AS mode_qty,
+               COUNT(*) AS mode_n,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, smallest-value
+    tie-break) per group — built as count-per-value then max_by over
+    (count, value): two partial+final aggs, no window over raw rows.
+    Built-in F.mode has engine-defined tie-breaking, so the explicit
+    form is what a reproducible pipeline should use."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cnt = (li.groupBy("l_returnflag", "l_quantity")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (cnt.groupBy("l_returnflag")
+            .agg(F.max_by(F.struct(F.round("l_quantity", 2).alias("mode_qty"),
+                                   F.col("n").alias("mode_n")),
+                          F.struct(F.col("n"), F.negate(F.col("l_quantity"))))
+                  .alias("m"))
+            .select("l_returnflag", "m.mode_qty", "m.mode_n"))

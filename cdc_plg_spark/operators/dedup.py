@@ -260,3 +260,81 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("vec1") < F.col("vec2"))
              .filter(cos >= 0.3)
              .select("vec1", "vec2", F.round(cos, 6).alias("cos")))
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (
+        SELECT doc_id, source, lang,
+               list_distinct(string_split(text, ' ')) AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM tok a JOIN tok b
+          ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t)) * 1.0
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.6
+    ),
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM pairs
+        UNION SELECT doc2, doc1 FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           (MIN(lab) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("iterative",),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: connected components over the
+    near-dup pair graph (the stage after candidate scoring — pairs say
+    "A~B, B~C"; training-data dedup needs the transitive cluster
+    {A,B,C} with ONE canonical doc). Min-label propagation to fixpoint:
+    each iteration is one join + one keyed min-agg, a driver loop with
+    a convergence check — the same shape GraphX/Pregel run at cluster
+    scale; lineage is cut per iteration with an eager localCheckpoint.
+    Near-dup clusters have tiny diameters, so iterations stay single
+    digits regardless of corpus size. Oracle: DuckDB recursive-CTE
+    reachability with the identical edge set."""
+    d = load_table(spark, "documents", sf_dir)
+    a = d.select(F.col("doc_id").alias("doc1"), F.col("source").alias("src"),
+                 F.col("lang").alias("lng"),
+                 F.array_distinct(F.split("text", " ")).alias("t1"))
+    b = d.select(F.col("doc_id").alias("doc2"), F.col("source").alias("src"),
+                 F.col("lang").alias("lng"),
+                 F.array_distinct(F.split("text", " ")).alias("t2"))
+    jac = (F.size(F.array_intersect("t1", "t2")).cast("double")
+           / F.size(F.array_distinct(F.concat("t1", "t2"))))
+    pairs = (a.join(b, ["src", "lng"])
+              .filter(F.col("doc1") < F.col("doc2"))
+              .filter(jac >= 0.6)
+              .select("doc1", "doc2"))
+    edges = (pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+             .unionByName(pairs.select(F.col("doc2").alias("src"),
+                                       F.col("doc1").alias("dst")))
+             .localCheckpoint(eager=True))
+
+    labels = (d.select(F.col("doc_id").alias("node"),
+                       F.col("doc_id").alias("lab"))
+               .localCheckpoint(eager=True))
+    for _ in range(20):  # backstop; converges in O(cluster diameter)
+        msgs = (edges.join(labels, edges.src == labels.node)
+                     .select(F.col("dst").alias("node"), "lab"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("node").agg(F.min("lab").alias("lab"))
+                      .localCheckpoint(eager=True))
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lab").alias("cluster_id"),
+                         (F.col("lab") == F.col("node")).alias("is_canonical"))

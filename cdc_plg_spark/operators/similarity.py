@@ -184,3 +184,64 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .filter(F.col("rk") <= 5)
                   .select("query_id", "corpus_id",
                           F.round("cos_raw", 6).alias("cos"), "rk"))
+
+
+# IVF parameters: K centroid cells, each query probes the nearest
+# _IVF_NPROBE cells → scan fraction ≈ nprobe/K of the corpus.
+_IVF_K = 8
+_IVF_NPROBE = 3
+
+
+@register("sim_ann_ivf", tags=("approx", "model"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via an IVF (inverted-file) index — the
+    clustering counterpart to ``sim_ann_lsh``: partition the corpus
+    into K centroid cells, score each query only against its nprobe
+    nearest cells.
+
+    Centroids are the K lowest-vec_id corpus vectors (deterministic
+    seeds, IVF-Flat style); the collect() pulls K×64 floats — a model,
+    not data — and ships to executors inside the assignment UDF's
+    closure, i.e. a broadcast. Cell assignment is one Arrow-batched
+    numpy matvec per batch (linear scan); the candidate join is
+    equi on cell id, so at 100 TB the corpus can be written
+    partitionBy(cell) once and every query prunes to nprobe/K of the
+    files. rows-only check (approximate by construction); recall vs
+    the exact baseline is asserted in tests/test_llm_ops.py.
+    """
+    import numpy as np
+
+    e = load_table(spark, "embeddings", sf_dir)
+    corpus = e.filter(F.col("vec_id") >= 10)
+    qs = e.filter(F.col("vec_id") < 10)
+
+    seeds = (corpus.orderBy("vec_id").limit(_IVF_K)
+             .select("embedding").collect())
+    C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _cells_fn(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = E @ C.T                      # (batch, K)
+        order = np.argsort(-sims, axis=1)   # nearest cells first
+        return pd.Series(list(order[:, :_IVF_NPROBE].astype("int32")))
+
+    probe_cells = pandas_udf(_cells_fn, "array<int>")
+
+    c_assigned = corpus.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ce"),
+        F.element_at(probe_cells("embedding"), 1).alias("cell"))
+    q_probed = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.explode(probe_cells("embedding")).alias("cell"))
+
+    scored = (c_assigned.join(F.broadcast(q_probed), "cell")
+              .select("query_id", "corpus_id",
+                      cosine_np("qe", "ce").alias("cos_raw")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("corpus_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 5)
+                  .select("query_id", "corpus_id",
+                          F.round("cos_raw", 6).alias("cos"), "rk"))

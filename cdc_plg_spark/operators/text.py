@@ -227,3 +227,50 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", F.col("start").cast("long").alias("start"),
                      chunk.alias("chunk"),
                      F.length(chunk).alias("chunk_chars")))
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — the canonical pre-dedup/pre-tokenization
+    cleanup pass. Pure JVM regexp inside whole-stage codegen; no
+    shuffle (narrow map over the scan)."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+        r"\s+", " "))
+    return d.select("doc_id", norm.alias("norm_text"))
+
+
+@register(
+    "sample_train_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment by content
+    hash of the key — reproducible across engines, runs, partitionings,
+    and data arrival order (unlike randomSplit), so a document never
+    migrates between splits as the corpus grows. Narrow map, no
+    shuffle; downstream writers partitionBy('split')."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(h < "cc", "train")
+              .when(h < "e6", "val")
+              .otherwise("test"))
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -91,3 +91,37 @@ def test_approx_quantile_close_to_exact(spark, sf_dir):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.005, (k, a, e)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF top-5 (nprobe 3 of 8 cells ≈ 37% scan) must recover a
+    usable fraction of the exact top-5 on the near-random fixture
+    vectors (measured 0.44; clustered real embeddings trade far
+    better), and never claim a better-than-exact hit."""
+    bf = run("sim_topk_search", spark, sf_dir)
+    ann = run("sim_ann_ivf", spark, sf_dir)
+    bfs = {(r.query_id, r.corpus_id) for r in bf.itertuples()}
+    anns = {(r.query_id, r.corpus_id) for r in ann.itertuples()}
+    recall = len(bfs & anns) / len(bfs)
+    assert recall >= 0.3, recall
+    best_bf = bf.groupby("query_id")["cos"].max()
+    best_ann = ann.groupby("query_id")["cos"].max()
+    for qid, v in best_ann.items():
+        assert v <= best_bf[qid] + 1e-9
+
+
+def test_cc_clusters_cover_pairs(spark, sf_dir):
+    """Connected-components invariants: both endpoints of every
+    near-dup pair land in the same cluster; cluster_id is the minimum
+    member; exactly one canonical doc per cluster."""
+    pairs = run("dedup_ngram_jaccard", spark, sf_dir)
+    cc = run("dedup_cluster_cc", spark, sf_dir)
+    lab = dict(zip(cc.doc_id, cc.cluster_id))
+    assert len(pairs) > 0
+    for r in pairs.itertuples():
+        assert lab[r.doc1] == lab[r.doc2], (r.doc1, r.doc2)
+    grp = cc.groupby("cluster_id")
+    assert (grp["doc_id"].min() == grp["doc_id"].min().index).all()
+    assert (grp["is_canonical"].sum() == 1).all()
+    # transitivity produced real multi-doc clusters
+    assert (grp.size() > 1).any()
