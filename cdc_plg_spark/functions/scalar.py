@@ -344,3 +344,25 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"))
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(k := o_orderkey, s := o_orderstatus).s AS status_field,
+           to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS js
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: construction, field access, JSON serialization —
+    the nested-record surface every event envelope round-trips through
+    (the before/after structs of the CDC event model, SURVEY.md §1.1
+    D2). Narrow map, codegen'd."""
+    o = load_table(spark, "orders", sf_dir)
+    st = F.struct(F.col("o_orderkey").alias("k"),
+                  F.col("o_orderstatus").alias("s"))
+    return o.select("o_orderkey",
+                    st.getField("s").alias("status_field"),
+                    F.to_json(st).alias("js"))

@@ -279,3 +279,25 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.struct(F.col("n"), F.negate(F.col("l_quantity"))))
                   .alias("m"))
             .select("l_returnflag", "m.mode_qty", "m.mode_n"))
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect_list → array_sort
+    → array_join, which keeps the concatenation deterministic under any
+    partitioning — collect_list alone is arrival-ordered and therefore
+    nondeterministic on a cluster. Partial+final agg; only the grouped
+    strings shuffle."""
+    n = load_table(spark, "nation", sf_dir)
+    return (n.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                  .alias("nations"),
+                 F.count(F.lit(1)).alias("n")))

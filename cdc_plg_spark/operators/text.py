@@ -274,3 +274,65 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(h < "e6", "val")
               .otherwise("test"))
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]',
+               'g'), '[0-9]{6,}', '[NUM]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass over the corpus: emails and long digit runs
+    (phone/account numbers) replaced with typed placeholders — the
+    document-side twin of the reference's column-masking plugin use
+    case (/root/reference/README.md:24). Pure JVM regexp, narrow map,
+    no shuffle; at 100 TB this runs at scan speed."""
+    d = load_table(spark, "documents", sf_dir)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"),
+                         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                         "[EMAIL]"),
+        r"[0-9]{6,}", "[NUM]")
+    return d.select("doc_id", red.alias("redacted"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / greatest(n_chars, 1), 6) AS digit_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / greatest(n_chars, 1), 6) AS symbol_ratio,
+           ROUND(CAST(n_chars AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 6)
+               AS mean_token_len,
+           (n_chars BETWEEN 64 AND 4096
+            AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                / greatest(n_chars, 1) < 0.3) AS keep
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic corpus-quality scoring (digit ratio, symbol ratio,
+    mean token length) plus the keep/drop verdict a filtering stage
+    applies — the SURVEY §2.11 quality-signal family computed in one
+    narrow codegen'd pass, no Python, no shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    digits = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    symbols = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double")
+    ntok = F.greatest(F.size(F.split("text", " ")), F.lit(1)).cast("double")
+    digit_ratio = digits / nc
+    return d.select(
+        "doc_id",
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(symbols / nc, 6).alias("symbol_ratio"),
+        F.round(F.col("n_chars") / ntok, 6).alias("mean_token_len"),
+        (F.col("n_chars").between(64, 4096) & (digit_ratio < 0.3))
+            .alias("keep"))

@@ -136,3 +136,39 @@ def test_partitioned_layout_prunes(spark, sf_small):
     p = plan_str(back, "formatted")
     part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     assert part and "yr" in part[0], p
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    """Chunk fan-out (sequence+explode+substring) must stay a narrow
+    map over the scan: no Exchange anywhere, and only the two needed
+    columns read."""
+    df = q("text_chunking", spark, sf_small)
+    p = plan_str(df, "simple")
+    assert "Exchange" not in p, p
+    assert "Generate explode" in p, p
+
+
+def test_deterministic_sampling_is_shuffle_free(spark, sf_small):
+    """Hash-based split assignment and stratified sampling are pure
+    narrow maps — no Exchange in either plan."""
+    for name in ("sample_train_test_split", "sample_stratified"):
+        p = plan_str(q(name, spark, sf_small), "simple")
+        assert "Exchange" not in p, (name, p)
+
+
+def test_funnel_single_keyed_shuffle(spark, sf_small):
+    """The conditional-agg funnel must shuffle once on user_id plus one
+    single-partition exchange for the global rollup — never a per-stage
+    self-join (no Join operator at all)."""
+    p = plan_str(q("analytics_funnel", spark, sf_small), "simple")
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 3, p  # user_id hash + global + AQE read
+
+
+def test_ivf_candidate_join_is_equi(spark, sf_small):
+    """IVF ANN prunes via an equi join on cell id — the plan must show
+    a broadcast HASH join (bounded candidates), not the nested-loop
+    cross product brute force uses."""
+    p = plan_str(q("sim_ann_ivf", spark, sf_small), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

@@ -26,6 +26,10 @@ SCALE_QUERIES = (
     "sim_topk_search",         # vectorized UDF + broadcast NLJ
     "flagship_cdc_compaction",
     "stream_tumbling_agg",     # streaming replay + windowed state
+    "dedup_cluster_cc",        # iterative fixpoint (iteration count must
+    #                            not depend on corpus size)
+    "text_chunking",           # fan-out explode (output rows scale ~n_chars)
+    "analytics_funnel",        # conditional agg + global rollup
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
