@@ -366,3 +366,25 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey",
                     st.getField("s").alias("status_field"),
                     F.to_json(st).alias("js"))
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]+a') AS a_words,
+           CAST(len(regexp_extract_all(text, '[a-z]+a')) AS BIGINT) AS n_a,
+           regexp_matches(text, '[0-9]') AS has_digit
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family beyond extract/replace: extract-all into an array,
+    match counting, containment test — the workhorse trio of corpus
+    mining. All JVM regexp inside codegen; no Python."""
+    d = load_table(spark, "documents", sf_dir)
+    allm = F.regexp_extract_all("text", F.lit("[a-z]+a"), 0)
+    return d.select("doc_id",
+                    allm.alias("a_words"),
+                    F.size(allm).cast("long").alias("n_a"),
+                    F.col("text").rlike("[0-9]").alias("has_digit"))

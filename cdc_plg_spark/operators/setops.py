@@ -79,3 +79,27 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL (multiset difference, occurrence-counted)."""
     return _cust_nations(spark, sf_dir).exceptAll(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_union_evolved",
+    oracle="""
+    SELECT doc_id, n_chars, lang FROM (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id < 250
+        UNION ALL BY NAME
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250
+    )
+    """,
+)
+def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: rows written under an old schema (no
+    `lang` column) unioned by NAME with rows under the widened schema,
+    missing columns null-padded — the batch face of the reference's
+    DDL-event flow (/root/reference/README.md:63; SURVEY.md §3.2): a
+    changelog consumer reading files across a schema change sees
+    exactly this merge. Positional UNION would silently misalign;
+    unionByName(allowMissingColumns=True) is the only safe form."""
+    d = load_table(spark, "documents", sf_dir)
+    old = d.filter(F.col("doc_id") < 250).select("doc_id", "n_chars")
+    new = d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "n_chars")
+    return old.unionByName(new, allowMissingColumns=True)
