@@ -301,3 +301,26 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
                   .alias("nations"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register("agg_sketch_reaggregate", tags=("approx", "sketch"))
+def agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-day HyperLogLog sketches
+    of active users, MERGED up to weekly estimates without touching the
+    raw rows again — the pattern that makes distinct-count dashboards
+    feasible at 100 TB (store tiny sketch state per partition, union
+    sketches for any coarser rollup; exact countDistinct would reshuffle
+    the raw keys for every new granularity). Datasketches HLL via
+    hll_sketch_agg/hll_union_agg. rows-only: sketch estimates are
+    engine-specific; accuracy vs exact is asserted in
+    tests/test_llm_ops.py::test_hll_sketch_accuracy."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+             .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                  F.count(F.lit(1)).alias("n_events")))
+    return (daily.groupBy(F.date_trunc("week", "day").alias("week"),
+                          "event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                  .alias("approx_users"),
+                 F.sum("n_events").alias("n_events"))
+            .orderBy("week", "event_type"))

@@ -125,3 +125,20 @@ def test_cc_clusters_cover_pairs(spark, sf_dir):
     assert (grp["is_canonical"].sum() == 1).all()
     # transitivity produced real multi-doc clusters
     assert (grp.size() > 1).any()
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """Weekly user estimates from merged daily HLL sketches must land
+    within 5% of the exact weekly distinct count (standard HLL error at
+    default lgK=12 is ~1.6%)."""
+    from pyspark.sql import functions as F
+    from cdc_plg_spark.catalog import load_table
+
+    approx = run("agg_sketch_reaggregate", spark, sf_dir)
+    ev = load_table(spark, sf_dir=sf_dir, name="events")
+    exact = (ev.groupBy(F.date_trunc("week", "ts").alias("week"), "event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users"))).toPandas()
+    m = approx.merge(exact, on=["week", "event_type"])
+    assert len(m) == len(approx) and len(m) > 0
+    rel = (m.approx_users - m.exact_users).abs() / m.exact_users
+    assert (rel <= 0.05).all(), m[rel > 0.05]

@@ -172,3 +172,21 @@ def test_ivf_candidate_join_is_equi(spark, sf_small):
     p = plan_str(q("sim_ann_ivf", spark, sf_small), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_small):
+    """Joining the (yr, status)-partitioned layout to a filtered dim on
+    the partition column must inject a dynamicpruning expression into
+    the fact scan's PartitionFilters — at 100 TB this is the difference
+    between scanning one year and scanning the whole table when the
+    year list only materializes at runtime."""
+    from cdc_plg_spark.catalog import cache_dir
+
+    q("sink_object_store", spark, sf_small).collect()  # ensure layout
+    fact = spark.read.parquet(cache_dir("scan_objstore", sf_small))
+    dim = (spark.createDataFrame([(1995, "keep"), (1996, "drop")],
+                                 "yr int, tag string")
+           .filter("tag = 'keep'"))
+    j = fact.join(dim, "yr").groupBy("tag").count()
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p
