@@ -388,3 +388,26 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
                     allm.alias("a_words"),
                     F.size(allm).cast("long").alias("n_a"),
                     F.col("text").rlike("[0-9]").alias("has_digit"))
+
+
+@register(
+    "fn_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS deadline,
+           CAST(date_diff('minute', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+               AS mins_into_window
+    FROM events
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: timestamp shift by a fixed interval and
+    unit-typed timestamp difference (SURVEY.md §1.3 interval surface).
+    JVM-side timestamp_add/timestamp_diff — narrow, codegen'd."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        "event_id",
+        F.timestamp_add("MINUTE", F.lit(90), F.col("ts")).alias("deadline"),
+        F.timestamp_diff("MINUTE",
+                         F.lit("2024-01-01").cast("timestamp"),
+                         F.col("ts")).alias("mins_into_window"))

@@ -324,3 +324,24 @@ def agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("approx_users"),
                  F.sum("n_events").alias("n_events"))
             .orderBy("week", "event_type"))
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_pos,
+           bool_or(value > 180) AS any_big,
+           CAST(count_if(value > 100) AS BIGINT) AS n_over_100
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any/count_if) — the assertion layer of
+    data-quality checks: one partial+final agg pass, boolean state only
+    ever shuffles as three bits + a count per group."""
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(F.bool_and(F.col("value") > 0).alias("all_pos"),
+                 F.bool_or(F.col("value") > 180).alias("any_big"),
+                 F.count_if(F.col("value") > 100).alias("n_over_100")))

@@ -276,3 +276,51 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = F.when(F.col("lang") == "en", "20").otherwise("80")
     return (d.filter(bucket < thresh)
              .select("doc_id", "lang", "n_chars"))
+
+
+@register(
+    "analytics_regional_trade",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name ORDER BY revenue DESC
+    """,
+)
+def analytics_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TPC-H Q5 shape — the deepest join tree in the suite: fact
+    lineitem against orders (shuffle join on orderkey) with the
+    customer/supplier "local trade" equi-condition, then the
+    region→nation dimension chain, all three dims broadcast. The
+    region filter prunes the broadcast side BEFORE it ships, so at
+    100 TB the only big exchange is lineitem×orders; Catalyst pushes
+    the date window to the orders scan."""
+    c = load_table(spark, "customer", sf_dir)
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= "1994-01-01")
+                 & (F.col("o_orderdate") < "1996-01-01")))
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = (load_table(spark, "region", sf_dir)
+         .filter(F.col("r_name") == "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(_exact_sum(rev, scale=4).alias("revenue"))
+            .orderBy(F.desc("revenue")))
