@@ -324,3 +324,39 @@ def analytics_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("n_name").alias("nation"))
             .agg(_exact_sum(rev, scale=4).alias("revenue"))
             .orderBy(F.desc("revenue")))
+
+
+@register(
+    "analytics_retention",
+    oracle="""
+    WITH fw AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_n,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN fw f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    each subsequent week they return — the standard growth-analytics
+    triangle. Two keyed aggregations plus one join on user_id; the
+    (cohort, week) result is tiny, so every shuffle after the first is
+    over per-user rows, not raw events. Week truncation is
+    Monday-start in both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    fw = (ev.groupBy("user_id")
+          .agg(F.min(F.date_trunc("week", "ts")).alias("cohort")))
+    act = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+           .distinct())
+    week_n = F.floor(
+        F.timestamp_diff("DAY", F.col("cohort"), F.col("wk")) / 7).cast("long")
+    return (act.join(fw, "user_id")
+            .groupBy("cohort", week_n.alias("week_n"))
+            .agg(F.countDistinct("user_id").alias("n_active")))
