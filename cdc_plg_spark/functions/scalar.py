@@ -411,3 +411,104 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_diff("MINUTE",
                          F.lit("2024-01-01").cast("timestamp"),
                          F.col("ts")).alias("mins_into_window"))
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM (SELECT doc_id,
+                 'https://' || source || '.example.com/docs/'
+                     || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+          FROM documents)
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url component extraction (HOST/PATH/QUERY and
+    a named query parameter) — the log-analytics staple. Spark's
+    parse_url is a native JVM expression; the oracle mirrors it with
+    regexps since DuckDB has no URL parser."""
+    d = load_table(spark, "documents", sf_dir)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"))
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(list_concat(a, b))) AS u,
+           list_sort(list_intersect(a, b)) AS i,
+           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS e,
+           list_has_any(a, b) AS overlaps
+    FROM (SELECT doc_id,
+                 list_sort(list_distinct(string_split(text, ' ')))[1:6] AS a,
+                 list_sort(list_distinct(string_split(text, ' ')))[4:9] AS b
+          FROM documents)
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra: union/intersect/except/overlap on token sets
+    — the building blocks of Jaccard-style similarity (dedup_ngram_
+    jaccard composes these). All JVM expressions; results sorted so the
+    order-insensitive hash compares stably (Spark's set ops preserve
+    first-occurrence order, DuckDB's don't)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.sort_array(F.array_distinct(F.split("text", " ")))
+    d = d.select("doc_id", F.slice(toks, 1, 6).alias("a"),
+                 F.slice(toks, 4, 6).alias("b"))
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_union("a", "b")).alias("u"),
+        F.sort_array(F.array_intersect("a", "b")).alias("i"),
+        F.sort_array(F.array_except("a", "b")).alias("e"),
+        F.arrays_overlap("a", "b").alias("overlaps"))
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT user_id, event_type,
+           ROUND(n / SUM(n) OVER (PARTITION BY user_id), 6) AS share
+    FROM c
+    QUALIFY n / SUM(n) OVER (PARTITION BY user_id) >= 0.1
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order pipeline: build a per-user event_type→count map
+    (map_from_entries over collected structs), derive the total with
+    aggregate(map_values), rescale every value with transform_values,
+    drop minor keys with map_filter, then explode the map back to rows.
+    The map round-trip stays entirely in JVM expressions — the pattern
+    for per-entity feature dictionaries at scale (one shuffle for the
+    count, one for the per-user collect)."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))).alias("m"))
+    total = F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x)
+    shares = F.transform_values(
+        F.col("m"), lambda k, v: v.cast("double") / F.col("total"))
+    return (m.withColumn("total", total)
+             .withColumn("shares", F.map_filter(shares, lambda k, v: v >= 0.1))
+             .select("user_id", F.explode("shares")
+                     .alias("event_type", "share_raw"))
+             .select("user_id", "event_type",
+                     F.round("share_raw", 6).alias("share")))

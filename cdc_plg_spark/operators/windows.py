@@ -239,3 +239,46 @@ def scd2_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                      nxt.alias("valid_to"),
                      fast_round("value", 4).alias("value"),
                      nxt.isNull().alias("is_current"))
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS last_seen,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn,
+           NTH_VALUE(v, 2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_nn
+    FROM (SELECT *, CASE WHEN event_type = 'error' THEN NULL
+                         ELSE ROUND(value, 4) END AS v
+          FROM events)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry-forward of the last
+    non-null observation, next non-null lookahead, and positional
+    nth non-null — the sensor/sparse-measurement reading of a change
+    stream where some events carry no value (here: errors). Same
+    single-shuffle cost as any keyed window; the three functions share
+    one sort."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.when(F.col("event_type") == "error", None).otherwise(
+        fast_round("value", 4))
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ahead = base.rowsBetween(1, Window.unboundedFollowing)
+    full = base.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return (ev.withColumn("v", v)
+              .select("event_id", "user_id",
+                      F.last("v", ignorenulls=True).over(running)
+                       .alias("last_seen"),
+                      F.first("v", ignorenulls=True).over(ahead)
+                       .alias("next_nn"),
+                      F.nth_value("v", 2, ignoreNulls=True).over(full)
+                       .alias("second_nn")))
