@@ -33,6 +33,28 @@ def assert_not_in_plan(df: DataFrame, *needles: str, mode: str = "formatted") ->
     return p
 
 
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Compact plan fingerprint: physical operator name → count.
+
+    Parsed from the formatted (pre-execution) explain, so it is
+    deterministic for a fixed SF and session confs. The snapshot suite
+    (tests/test_plan_snapshots.py) diffs these against checked-in
+    baselines to catch silent plan regressions — a broadcast flipping
+    to a shuffle join, an extra Exchange, a codegen'd expression
+    falling back to an interpreted Python eval.
+    """
+    import re
+
+    counts: dict[str, int] = {}
+    for line in plan_str(df, "formatted").splitlines():
+        m = re.match(r"^\s*\(\d+\)\s+([A-Za-z][A-Za-z0-9 ]*?)(?:\s*\[.*)?$",
+                     line)
+        if m:
+            name = m.group(1).strip()
+            counts[name] = counts.get(name, 0) + 1
+    return counts
+
+
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section of a scan node ('' if none)."""
     p = plan_str(df, "formatted")
