@@ -360,3 +360,146 @@ def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (act.join(fw, "user_id")
             .groupBy("cohort", week_n.alias("week_n"))
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@register(
+    "analytics_pareto",
+    oracle="""
+    WITH brand_rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                             * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand)
+    SELECT brand, revenue,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, brand)
+                 / SUM(revenue) OVER (), 6) AS cum_share,
+           (SUM(revenue) OVER (ORDER BY revenue DESC, brand)
+                 / SUM(revenue) OVER ()) <= 0.8 AS in_top80
+    FROM brand_rev
+    """,
+)
+def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: revenue per brand, cumulative share in
+    descending-revenue order, top-80% flag. The cumulative window is a
+    single-partition running sum — fine here because it runs over the
+    AGGREGATED domain (|brands|, thousands at most), never the fact
+    table; the heavy lifting is the partial+final hash agg below it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                 .groupBy(F.col("p_brand").alias("brand"))
+                 .agg(_exact_sum(rev, scale=4).alias("revenue")))
+    w_run = (Window.orderBy(F.desc("revenue"), "brand")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    share = F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all)
+    return brand_rev.select(
+        "brand", "revenue",
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"))
+
+
+@register(
+    "analytics_orphan_audit",
+    oracle="""
+    SELECT 'orders_without_customer' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_bad
+    FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'customer_without_nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def analytics_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema via left-anti joins — the data-quality gate a CDC
+    pipeline runs after each apply (out-of-order deletes manufacture
+    orphans). Each anti join broadcasts the key side of its dimension;
+    the four checks share no state so Spark schedules them as parallel
+    stages of one job."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    def audit(name: str, fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
+        return (fact.join(F.broadcast(dim), cond, "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_bad"))
+                .select(F.lit(name).alias("check_name"), "n_bad"))
+
+    return (audit("orders_without_customer", o, c,
+                  o.o_custkey == c.c_custkey)
+            .unionByName(audit("lineitem_without_order", li, o,
+                               li.l_orderkey == o.o_orderkey))
+            .unionByName(audit("lineitem_without_part", li, p,
+                               li.l_partkey == p.p_partkey))
+            .unionByName(audit("customer_without_nation", c, n,
+                               c.c_nationkey == n.n_nationkey)))
+
+
+@register(
+    "analytics_market_share",
+    oracle="""
+    WITH region_rev AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+               n.n_name AS supp_nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                             * 10000 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1, 2)
+    SELECT CAST(yr AS BIGINT) AS yr, supp_nation,
+           CAST(rev_cents AS DOUBLE) / 10000 AS revenue,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / SUM(CAST(rev_cents AS DOUBLE)) OVER (PARTITION BY yr), 6)
+               AS mkt_share
+    FROM region_rev
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each supplier nation's share of yearly regional
+    revenue. Agg first (fact collapses to |years|×|nations| rows), THEN
+    the share window over the tiny aggregate — the order that matters
+    at 100 TB; windowing the fact table first would sort terabytes to
+    produce the same number."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = (load_table(spark, "region", sf_dir)
+         .filter(F.col("r_name") == "ASIA"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
+             ).cast("long")
+    agg = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                    F.col("n_name").alias("supp_nation"))
+           .agg(F.sum(cents).alias("rev_cents")))
+    w = Window.partitionBy("yr")
+    return agg.select(
+        "yr", "supp_nation",
+        (F.col("rev_cents").cast("double") / 10000).alias("revenue"),
+        F.round(F.col("rev_cents").cast("double")
+                / F.sum(F.col("rev_cents").cast("double")).over(w), 6)
+         .alias("mkt_share"))
