@@ -512,3 +512,61 @@ def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("event_type", "share_raw"))
              .select("user_id", "event_type",
                      F.round("share_raw", 6).alias("share")))
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           format('{:,}', CAST(round(o_totalprice * 100) AS BIGINT))
+               AS cents_grouped,
+           printf('%05d|%.2f', CAST(o_orderkey % 10000 AS INT),
+                  round(o_totalprice, 2)) AS padded,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded
+    FROM orders
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output formatting family: thousands-grouped number rendering,
+    printf-style composition, zero-padded keys — report/export surface.
+    All JVM string expressions."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.format_number(cents, 0).alias("cents_grouped"),
+        F.format_string("%05d|%.2f",
+                        (F.col("o_orderkey") % 10000).cast("int"),
+                        F.round("o_totalprice", 2)).alias("padded"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+         .alias("key_padded"))
+
+
+@register(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sin(radians(l_discount * 3600)), 6) AS s,
+           ROUND(cos(radians(l_discount * 3600)), 6) AS c,
+           ROUND(atan2(l_tax + 0.001, l_discount + 0.001), 6) AS a2,
+           ROUND(degrees(atan(l_quantity / 50.0)), 6) AS deg,
+           ROUND(ln(l_extendedprice), 6) AS lnp,
+           ROUND(log10(l_extendedprice), 6) AS lgp
+    FROM lineitem
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / logarithmic family (sin, cos, atan2, degrees/
+    radians, ln, log10) — geo/angle math surface; every expression a
+    codegen'd JVM intrinsic."""
+    li = load_table(spark, "lineitem", sf_dir)
+    ang = F.radians(F.col("l_discount") * 3600)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sin(ang), 6).alias("s"),
+        F.round(F.cos(ang), 6).alias("c"),
+        F.round(F.atan2(F.col("l_tax") + 0.001, F.col("l_discount") + 0.001),
+                6).alias("a2"),
+        F.round(F.degrees(F.atan(F.col("l_quantity") / 50.0)), 6).alias("deg"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("lnp"),
+        F.round(F.log10("l_extendedprice"), 6).alias("lgp"))

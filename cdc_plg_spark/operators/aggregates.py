@@ -345,3 +345,30 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.bool_and(F.col("value") > 0).alias("all_pos"),
                  F.bool_or(F.col("value") > 180).alias("any_big"),
                  F.count_if(F.col("value") > 100).alias("n_over_100")))
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    OLS per group in one distributed pass: the co-moment sketches
+    (sum, sum², sum of products) combine associatively, so the shuffle
+    carries a handful of doubles per group regardless of row count
+    (same scale story as agg_corr_covar)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope(y, x), 6).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2"),
+                 F.regr_count(y, x).alias("n")))

@@ -351,3 +351,49 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy(F.col("c_user").alias("user_id"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.countDistinct("click_id").alias("n_clicks")))
+
+
+@register(
+    "join_existence_composite",
+    oracle="""
+    SELECT s.s_name AS supp_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_wins
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_extendedprice > l1.l_extendedprice)
+    GROUP BY s.s_name
+    ORDER BY n_wins DESC, supp_name
+    LIMIT 10
+    """,
+)
+def join_existence_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact — per supplier, orders where it participated alongside another
+    supplier (semi) and priced highest (anti). Both existence probes
+    compile to one-shuffle semi/anti joins on the correlation key; no
+    decorrelation subquery materializes the fact twice per probe. At
+    100 TB the three lineitem branches share the scan (Spark reuses the
+    exchange on l_orderkey across the semi and anti sides)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_extendedprice").alias("l3")
+    s = load_table(spark, "supplier", sf_dir)
+    won = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                   & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+                   "left_semi")
+           .join(l3, (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+                 & (F.col("l3.l_extendedprice") > F.col("l1.l_extendedprice")),
+                 "left_anti"))
+    return (won.join(F.broadcast(s), won.l_suppkey == s.s_suppkey)
+            .groupBy(F.col("s_name").alias("supp_name"))
+            .agg(F.count_distinct("l_orderkey").alias("n_wins"))
+            .orderBy(F.desc("n_wins"), "supp_name")
+            .limit(10))
