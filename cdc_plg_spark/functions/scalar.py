@@ -570,3 +570,27 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan(F.col("l_quantity") / 50.0)), 6).alias("deg"),
         F.round(F.log(F.col("l_extendedprice")), 6).alias("lnp"),
         F.round(F.log10("l_extendedprice"), 6).alias("lgp"))
+
+
+@register(
+    "fn_binary",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substring(text, 1, 12))) AS b64,
+           hex(substring(text, 1, 6)) AS hx,
+           ascii(substring(text, 1, 1)) AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INT)) AS letter
+    FROM documents
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding family: base64, hex dump, codepoint extraction,
+    codepoint→char construction — the wire-format helpers for opaque
+    payload columns (multimodal binary columns ship through these)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64"),
+        F.hex(F.substring("text", 1, 6)).alias("hx"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.char(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"))

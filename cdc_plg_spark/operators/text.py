@@ -336,3 +336,37 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_chars") / ntok, 6).alias("mean_token_len"),
         (F.col("n_chars").between(64, 4096) & (digit_ratio < 0.3))
             .alias("keep"))
+
+
+@register(
+    "text_levenshtein_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+               AS edit_dist,
+           ROUND(1.0 - levenshtein(substring(a.text, 1, 40),
+                                   substring(b.text, 1, 40))
+                 / greatest(len(substring(a.text, 1, 40)),
+                            len(substring(b.text, 1, 40))), 6) AS sim
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance pair scoring: Levenshtein over 40-char prefixes of
+    adjacent docs + normalized similarity. The character-level fuzzy
+    primitive complementing token-level Jaccard (dedup_ngram_jaccard).
+    Levenshtein is O(m·n) per pair — ALWAYS bound the compared prefix
+    and the candidate pairs (here: adjacency; in production: LSH
+    buckets) before applying it at scale."""
+    d = load_table(spark, "documents", sf_dir)
+    a = d.select(F.col("doc_id").alias("doc1"),
+                 F.substring("text", 1, 40).alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc2"),
+                 F.substring("text", 1, 40).alias("tb"))
+    j = a.join(b, F.col("doc2") == F.col("doc1") + 1)
+    dist = F.levenshtein("ta", "tb")
+    return j.select(
+        "doc1", "doc2", dist.alias("edit_dist"),
+        F.round(F.lit(1.0) - dist / F.greatest(F.length("ta"),
+                                               F.length("tb")), 6)
+         .alias("sim"))

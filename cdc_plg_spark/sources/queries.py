@@ -314,3 +314,56 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("c_user")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.countDistinct("click_id").alias("n_clicks")))
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip scan: write the orders table as ORC once (cached
+    per sf), read it back with a pushed filter — Spark's second
+    columnar file format, same pushdown/pruning machinery as parquet
+    (PushedFilters on the OrcScan). Oracle reads the same rows from
+    the parquet view (content-identical by construction)."""
+    path = _roundtrip_dir(sf_dir, "orc")
+    if not os.path.isdir(path):
+        (load_table(spark, "orders", sf_dir)
+         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+         .write.mode("overwrite").orc(path))
+    from cdc_plg_spark.functions.numeric import fast_round
+
+    return (spark.read.orc(path)
+            .filter(F.col("o_orderstatus") == "O")
+            .select("o_orderkey", "o_orderstatus",
+                    fast_round("o_totalprice", 2).alias("totalprice")))
+
+
+@register(
+    "gen_synthetic_table",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           md5(CAST(i AS VARCHAR)) AS h,
+           substring(md5(CAST(i AS VARCHAR)), 1, 1) AS cat,
+           CAST((i * 2654435761 % 1000000) AS DOUBLE) / 1000 AS val
+    FROM range(0, 20000) t(i)
+    """,
+)
+def gen_synthetic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-data generation: spark.range (a
+    parallelized iota source — no input files) + hash-derived columns.
+    The augmentation/backfill primitive for training-data pipelines:
+    at 100 TB scale `range(n).repartition(k)` fans generation across
+    the cluster with zero input I/O, and every derived column is a
+    pure function of id, so regeneration is reproducible."""
+    return (spark.range(0, 20000)
+            .select(F.col("id"),
+                    F.md5(F.col("id").cast("string")).alias("h"),
+                    F.substring(F.md5(F.col("id").cast("string")), 1, 1)
+                     .alias("cat"),
+                    ((F.col("id") * 2654435761) % 1000000).cast("double")
+                    .alias("val_raw")))\
+        .select("id", "h", "cat", (F.col("val_raw") / 1000).alias("val"))

@@ -312,3 +312,82 @@ def _span_via_apply_in_pandas_with_state(spark: SparkSession,
     return (out.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max("span_s").alias("span_s")))
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+           ROUND(value, 4) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "cdc"),
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC sink loop: a multi-batch stream upserted into a
+    keyed materialized table by a ``foreachBatch`` MERGE — compact each
+    micro-batch to latest-per-key, full-outer-merge it into the running
+    state keeping the (ts, event_id)-max row per key, write the new
+    state version keyed by epoch (idempotent re-apply, README.md:119).
+    The merge is associative + commutative, so the final state is
+    batch-order-independent and equals the global latest-per-key
+    compaction — which is exactly what the SQL oracle checks. In
+    production the state table is Delta/Iceberg MERGE INTO; the
+    dataflow per batch — shuffle both sides on the pk, keep max — is
+    identical. Events are re-chunked into 3 files so availableNow
+    genuinely exercises the multi-batch path (fixtures are single
+    files = single batch otherwise).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    chunks = cache_dir("upsert_chunks", sf_dir)
+    if not _os.path.isdir(chunks):
+        (load_table(spark, "events", sf_dir)
+         .select("event_id", "ts", "user_id", "event_type", "value")
+         .withColumn("chunk", (F.col("event_id") % 3).cast("int"))
+         .repartition(3, "chunk").drop("chunk")
+         .write.mode("overwrite").parquet(chunks))
+
+    state_base = _tf.mkdtemp(prefix="cdc_upsert_state_")
+    ckpt = _tf.mkdtemp(prefix="cdc_upsert_ckpt_")
+    current: dict[str, str] = {"path": ""}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        newest = (batch_df
+                  .withColumn("_r", F.row_number().over(
+                      W.partitionBy("user_id")
+                       .orderBy(F.desc("ts"), F.desc("event_id"))))
+                  .filter(F.col("_r") == 1).drop("_r"))
+        if current["path"]:
+            prev = batch_df.sparkSession.read.parquet(current["path"])
+            newest = (prev.unionByName(newest)
+                      .withColumn("_r", F.row_number().over(
+                          W.partitionBy("user_id")
+                           .orderBy(F.desc("ts"), F.desc("event_id"))))
+                      .filter(F.col("_r") == 1).drop("_r"))
+        out = _os.path.join(state_base, f"state_{epoch_id}")
+        newest.write.mode("overwrite").parquet(out)
+        current["path"] = out
+
+    from pyspark.sql import Window as W
+
+    stream = (spark.readStream
+              .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                      "event_type STRING, value DOUBLE")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(chunks))
+    run_foreach_batch(stream, merge_batch, ckpt)
+
+    final = spark.read.parquet(current["path"])
+    return final.select("user_id", "event_id",
+                        F.unix_micros("ts").alias("ts_us"),
+                        "event_type",
+                        F.round("value", 4).alias("value"))
