@@ -503,3 +503,61 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev_cents").cast("double")
                 / F.sum(F.col("rev_cents").cast("double")).over(w), 6)
          .alias("mkt_share"))
+
+
+@register(
+    "analytics_window_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS ts1
+        FROM events GROUP BY user_id),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts1
+          AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+        GROUP BY e.user_id),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+          AND e.ts <= t2.ts2 + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+    SELECT CAST(COUNT(t1.ts1) AS BIGINT) AS stage_view,
+           CAST(COUNT(t2.ts2) AS BIGINT) AS stage_click,
+           CAST(COUNT(t3.ts3) AS BIGINT) AS stage_purchase
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequence funnel (the windowFunnel analytic):
+    users who viewed, then clicked within 7 days of that first view,
+    then purchased within 7 days of that first qualifying click.
+
+    Each stage's anchor time is a conditional-min window over the SAME
+    user_id partition — three chained Window nodes share ONE shuffle
+    (the oracle's three self-join passes express the same thing; Spark
+    needs no self-join, so the fact table is scanned once). The closing
+    count is a tiny agg over distinct users."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    day7 = F.expr("interval 7 days")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("ts1", t1)
+    t2 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > F.col("ts1"))
+                      & (F.col("ts") <= F.col("ts1") + day7),
+                      F.col("ts"))).over(w)
+    staged = staged.withColumn("ts2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("ts2"))
+                      & (F.col("ts") <= F.col("ts2") + day7),
+                      F.col("ts"))).over(w)
+    staged = staged.withColumn("ts3", t3)
+    per_user = (staged.groupBy("user_id")
+                .agg(F.max("ts1").alias("ts1"), F.max("ts2").alias("ts2"),
+                     F.max("ts3").alias("ts3")))
+    return per_user.agg(
+        F.count("ts1").alias("stage_view"),
+        F.count("ts2").alias("stage_click"),
+        F.count("ts3").alias("stage_purchase"))

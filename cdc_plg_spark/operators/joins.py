@@ -397,3 +397,47 @@ def join_existence_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("l_orderkey").alias("n_wins"))
             .orderBy(F.desc("n_wins"), "supp_name")
             .limit(10))
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT click_id, user_id, ts_us, next_purchase_id FROM (
+        SELECT c.event_id AS click_id, c.user_id,
+               epoch_us(c.ts) AS ts_us, p.event_id AS next_purchase_id,
+               ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                  ORDER BY p.ts, p.event_id) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 3 DAY
+    ) WHERE rn = 1
+    """,
+    tags=("cdc",),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for each click, the next
+    purchase at-or-after it, but only if within 3 days — the attribution
+    twin of ``join_asof`` (backward). Same linear form: union both
+    sides, ONE window pass with first(ignorenulls) over the following
+    frame, then apply the tolerance to the carried timestamp — no
+    candidate join, no per-pair expansion, O(n log n) per key."""
+    ev = load_table(spark, "events", sf_dir)
+    both = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .select("user_id", "ts", "event_id",
+                      # purchases sort after clicks at equal ts so an
+                      # equal-timestamp purchase is visible to the click
+                      F.when(F.col("event_type") == "click", 0).otherwise(1)
+                       .alias("kind")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+         .rowsBetween(1, Window.unboundedFollowing))
+    nxt = F.first(F.when(F.col("kind") == 1,
+                         F.struct("ts", "event_id")), ignorenulls=True).over(w)
+    return (both.withColumn("np", nxt)
+                .filter(F.col("kind") == 0)
+                .select(F.col("event_id").alias("click_id"), "user_id",
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.when(F.col("np.ts") <= F.col("ts")
+                               + F.expr("interval 3 days"),
+                               F.col("np.event_id"))
+                         .alias("next_purchase_id")))
