@@ -1,0 +1,326 @@
+"""Second batch of TPC-H-shaped composite plans.
+
+Completes the classic decision-support shapes over the fixture star
+schema (FIXTURES.md): cross-nation trade flow (Q7), product profit
+(Q9), returned-item ranking (Q10), order-count distribution (Q13),
+promotion share (Q14), correlated small-quantity revenue (Q17), and
+idle-customer audit (Q22). Together with analytics.py's Q3/Q5/Q8/Q21
+shapes this covers every TPC-H query pattern the fixture columns can
+express (no partsupp / shipmode / phone columns — see FIXTURES.md).
+
+Reference grounding: the RFC names real-time data analytics as its
+first motivating use case (/root/reference/README.md:15); these are
+the standard analytics workloads such a pipeline feeds, expressed
+Spark-first: selective filters at the scans, broadcast for every
+dimension, partial+final aggregation, window-after-agg ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.catalog import load_table
+from cdc_plg_spark.operators.aggregates import _exact_sum
+from cdc_plg_spark.registry import register
+
+
+@register(
+    "analytics_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, both
+    directions, by ship year.
+
+    Two *different* roles of the same nation dimension (supplier side
+    vs customer side) join as two independent broadcasts — the fact
+    table is touched once and never shuffled for the dimensions; the
+    only exchange is the final 4-column group-by. The nation filter is
+    applied inside each broadcast build side, so the hash tables carry
+    two rows each at any scale."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    nations = ("NATION_1", "NATION_2")
+    n1 = (load_table(spark, "nation", sf_dir)
+          .filter(F.col("n_name").isin(*nations))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (load_table(spark, "nation", sf_dir)
+          .filter(F.col("n_name").isin(*nations))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("yr"))
+            .agg(_exact_sum(rev, scale=4).alias("revenue")))
+
+
+@register(
+    "analytics_product_profit",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity * 0.1, 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product family by supplier nation
+    and order year (retail price × qty × 0.1 stands in for supplycost
+    — the fixture has no partsupp table, FIXTURES.md).
+
+    The p_name LIKE filter lives inside the broadcast build of `part`,
+    shrinking the hash table AND letting the join itself drop the
+    non-matching fact rows before the aggregate — at 100 TB the
+    selective dimension-join-as-filter is the whole game for Q9."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    p = (load_table(spark, "part", sf_dir)
+         .filter(F.col("p_name").like("%widget%")))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * 0.1)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("supp_nation"),
+                     F.year("o_orderdate").cast("long").alias("yr"))
+            .agg(_exact_sum(profit, scale=4).alias("profit")))
+
+
+@register(
+    "analytics_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                         * 10000 AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    half-year window — returnflag filter pushed to the lineitem scan,
+    date range pushed to the orders scan, customer+nation broadcast,
+    top-20 via TakeOrderedAndProject (no global sort materializes)."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .filter(F.col("l_returnflag") == "R"))
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-07-01")))
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name",
+                     F.col("n_name").alias("nation"),
+                     F.round("c_acctbal", 2).alias("acctbal"))
+            .agg(_exact_sum(rev, scale=4).alias("revenue"))
+            .select("c_custkey", "c_name", "nation", "revenue", "acctbal")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@register(
+    "analytics_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def analytics_order_count_distribution(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    zero-order customers included (that is what the LEFT join is for —
+    the join predicate, not a WHERE, carries the priority filter so
+    non-matching customers survive with count 0).
+
+    Two-level aggregation: the first group-by collapses the fact to
+    |customers| rows, the second to |distinct counts| — both partial+
+    final, so the wide fact never crosses the wire un-aggregated."""
+    c = load_table(spark, "customer", sf_dir)
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@register(
+    "analytics_promo_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS mon,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                           * 10000 AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                              * 10000 AS BIGINT)) AS DOUBLE), 6)
+               AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly % of revenue from PROMO parts — a
+    conditional-sum ratio computed in ONE pass over the filtered fact
+    (no self-join, no second scan); part broadcasts."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1998-01-01")))
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
+             ).cast("long")
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.year("l_shipdate").cast("long").alias("yr"),
+                     F.month("l_shipdate").cast("long").alias("mon"))
+            .agg(F.round(100.0 * F.sum(promo_cents).cast("double")
+                         / F.sum(cents).cast("double"), 6)
+                 .alias("promo_share_pct")))
+
+
+@register(
+    "analytics_small_qty_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS DOUBLE)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'SMALL'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity
+    orders of small parts.
+
+    The oracle states it as a correlated scalar subquery; the Spark
+    plan decorrelates by hand: a per-part AVG aggregate (|parts| rows
+    — tiny next to the fact) joined back on l_partkey. At 100 TB the
+    per-part aggregate still fits broadcast for any realistic part
+    dimension; if it did not, the equi-join on l_partkey shuffles both
+    sides by the same key and AQE picks SMJ."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (load_table(spark, "part", sf_dir)
+         .filter(F.col("p_type") == "SMALL"))
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+               .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty")))
+    filtered = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                .join(F.broadcast(avg_qty),
+                      li.l_partkey == F.col("ap_partkey"))
+                .filter(F.col("l_quantity") < F.col("half_avg_qty")))
+    return filtered.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).cast("double")
+         .alias("avg_yearly"))
+
+
+@register(
+    "analytics_idle_customers",
+    oracle="""
+    SELECT CAST(c.c_custkey % 7 AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal, 2) * 100 AS BIGINT)) AS DOUBLE)
+               / 100 AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders,
+    bucketed by cohort (custkey mod 7 stands in for the phone prefix —
+    the fixture has no c_phone, FIXTURES.md; "recent" keeps the
+    anti-join selective on a fixture where every customer has SOME
+    order).
+
+    Three-operator composition: an ungrouped scalar aggregate (the
+    positive-balance mean, computed once and broadcast into the
+    filter), a LEFT ANTI join against orders' o_custkey (the NOT
+    EXISTS — only the join key crosses the shuffle, and at scale the
+    distinct-custkey build side is far smaller than orders itself),
+    and the closing small group-by."""
+    c = load_table(spark, "customer", sf_dir)
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderdate") >= "1999-01-01")
+         .select("o_custkey"))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    rich = (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    bal_cents = (F.floor(F.abs(F.round("c_acctbal", 2)) * 100 + F.lit(0.5))
+                 * F.signum(F.col("c_acctbal"))).cast("long")
+    return (idle.groupBy((F.col("c_custkey") % 7).cast("long").alias("cohort"))
+            .agg(F.count("*").alias("numcust"),
+                 (F.sum(bal_cents).cast("double") / 100).alias("totacctbal")))

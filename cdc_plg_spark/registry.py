@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "cdc_plg_spark.operators.multimodal",
     "cdc_plg_spark.operators.maintenance",
     "cdc_plg_spark.operators.analytics",
+    "cdc_plg_spark.operators.analytics_tpch",
     "cdc_plg_spark.operators.cdc_apply",
     "cdc_plg_spark.operators.timeseries",
     "cdc_plg_spark.operators.subqueries",

@@ -39,6 +39,10 @@ SNAPSHOT_QUERIES = [
     "analytics_shipping_priority", "analytics_nation_volume",
     "analytics_regional_trade", "analytics_sessionize_batch",
     "analytics_funnel", "analytics_retention", "analytics_histogram",
+    "analytics_volume_shipping", "analytics_product_profit",
+    "analytics_returned_items", "analytics_order_count_distribution",
+    "analytics_promo_share", "analytics_small_qty_revenue",
+    "analytics_idle_customers",
     "subquery_in", "subquery_scalar_correlated",
     "set_union_evolved", "reshape_pivot", "reshape_unpivot",
     "sample_stratified", "sample_train_test_split",
