@@ -30,7 +30,8 @@ SNAPSHOT_QUERIES = [
     "join_inner_hash", "join_sortmerge", "join_asof", "join_semi",
     "join_anti", "join_theta_range", "join_skew_salted",
     "dedup_latest_per_key", "scd2_from_cdc", "cdc_merge_upsert",
-    "cdc_delta_agg", "ts_time_bucket", "ts_gap_fill",
+    "cdc_delta_agg", "ts_time_bucket", "ts_gap_fill", "ts_ewma",
+    "ts_interpolate_linear",
     "topk_global", "topk_per_group", "win_running_sum", "win_lag_lead",
     "win_ignore_nulls", "win_cume_dist",
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
