@@ -51,3 +51,36 @@ def test_interval_stream_join_matches_batch(spark, sf_dir):
     got = _rows(streamed, "c_user", "n_pairs", "n_clicks")
     want = _rows(batch, "c_user", "n_pairs", "n_clicks")
     assert got == want and len(got) > 0
+
+
+def test_outer_stream_stream_join_matches_batch(spark, sf_dir):
+    """Every click must eventually emit — matched with its views or
+    NULL-padded once the watermark proves no view can arrive. The
+    batch twin is a plain left join with the same interval predicate."""
+    streamed = get("join_outer_stream_stream").fn(spark, sf_dir)
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts")))
+    batch = (clicks.join(views, F.expr(
+                 "c_user = v_user AND "
+                 "v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts < c_ts"),
+                 "left_outer")
+             .groupBy("c_user")
+             .agg(F.countDistinct("click_id").alias("n_clicks"),
+                  F.count("view_id").alias("n_pairs"),
+                  F.countDistinct(
+                      F.when(F.col("view_id").isNull(), F.col("click_id")))
+                   .alias("n_unmatched")))
+
+    got = _rows(streamed, "c_user", "n_clicks", "n_pairs", "n_unmatched")
+    want = _rows(batch, "c_user", "n_clicks", "n_pairs", "n_unmatched")
+    assert got == want and len(got) > 0
+    # the outer part must be non-trivial: some click somewhere unmatched
+    assert sum(r[3] for r in got) > 0
