@@ -94,17 +94,18 @@ def test_approx_quantile_close_to_exact(spark, sf_dir):
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
-    """IVF top-5 (nprobe 3 of 8 cells ≈ 37% scan) must recover a
+    """IVF top-5 (nprobe 6 of 16 cells ≈ 37% scan) must recover a
     usable fraction of the exact top-5 on the near-random fixture
-    vectors (measured 0.62 with Lloyd-refined centroids, up from 0.44
-    on raw seeds; clustered real embeddings trade far better), and
-    never claim a better-than-exact hit."""
+    vectors (measured 0.78 with farthest-point seeds + 4 Lloyd passes,
+    up from 0.62 at K=8 low-id seeds and the same scan fraction;
+    clustered real embeddings trade far better), and never claim a
+    better-than-exact hit."""
     bf = run("sim_topk_search", spark, sf_dir)
     ann = run("sim_ann_ivf", spark, sf_dir)
     bfs = {(r.query_id, r.corpus_id) for r in bf.itertuples()}
     anns = {(r.query_id, r.corpus_id) for r in ann.itertuples()}
     recall = len(bfs & anns) / len(bfs)
-    assert recall >= 0.5, recall
+    assert recall >= 0.65, recall
     best_bf = bf.groupby("query_id")["cos"].max()
     best_ann = ann.groupby("query_id")["cos"].max()
     for qid, v in best_ann.items():
