@@ -370,3 +370,44 @@ def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - dist / F.greatest(F.length("ta"),
                                                F.length("tb")), 6)
          .alias("sim"))
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-log2(f.c / tot.n)), 6) AS avg_neg_log2p
+    FROM tok t JOIN freq f USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: each document's mean per-token
+    surprisal (−log₂ p) under the corpus's own unigram distribution —
+    the cheap statistical stand-in for model-based perplexity filters
+    in training-data pipelines (high surprisal ⇒ rare/garbled tokens,
+    low ⇒ boilerplate).
+
+    Two aggregations over one explode: token frequencies (vocabulary —
+    tiny vs corpus, broadcast back onto the token stream) and the
+    per-doc mean; the corpus total rides along as a 1-row broadcast.
+    At 100 TB the vocabulary table is the only state that grows
+    sublinearly — precompute it once per corpus snapshot and the
+    per-doc pass is a single scan."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(_toks()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (tok.join(F.broadcast(freq), "token")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 6)
+                  .alias("avg_neg_log2p")))

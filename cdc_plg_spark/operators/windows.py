@@ -189,6 +189,42 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_time_travel",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           ROUND(value, 4) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc",),
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read: table state AS OF timestamp T, reconstructed
+    from the changelog — restrict to events committed ≤ T, keep the
+    latest per key, drop keys whose latest change was a delete
+    (error→D per streaming.core.to_cdc_envelope). The reference's
+    resolved-ts contract (/root/reference/README.md:64) is exactly
+    what makes this well-defined: all data ≤ T has arrived.
+
+    Same single-shuffle cost as dedup_latest_per_key, MINUS everything
+    the pushed ts<=T predicate prunes at the scan — on a
+    (table, date)-partitioned changelog layout the time-travel filter
+    becomes partition pruning, so reading old state gets cheaper, not
+    costlier, the further back T lies."""
+    ev = (load_table(spark, "events", sf_dir)
+          .filter(F.col("ts") <= "2024-01-15 00:00:00"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+              .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("ts_us"),
+                      fast_round("value", 4).alias("value")))
+
+
+@register(
     "win_cume_dist",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

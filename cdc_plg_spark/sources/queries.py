@@ -328,53 +328,14 @@ def join_outer_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Replay determinism: outer results emit at watermark advances,
     which happen between micro-batches — a single availableNow batch
-    would hold every unmatched click back forever. The staged source
-    dir therefore carries the real events file plus two far-future
-    sentinel 'view' files (user_id=-1, matching nothing) and reads
-    with maxFilesPerTrigger=1: three batches, two watermark advances,
-    every real click flushed. rows-only: verified against the batch
-    left join in tests/test_streaming_joins.py."""
-    import shutil
+    would hold every unmatched click back forever. The sentinel-staged
+    multi-batch source (streaming.core.staged_events_stream) provides
+    the advances. rows-only: verified against the batch left join in
+    tests/test_streaming_joins.py."""
+    from cdc_plg_spark.streaming.core import (run_to_table,
+                                              staged_events_stream)
 
-    from cdc_plg_spark.catalog import ensure_session_confs, load_table
-    from cdc_plg_spark.streaming.core import EVENTS_RAW_SCHEMA, run_to_table
-
-    ensure_session_confs(spark)
-    stage = _roundtrip_dir(sf_dir, "stream_outer")
-    if not os.path.isdir(stage):
-        os.makedirs(stage, exist_ok=True)
-        src = os.path.join(sf_dir, "events.parquet")
-        shutil.copy(src, os.path.join(stage, "batch0.parquet"))
-        max_ns = (load_table(spark, "events", sf_dir)
-                  .agg(F.max(F.unix_micros("ts"))).collect()[0][0]) * 1000
-        hour_ns = 3600 * 10**9
-        # each sentinel file carries BOTH event types: the watermark is
-        # tracked per EventTimeWatermark node AFTER the type filters, so
-        # a view-only sentinel would advance only the view side and the
-        # min-policy global watermark would stall at the last real click
-        for i, off in enumerate((hour_ns, 2 * hour_ns), start=1):
-            # the file source lists only top-level files: write to a
-            # scratch dir and move the part file up as a flat sibling
-            tmp = os.path.join(stage, f"_build{i}")
-            (spark.createDataFrame(
-                [(-(2 * i + 100), max_ns + off, -1, "view", 0.0, "{}"),
-                 (-(2 * i + 101), max_ns + off, -1, "click", 0.0, "{}")],
-                EVENTS_RAW_SCHEMA)
-             .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = next(f for f in os.listdir(tmp)
-                        if f.endswith(".parquet") and not f.startswith("."))
-            os.replace(os.path.join(tmp, part),
-                       os.path.join(stage, f"sentinel{i}.parquet"))
-            shutil.rmtree(tmp)
-    # file stream picks files oldest-first: force the intended order
-    now = os.path.getmtime(os.path.join(stage, "batch0.parquet"))
-    for i in (1, 2):
-        f = os.path.join(stage, f"sentinel{i}.parquet")
-        os.utime(f, (now + 60 * i, now + 60 * i))
-
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-           .option("maxFilesPerTrigger", "1").parquet(stage)
-           .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    raw = staged_events_stream(spark, sf_dir)
     clicks = (raw.filter(F.col("event_type") == "click")
               .select(F.col("user_id").alias("c_user"),
                       F.col("event_id").alias("click_id"),

@@ -101,6 +101,58 @@ def to_cdc_envelope(events: DataFrame) -> DataFrame:
     )
 
 
+def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a MULTI-BATCH stream whose watermark
+    provably passes every real event: the events file plus two
+    far-future sentinel files (one 'view' + one 'click' row each,
+    user_id = -1), read with maxFilesPerTrigger=1 → three micro-
+    batches, two watermark advances.
+
+    Operators whose output only emits when the watermark passes —
+    outer-join NULL padding, append-mode window finalization — need
+    this: a single availableNow batch computes everything but flushes
+    nothing. Two layout facts learned the hard way: the file source
+    lists only top-level files (a subdirectory's part files are
+    silently skipped), and watermarks are tracked per
+    EventTimeWatermark node AFTER upstream filters — so sentinels
+    must carry every event_type a downstream filter selects on.
+    Consumers must drop user_id < 0 rows from final results.
+    """
+    import shutil
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+
+    ensure_session_confs(spark)
+    stage = cache_dir("stream_staged", sf_dir)
+    if not os.path.isdir(stage):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(stage, "batch0.parquet"))
+        max_ns = (load_table(spark, "events", sf_dir)
+                  .agg(F.max(F.unix_micros("ts"))).collect()[0][0]) * 1000
+        hour_ns = 3600 * 10**9
+        for i, off in enumerate((hour_ns, 2 * hour_ns), start=1):
+            tmp = os.path.join(stage, f"_build{i}")
+            (spark.createDataFrame(
+                [(-(2 * i + 100), max_ns + off, -1, "view", 0.0, "{}"),
+                 (-(2 * i + 101), max_ns + off, -1, "click", 0.0, "{}")],
+                EVENTS_RAW_SCHEMA)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in os.listdir(tmp)
+                        if f.endswith(".parquet") and not f.startswith("."))
+            os.replace(os.path.join(tmp, part),
+                       os.path.join(stage, f"sentinel{i}.parquet"))
+            shutil.rmtree(tmp)
+    # file stream picks files oldest-first: force the intended order
+    now = os.path.getmtime(os.path.join(stage, "batch0.parquet"))
+    for i in (1, 2):
+        os.utime(os.path.join(stage, f"sentinel{i}.parquet"),
+                 (now + 60 * i, now + 60 * i))
+    return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+
+
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
                     "RocksDBStateStoreProvider")
 

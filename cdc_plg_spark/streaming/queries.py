@@ -391,3 +391,72 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.unix_micros("ts").alias("ts_us"),
                         "event_type",
                         F.round("value", 4).alias("value"))
+
+
+@register(
+    "stream_join_then_window",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id AS cu, event_id AS cid, ts AS cts
+        FROM events WHERE event_type = 'click'),
+    views AS (
+        SELECT user_id AS vu, event_id AS vid, ts AS vts
+        FROM events WHERE event_type = 'view')
+    SELECT CAST(to_timestamp(floor(epoch(c.cts) / 86400) * 86400)
+               AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(c.cid) AS BIGINT) AS min_click,
+           CAST(MAX(v.vid) AS BIGINT) AS max_view
+    FROM clicks c JOIN views v
+      ON c.cu = v.vu
+     AND v.vts >= c.cts - INTERVAL 10 MINUTE AND v.vts < c.cts
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: a
+    stream-stream interval join whose output feeds a daily tumbling
+    window aggregate, both in append mode — the shape Spark could not
+    run before 3.4 (multiple stateful operators) and the reason the
+    engine can express "join two changefeeds, then roll up" as ONE
+    standing query instead of a join query materializing into a
+    second aggregation query.
+
+    Each operator keeps its own watermark-bounded state (join: both
+    input sides inside the interval; agg: open windows); the window
+    only finalizes once the propagated watermark — input watermark
+    minus the join's interval slack — passes its end, so emission is
+    exactly-once per window. The sentinel-staged source provides the
+    multi-batch watermark advances replay needs; sentinel rows join
+    nothing (equal timestamps fail the strict v_ts < c_ts bound).
+    No DISTINCT aggregates: streaming append mode forbids them, so
+    the window carries count + min/max instead."""
+    from cdc_plg_spark.streaming.core import staged_events_stream
+
+    raw = staged_events_stream(spark, sf_dir)
+    clicks = (raw.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cu"),
+                      F.col("event_id").alias("cid"),
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "10 minutes"))
+    views = (raw.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("vu"),
+                     F.col("event_id").alias("vid"),
+                     F.col("ts").alias("vts"))
+             .withWatermark("vts", "10 minutes"))
+    pairs = clicks.join(
+        views,
+        F.expr("""
+            cu = vu AND
+            vts >= cts - INTERVAL 10 MINUTES AND vts < cts
+        """))
+    agg = (pairs.groupBy(F.window("cts", "1 day"))
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.min("cid").alias("min_click"),
+                F.max("vid").alias("max_view")))
+    from cdc_plg_spark.streaming.core import run_to_table
+
+    out = run_to_table(agg, output_mode="append")
+    return out.select(F.col("window.start").alias("window_start"),
+                      "n_pairs", "min_click", "max_view")

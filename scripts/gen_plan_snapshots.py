@@ -30,6 +30,7 @@ SNAPSHOT_QUERIES = [
     "join_inner_hash", "join_sortmerge", "join_asof", "join_semi",
     "join_anti", "join_theta_range", "join_skew_salted",
     "dedup_latest_per_key", "scd2_from_cdc", "cdc_merge_upsert",
+    "cdc_time_travel", "text_unigram_logprob",
     "cdc_delta_agg", "ts_time_bucket", "ts_gap_fill", "ts_ewma",
     "ts_interpolate_linear",
     "topk_global", "topk_per_group", "win_running_sum", "win_lag_lead",
