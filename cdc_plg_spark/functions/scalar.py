@@ -594,3 +594,38 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("text", 1, 6)).alias("hx"),
         F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
         F.char(F.lit(65) + (F.col("doc_id") % 26).cast("int")).alias("letter"))
+
+
+@register(
+    "fn_datetime_tz",
+    oracle="""
+    SELECT event_id,
+           CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))
+                AS TIMESTAMP) AS ny_wall,
+           CAST(timezone('Asia/Tokyo', CAST(ts AS TIMESTAMPTZ))
+                AS TIMESTAMP) AS tokyo_wall,
+           CAST(EXTRACT(hour FROM timezone('America/New_York',
+                CAST(ts AS TIMESTAMPTZ))) AS INT) AS ny_hour,
+           CAST(timezone('America/New_York',
+                CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))
+                     AS TIMESTAMP)) AS TIMESTAMP) AS roundtrip_utc
+    FROM events
+    """,
+)
+def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion family: UTC instants → market-local wall
+    times (from_utc_timestamp), local hour extraction, and the
+    to_utc_timestamp round-trip proving the two are inverses. The
+    session stays pinned to UTC (SURVEY.md §5 discipline); zone-aware
+    rendering happens per-expression, never via session state — the
+    only sane arrangement when one 100 TB table serves readers in
+    every region. DuckDB twin: timezone(tz, TIMESTAMPTZ) is
+    from_utc, timezone(tz, TIMESTAMP) is to_utc."""
+    ev = load_table(spark, "events", sf_dir)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.select(
+        "event_id",
+        ny.alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip_utc"))

@@ -561,3 +561,30 @@ def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ts1").alias("stage_view"),
         F.count("ts2").alias("stage_click"),
         F.count("ts3").alias("stage_purchase"))
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           ROUND(LEAST(1.0, n_chars / 3000.0), 6) AS p_keep
+    FROM documents
+    WHERE (doc_id * 2654435761 % 1048576) / 1048576.0
+          < LEAST(1.0, n_chars / 3000.0)
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep probability proportional
+    to document length (the upsample-long/downsample-short knob of
+    corpus construction), decided by a Knuth multiplicative hash of
+    the key against the weight — reproducible across engines, runs,
+    and partitionings, unlike df.sample. Pure pushed-down filter, no
+    shuffle, no RNG state; at 100 TB the sample is re-derivable from
+    the keys alone, so the pipeline can audit exactly why any row was
+    kept or dropped."""
+    d = load_table(spark, "documents", sf_dir)
+    p_keep = F.least(F.lit(1.0), F.col("n_chars") / 3000.0)
+    u = (F.col("doc_id") * 2654435761 % 1048576) / 1048576.0
+    return (d.filter(u < p_keep)
+             .select("doc_id", "lang", "n_chars",
+                     F.round(p_keep, 6).alias("p_keep")))

@@ -324,3 +324,64 @@ def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (idle.groupBy((F.col("c_custkey") % 7).cast("long").alias("cohort"))
             .agg(F.count("*").alias("numcust"),
                  (F.sum(bal_cents).cast("double") / 100).alias("totacctbal")))
+
+
+@register(
+    "analytics_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 4) * 10000 AS BIGINT))
+                    AS DOUBLE)
+               / CAST(SUM(CAST(ROUND(l_quantity, 4) * 10000 AS BIGINT))
+                      AS DOUBLE) AS unit_price
+        FROM lineitem GROUP BY 1, 2),
+    best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                     ORDER BY unit_price, l_suppkey) AS rn
+        FROM ps)
+    SELECT p.p_partkey, p.p_name, s.s_name AS supplier,
+           n.n_name AS nation, ROUND(b.unit_price, 4) AS unit_price
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE b.rn = 1 AND p.p_size >= 30
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each large part, the supplier offering the
+    lowest observed unit price (lineitem-derived — the fixture has no
+    partsupp table, FIXTURES.md). The classic correlated-MIN-subquery
+    query, decorrelated into a per-(part,supplier) aggregate + a
+    per-part ranking window.
+
+    Determinism discipline: unit price is a ratio of two exact
+    fixed-point sums, so both engines derive bit-identical doubles and
+    the rank can't flip on float noise; ties break on suppkey. At
+    scale the aggregate collapses the fact to |part×supp| rows BEFORE
+    the window, and the window shuffle key (partkey) matches the
+    aggregate's grouping prefix."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (load_table(spark, "part", sf_dir)
+         .filter(F.col("p_size") >= 30))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+
+    def cents(col, scale):
+        c = F.col(col) * (10 ** scale)
+        return (F.floor(F.abs(c) + F.lit(0.5)) * F.signum(c)).cast("long")
+
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg((F.sum(cents("l_extendedprice", 4)).cast("double")
+                / F.sum(cents("l_quantity", 4)).cast("double"))
+               .alias("unit_price")))
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (ps.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("p_partkey", "p_name", F.col("s_name").alias("supplier"),
+                    F.col("n_name").alias("nation"),
+                    F.round("unit_price", 4).alias("unit_price")))

@@ -44,7 +44,8 @@ SNAPSHOT_QUERIES = [
     "analytics_volume_shipping", "analytics_product_profit",
     "analytics_returned_items", "analytics_order_count_distribution",
     "analytics_promo_share", "analytics_small_qty_revenue",
-    "analytics_idle_customers",
+    "analytics_idle_customers", "analytics_min_cost_supplier",
+    "fn_datetime_tz", "sample_weighted",
     "subquery_in", "subquery_scalar_correlated",
     "set_union_evolved", "reshape_pivot", "reshape_unpivot",
     "sample_stratified", "sample_train_test_split",
