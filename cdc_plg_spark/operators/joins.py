@@ -441,3 +441,62 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                                + F.expr("interval 3 days"),
                                F.col("np.event_id"))
                          .alias("next_purchase_id")))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    SELECT purchase_id, user_id, ts_us, nearest_click_id FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               epoch_us(p.ts) AS ts_us, c.event_id AS nearest_click_id,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                            CASE WHEN c.ts <= p.ts THEN -c.event_id
+                                 ELSE c.event_id END) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 6 HOUR
+         AND c.ts <= p.ts + INTERVAL 6 HOUR
+    ) WHERE rn = 1
+    """,
+    tags=("cdc",),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the click closest in
+    time in EITHER direction within ±6 h (ties prefer the earlier,
+    backward click) — completing the as-of family (backward
+    ``join_asof``, forward ``join_asof_forward``, nearest here).
+
+    Still linear: union both sides, ONE sort per key, carry the
+    latest-preceding and earliest-following click as structs, then a
+    pure projection picks the nearer arm and applies the tolerance —
+    the oracle's candidate join expands every (purchase × ±6 h click)
+    pair, which at 100 TB is exactly the blow-up this form avoids."""
+    ev = load_table(spark, "events", sf_dir)
+    both = (ev.filter(F.col("event_type").isin("click", "purchase"))
+              .select("user_id", "ts", "event_id",
+                      F.when(F.col("event_type") == "click", 0).otherwise(1)
+                       .alias("kind")))
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    back_w = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd_w = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(1, Window.unboundedFollowing))
+    click_struct = F.when(F.col("kind") == 0, F.struct("ts", "event_id"))
+    back = F.last(click_struct, ignorenulls=True).over(back_w)
+    fwd = F.first(click_struct, ignorenulls=True).over(fwd_w)
+    tol_us = 6 * 3600 * 1_000_000
+    p_us = F.unix_micros("ts")
+    db = p_us - F.unix_micros(F.col("b.ts"))      # >= 0 (at-or-before)
+    df_ = F.unix_micros(F.col("f.ts")) - p_us     # > 0 (strictly after)
+    b_ok = F.col("b").isNotNull() & (db <= tol_us)
+    f_ok = F.col("f").isNotNull() & (df_ <= tol_us)
+    nearest = (F.when(b_ok & (~f_ok | (db <= df_)), F.col("b.event_id"))
+               .when(f_ok, F.col("f.event_id")))
+    return (both.withColumn("b", back).withColumn("f", fwd)
+                .filter(F.col("kind") == 1)
+                .select(F.col("event_id").alias("purchase_id"), "user_id",
+                        p_us.alias("ts_us"),
+                        nearest.alias("nearest_click_id")))

@@ -94,3 +94,51 @@ def maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_ids"),
         (F.sum(F.round(F.col("value") * 10000).cast("long"))
          .cast("double") / 10000).alias("sum_value"))
+
+
+@register(
+    "audit_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity, 4) * 10000 AS BIGINT)) AS DOUBLE)
+               / 10000 AS sum_qty,
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.6
+                           THEN 1 END) AS BIGINT) AS n_bad_discount,
+           CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+    FROM lineitem
+    """,
+)
+def audit_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality accounting via ``df.observe``: row
+    count, exact quantity total, out-of-range discount count, and the
+    high-water ship timestamp are collected as a SIDE EFFECT of one
+    scan — no second pass, no separate audit query. This is the
+    Spark-native form of the reference's flush accounting
+    (FlushRowChangedEvents returns what was durably persisted,
+    /root/reference/README.md:64): every pipeline write can carry its
+    own verification metrics for free, which at 100 TB is the
+    difference between auditing and re-reading the lake.
+
+    The observed scan materializes through the noop sink (all
+    compute, zero write I/O); the metrics row itself is the result."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    q = F.col("l_quantity") * 10000
+    q_cents = (F.floor(F.abs(q) + F.lit(0.5)) * F.signum(q)).cast("long")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(q_cents).cast("double") / 10000).alias("sum_qty"),
+        F.count(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 0.6), 1))
+         .alias("n_bad_discount"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp")))
+         .alias("max_ship_us"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_qty"], m["n_bad_discount"], m["max_ship_us"])],
+        "n_rows BIGINT, sum_qty DOUBLE, n_bad_discount BIGINT, "
+        "max_ship_us BIGINT")

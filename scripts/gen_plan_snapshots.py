@@ -29,6 +29,7 @@ SNAPSHOT_QUERIES = [
     "agg_global", "agg_minmax_by", "agg_corr_covar",
     "join_inner_hash", "join_sortmerge", "join_asof", "join_semi",
     "join_anti", "join_theta_range", "join_skew_salted",
+    "join_asof_nearest",
     "dedup_latest_per_key", "scd2_from_cdc", "cdc_merge_upsert",
     "cdc_time_travel", "text_unigram_logprob",
     "cdc_delta_agg", "ts_time_bucket", "ts_gap_fill", "ts_ewma",
