@@ -142,3 +142,82 @@ def audit_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_qty"], m["n_bad_discount"], m["max_ship_us"])],
         "n_rows BIGINT, sum_qty DOUBLE, n_bad_discount BIGINT, "
         "max_ship_us BIGINT")
+
+
+_Z_BITS = 8  # 8 bits per key -> 16-bit z-value, 256x256 grid
+
+
+def _interleave_sql(nx: str, ny: str) -> str:
+    """Portable bit-interleave expression (same text is valid Spark SQL
+    and DuckDB SQL): x bits land on even positions, y bits on odd."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({nx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ny} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "maintenance_zorder_layout",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_orderkey) AS ok_lo, MAX(l_orderkey) AS ok_hi,
+               MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi
+        FROM lineitem),
+    norm AS (
+        SELECT l_orderkey, l_partkey,
+               CAST(floor({(1 << _Z_BITS) - 1} * (l_orderkey - ok_lo)
+                    / (ok_hi - ok_lo + 1.0)) AS BIGINT) AS nx,
+               CAST(floor({(1 << _Z_BITS) - 1} * (l_partkey - pk_lo)
+                    / (pk_hi - pk_lo + 1.0)) AS BIGINT) AS ny
+        FROM lineitem CROSS JOIN bounds),
+    z AS (
+        SELECT l_orderkey, l_partkey, nx, ny,
+               {_interleave_sql('nx', 'ny')} AS zval
+        FROM norm)
+    SELECT CAST(zval >> {2 * _Z_BITS - 4} AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(nx) AS BIGINT) AS ok_min, CAST(MAX(nx) AS BIGINT) AS ok_max,
+           CAST(MIN(ny) AS BIGINT) AS pk_min, CAST(MAX(ny) AS BIGINT) AS pk_max
+    FROM z
+    GROUP BY 1
+    """,
+)
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of a fact table on two join
+    keys, summarized as per-file key bounding boxes — the
+    multi-dimensional data-skipping layout every lakehouse engine
+    OPTIMIZE ZORDER implements. Linear sort orders can cluster ONE
+    key; interleaving the keys' bits makes files tight in BOTH
+    dimensions, so parquet min/max stats prune scans filtered on
+    either key (the test asserts the z-layout's normalized span
+    product beats a single-key sort's).
+
+    All JVM expression work: normalize each key to {_Z_BITS} bits
+    against its global bounds (1-row broadcast), interleave with
+    shift/mask arithmetic, bucket on the z-prefix (deterministic —
+    unlike repartitionByRange, whose sampled boundaries would break
+    the oracle), aggregate the box stats. At 100 TB the same zval
+    column feeds ``repartitionByRange(zval).write`` to produce the
+    physical files; the summary here is the skip-quality audit."""
+    li = load_table(spark, "lineitem", sf_dir)
+    hi = (1 << _Z_BITS) - 1
+    bounds = li.agg(F.min("l_orderkey").alias("ok_lo"),
+                    F.max("l_orderkey").alias("ok_hi"),
+                    F.min("l_partkey").alias("pk_lo"),
+                    F.max("l_partkey").alias("pk_hi"))
+    norm = (li.select("l_orderkey", "l_partkey")
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.floor(hi * (F.col("l_orderkey") - F.col("ok_lo"))
+                        / (F.col("ok_hi") - F.col("ok_lo") + 1.0))
+                 .cast("long").alias("nx"),
+                F.floor(hi * (F.col("l_partkey") - F.col("pk_lo"))
+                        / (F.col("pk_hi") - F.col("pk_lo") + 1.0))
+                 .cast("long").alias("ny")))
+    z = norm.withColumn("zval", F.expr(_interleave_sql("nx", "ny")))
+    return (z.groupBy(F.shiftright("zval", 2 * _Z_BITS - 4).cast("long")
+                      .alias("file_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("nx").alias("ok_min"), F.max("nx").alias("ok_max"),
+                 F.min("ny").alias("pk_min"), F.max("ny").alias("pk_max")))

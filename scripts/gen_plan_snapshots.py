@@ -46,7 +46,8 @@ SNAPSHOT_QUERIES = [
     "analytics_returned_items", "analytics_order_count_distribution",
     "analytics_promo_share", "analytics_small_qty_revenue",
     "analytics_idle_customers", "analytics_min_cost_supplier",
-    "fn_datetime_tz", "sample_weighted",
+    "fn_datetime_tz", "sample_weighted", "maintenance_zorder_layout",
+    "audit_observe_metrics",
     "subquery_in", "subquery_scalar_correlated",
     "set_union_evolved", "reshape_pivot", "reshape_unpivot",
     "sample_stratified", "sample_train_test_split",

@@ -66,3 +66,61 @@ def test_compact_range_clustering_prunes(spark, tdir):
     assert len(ranges) >= 2
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next > hi_prev, f"file id ranges overlap: {ranges}"
+
+
+def test_zorder_beats_single_key_sort_on_span_product(spark, sf_dir):
+    """The point of z-ordering: per-file bounding boxes must be tight
+    in BOTH keys. Compare the z-layout's mean normalized span product
+    against a single-key (orderkey) sort layout with the same file
+    count — the single-key layout leaves the second key's span at
+    ~full width, so its product must be materially worse."""
+    from pyspark.sql import functions as F
+
+    from cdc_plg_spark.operators.maintenance import (_Z_BITS,
+                                                     maintenance_zorder_layout)
+
+    z = maintenance_zorder_layout(spark, sf_dir).collect()
+    width = 1 << _Z_BITS
+
+    def files_scanned(rows):
+        """Mean number of files a min/max-stats pruner reads for a
+        point filter, averaged over every value of BOTH dimensions.
+        (Box *area* is partition-invariant — any equal split scores
+        the same — but files-hit-per-filter is exactly what parquet
+        stats pruning pays, and it is shape-sensitive.)"""
+        per_ok = sum(sum(1 for r in rows if r.ok_min <= v <= r.ok_max)
+                     for v in range(width)) / width
+        per_pk = sum(sum(1 for r in rows if r.pk_min <= v <= r.pk_max)
+                     for v in range(width)) / width
+        return per_ok + per_pk
+
+    z_quality = files_scanned(z)
+
+    # single-key layout: same normalization, files cut on nx alone
+    from cdc_plg_spark.catalog import load_table
+    li = load_table(spark, "lineitem", sf_dir)
+    hi = width - 1
+    bounds = li.agg(F.min("l_orderkey").alias("ok_lo"),
+                    F.max("l_orderkey").alias("ok_hi"),
+                    F.min("l_partkey").alias("pk_lo"),
+                    F.max("l_partkey").alias("pk_hi"))
+    norm = (li.select("l_orderkey", "l_partkey")
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.floor(hi * (F.col("l_orderkey") - F.col("ok_lo"))
+                        / (F.col("ok_hi") - F.col("ok_lo") + 1.0))
+                 .cast("long").alias("nx"),
+                F.floor(hi * (F.col("l_partkey") - F.col("pk_lo"))
+                        / (F.col("pk_hi") - F.col("pk_lo") + 1.0))
+                 .cast("long").alias("ny")))
+    n_files = len(z)
+    single = (norm.groupBy((F.col("nx") * n_files / width)
+                           .cast("long").alias("file_id"))
+              .agg(F.min("nx").alias("ok_min"), F.max("nx").alias("ok_max"),
+                   F.min("ny").alias("pk_min"), F.max("ny").alias("pk_max"))
+              .collect())
+    single_quality = files_scanned(single)
+
+    # z-order must materially cut either-dimension point-filter I/O
+    # (16 files: z reads ~4+4, a single-key sort reads ~1+16)
+    assert z_quality < 0.7 * single_quality, (z_quality, single_quality)
