@@ -385,3 +385,56 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "p_name", F.col("s_name").alias("supplier"),
                     F.col("n_name").alias("nation"),
                     F.round("unit_price", 4).alias("unit_price")))
+
+
+@register(
+    "analytics_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                             * 10000 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+    SELECT nation, yr,
+           CAST(rev_cents AS DOUBLE) / 10000 AS revenue,
+           ROUND(CASE WHEN LAG(rev_cents) OVER w IS NULL THEN NULL
+                 ELSE (CAST(rev_cents AS DOUBLE)
+                       - CAST(LAG(rev_cents) OVER w AS DOUBLE))
+                      / CAST(LAG(rev_cents) OVER w AS DOUBLE) END, 6)
+               AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+)
+def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per supplier nation: aggregate
+    the fact to |nations|×|years| rows FIRST, then a lag window over
+    the tiny aggregate — the window-after-agg ordering that matters at
+    scale (lagging the raw fact would sort terabytes to produce the
+    same 150 rows). Exact cents keep the growth ratio bit-identical
+    across engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
+             ).cast("long")
+    yearly = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("yr"))
+              .agg(F.sum(cents).alias("rev_cents")))
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "nation", "yr",
+        (F.col("rev_cents").cast("double") / 10000).alias("revenue"),
+        F.round((F.col("rev_cents").cast("double") - prev.cast("double"))
+                / prev.cast("double"), 6).alias("yoy_growth"))

@@ -460,3 +460,50 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_table(agg, output_mode="append")
     return out.select(F.col("window.start").alias("window_start"),
                       "n_pairs", "min_click", "max_view")
+
+
+@register(
+    "stream_update_mode_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 4) * 10000 AS BIGINT)) AS DOUBLE)
+               / 10000 AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third emission contract (append emits
+    once-per-finalized-result, complete re-emits everything, update
+    emits each key's NEW value whenever a batch changes it). This is
+    the changelog-out face of the engine: what a foreachBatch upsert
+    sink (README.md:59-68) consumes to maintain a keyed table
+    incrementally.
+
+    The sentinel-staged source gives three batches, so keys touched in
+    several batches emit several versions into the memory sink; the
+    final materialized state — latest emission per key — must equal
+    the batch aggregate exactly (the update stream's defining
+    invariant). The sink-side compaction is the same latest-per-key
+    window the CDC operators use, keyed on the sink's arrival order."""
+    from cdc_plg_spark.streaming.core import staged_events_stream
+
+    from pyspark.sql import Window
+
+    raw = (staged_events_stream(spark, sf_dir)
+           .filter(F.col("user_id") >= 0))
+    cents = (F.floor(F.abs(F.col("value") * 10000) + F.lit(0.5))
+             * F.signum(F.col("value"))).cast("long")
+    agg = (raw.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                (F.sum(cents).cast("double") / 10000).alias("sum_value")))
+    from cdc_plg_spark.streaming.core import run_to_table
+
+    out = run_to_table(agg, output_mode="update")
+    # memory sink preserves insertion order per key: keep each key's
+    # last emitted version (monotone n_events makes this checkable)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (out.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1).drop("_r"))
