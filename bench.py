@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "analytics_shipping_priority",  # TPC-H Q3 shape
     "analytics_nation_volume",      # TPC-H Q5 shape
     "analytics_sessionize_batch",   # gaps-and-islands sessionization
+    "analytics_volume_shipping",    # TPC-H Q7 shape (two-role dimension)
+    "analytics_returned_items",     # TPC-H Q10 shape (top-k after 3 joins)
+    "ts_ewma",                      # per-key JVM fold
+    "join_asof_nearest",            # two-direction window carry
 ]
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",

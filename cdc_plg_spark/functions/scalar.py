@@ -629,3 +629,69 @@ def fn_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
         F.hour(ny).cast("int").alias("ny_hour"),
         F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip_utc"))
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k,
+           json(props)::VARCHAR AS normalized
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType surface (Spark 4): parse the JSON event payload
+    ONCE into the binary variant encoding, then take typed paths out
+    with variant_get — the open-schema answer to from_json's
+    fixed-StructType contract (the reference's payloads are
+    schema-flexible JSON, /root/reference/README.md:75, so a CDC
+    consumer can't always pre-declare the struct).
+
+    Variant beats per-path get_json_object at scale: one parse per
+    row instead of one per extracted path, and the binary encoding
+    pushes shredded-path reads down in formats that support it.
+    to_json(variant) round-trips to minified JSON — DuckDB's json()
+    normalization, making the whole family oracle-checkable."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'int') IS NOT NULL")
+         .alias("has_k"),
+        F.to_json(v).alias("normalized"))
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_tax = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_tax, 4) END AS price_per_tax,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(floor(l_extendedprice) AS BIGINT)
+                     // CAST(floor(l_quantity) AS BIGINT) END AS unit_floor,
+           try_cast(l_returnflag AS INT) AS flag_as_int
+    FROM lineitem
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic family: try_divide / integer try_divide /
+    try_cast return NULL where strict evaluation would raise (divide
+    by zero, invalid cast) — the per-event "correction" posture the
+    reference assigns to plugins (README.md:89: fix or drop bad
+    records) expressed as engine semantics. At 100 TB a single
+    malformed row must never kill a 6-hour job; the try_* family turns
+    the failure into a filterable NULL instead."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_tax"), 4)
+         .alias("price_per_tax"),
+        F.expr("try_divide(CAST(floor(l_extendedprice) AS BIGINT), "
+               "CAST(floor(l_quantity) AS BIGINT))").cast("bigint")
+         .alias("unit_floor"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int")
+         .alias("flag_as_int"))

@@ -588,3 +588,47 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.filter(u < p_keep)
              .select("doc_id", "lang", "n_chars",
                      F.round(p_keep, 6).alias("p_keep")))
+
+
+@register(
+    "analytics_cumulative_distinct_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+        FROM events GROUP BY user_id),
+    daily_new AS (
+        SELECT first_d AS d, COUNT(*) AS new_users
+        FROM firsts GROUP BY first_d),
+    active AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+    SELECT a.d,
+           CAST(COALESCE(dn.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(dn.new_users, 0)) OVER (ORDER BY a.d)
+                AS BIGINT) AS cum_distinct_users
+    FROM active a LEFT JOIN daily_new dn ON a.d = dn.d
+    """,
+)
+def analytics_cumulative_distinct_users(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) without distinct state: a cumulative
+    distinct-user curve computed as first-appearance day per user →
+    daily new-user counts → running sum. The naive form (a windowed
+    COUNT(DISTINCT) per day) holds the full user set in window state;
+    this decomposition carries ONE row per user then ONE row per day
+    — the only version that survives a 100 TB event table with
+    billions of users. The single-partition running-sum window is over
+    |days| rows, which is trivially safe."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_d")))
+    daily_new = (firsts.groupBy(F.col("first_d").alias("d"))
+                 .agg(F.count(F.lit(1)).alias("new_users")))
+    active = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    joined = (active.join(F.broadcast(daily_new), "d", "left")
+              .select("d", F.coalesce("new_users", F.lit(0))
+                      .alias("new_users")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return joined.select(
+        "d", "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"))

@@ -199,3 +199,30 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, d.lang, t.n_tokens, t.bucket
         FROM udtf_docs_v d, LATERAL token_bucket(d.text) t
     """)
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) || ':' || CAST(user_id % 16 AS VARCHAR)
+               AS routing_tag
+    FROM events
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED plain Python UDF (Spark 3.5+ useArrow=True):
+    row-at-a-time author experience, Arrow-batch wire transfer — the
+    middle tier between `udf_scalar_py` (pickle per row) and
+    `udf_pandas_scalar` (vectorized author experience). The right
+    migration path for existing per-event plugin logic (README.md:87)
+    that can't be trivially vectorized: swapping the decorator buys
+    the serialization win without rewriting the function body."""
+
+    @udf("string", useArrow=True)
+    def routing_tag(event_type: str, user_id: int) -> str:
+        return f"{event_type.upper()}:{user_id % 16}"
+
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select("event_id",
+                     routing_tag("event_type", "user_id").alias("routing_tag"))

@@ -39,6 +39,7 @@ SNAPSHOT_QUERIES = [
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
+    "fn_variant", "fn_try_arith", "analytics_cumulative_distinct_users",
     "analytics_shipping_priority", "analytics_nation_volume",
     "analytics_regional_trade", "analytics_sessionize_batch",
     "analytics_funnel", "analytics_retention", "analytics_histogram",

@@ -30,6 +30,11 @@ SCALE_QUERIES = (
     #                            not depend on corpus size)
     "text_chunking",           # fan-out explode (output rows scale ~n_chars)
     "analytics_funnel",        # conditional agg + global rollup
+    "analytics_volume_shipping",   # two-role dimension broadcast chain
+    "ts_ewma",                 # per-key fold (array length scales w/ span)
+    "join_asof_nearest",       # two-direction window carry
+    "maintenance_zorder_layout",   # global-bounds normalization + z-bucket
+    "text_unigram_logprob",    # vocabulary broadcast scales sublinearly
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
