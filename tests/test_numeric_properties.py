@@ -48,3 +48,28 @@ def test_fast_round_null_and_nan(spark):
     out = df.select(fast_round("x", 2).alias("r")).collect()
     assert out[0]["r"] is None
     assert out[1]["r"] != out[1]["r"]  # NaN propagates
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=60))
+def test_ewma_fold_matches_reference_recursion(spark, values):
+    """The ts_ewma JVM fold must equal the textbook recursion
+    y_i = α·x_i + (1-α)·y_{i-1} seeded with x_0 — same operation
+    order, so equality is exact (both are IEEE double chains)."""
+    from cdc_plg_spark.operators.timeseries import EWMA_ALPHA
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(list(values),)], "vals array<double>")
+    fold = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc)
+    got = df.select(fold.alias("e")).collect()[0]["e"]
+
+    ref = values[0]
+    for x in values[1:]:
+        ref = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * ref
+    assert got == ref, (got, ref)
