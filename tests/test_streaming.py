@@ -149,3 +149,37 @@ def test_cdc_envelope_roundtrip(spark, sf_small):
     assert [(f.name, f.dataType) for f in decoded.schema.fields] == \
            [(f.name, f.dataType) for f in env.schema.fields]
     assert decoded.count() == len(rows)
+
+
+def test_checkpoint_restart_with_plugin_swap(spark, tdir):
+    """The reference's 2PC plugin upgrade (README.md:99-119), Spark-
+    native (SURVEY.md §3.4): stop the query, deploy NEW transform
+    code, restart from the SAME checkpoint. Contract: data committed
+    under plugin v1 is not reprocessed (keeps v1 output), data after
+    the swap gets v2 — upgrade without replay, atomicity from the
+    commit log instead of a distributed prepare/pause/commit."""
+    src = os.path.join(tdir, "src")
+    os.makedirs(src)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    out_dir = os.path.join(tdir, "out")
+    ckpt = os.path.join(tdir, "ckpt")
+
+    def make_plugin(version, scale):
+        def plugin(df, epoch_id):
+            (df.withColumn("plugin_version", F.lit(version))
+             .withColumn("scaled", F.col("value") * scale)
+             .write.mode("append").parquet(out_dir))
+        return plugin
+
+    _write_batch_file(spark, [(1, "2024-01-01 10:00:00", 1, 2.0)],
+                      schema, src, "b1")
+    run_foreach_batch(_events_stream(spark, src), make_plugin("v1", 10), ckpt)
+
+    # swap: same checkpoint, new plugin code
+    _write_batch_file(spark, [(2, "2024-01-01 11:00:00", 1, 3.0)],
+                      schema, src, "b2")
+    run_foreach_batch(_events_stream(spark, src), make_plugin("v2", 100), ckpt)
+
+    rows = {r["event_id"]: (r["plugin_version"], r["scaled"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {1: ("v1", 20.0), 2: ("v2", 300.0)}, rows
