@@ -438,3 +438,47 @@ def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents").cast("double") / 10000).alias("revenue"),
         F.round((F.col("rev_cents").cast("double") - prev.cast("double"))
                 / prev.cast("double"), 6).alias("yoy_growth"))
+
+
+@register(
+    "analytics_basket_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def analytics_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥3
+    orders — the association-mining primitive (and the engine's
+    self-join fan-out stress shape).
+
+    Fan-out control is the whole design: dedup to DISTINCT
+    (order, part) FIRST (collapses multi-line orders before any
+    pairing), then the self-equi-join on l_orderkey generates
+    C(k,2) pairs per order where k is bounded by basket size — never
+    corpus size; the `<` predicate halves the pair stream at the join
+    itself. At 100 TB a per-order `collect_set` + array combinations
+    would do the same with one shuffle fewer but loses map-side
+    partial aggregation on the pair counts; the equi-join form keeps
+    both sides hash-partitioned on the SAME orderkey, so AQE runs it
+    without a broadcast and the pair generation is local to each
+    partition."""
+    items = (load_table(spark, "lineitem", sf_dir)
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok2"),
+                     F.col("l_partkey").alias("part_b"))
+    return (a.join(b, (F.col("ok") == F.col("ok2"))
+                   & (F.col("part_a") < F.col("part_b")))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= 3))

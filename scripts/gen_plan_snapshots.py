@@ -47,7 +47,7 @@ SNAPSHOT_QUERIES = [
     "analytics_returned_items", "analytics_order_count_distribution",
     "analytics_promo_share", "analytics_small_qty_revenue",
     "analytics_idle_customers", "analytics_min_cost_supplier",
-    "analytics_yoy_growth",
+    "analytics_yoy_growth", "analytics_basket_pairs",
     "fn_datetime_tz", "sample_weighted", "maintenance_zorder_layout",
     "audit_observe_metrics",
     "subquery_in", "subquery_scalar_correlated",
