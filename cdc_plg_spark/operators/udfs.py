@@ -226,3 +226,50 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return ev.select("event_id",
                      routing_tag("event_type", "user_id").alias("routing_tag"))
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok1,
+           string_split(text, ' ')[2] AS tok2,
+           string_split(text, ' ')[3] AS tok3
+    FROM documents
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 3.5+/4): the OUTPUT SCHEMA is
+    computed at plan time by the class's static analyze() from the
+    call's literal argument — first_tokens(text, 3) compiles to three
+    columns, first_tokens(text, 5) to five, one registration. This is
+    the schema-flexible per-event plugin (README.md:89) taken further
+    than a fixed-signature UDF can: the host (Catalyst) asks the
+    plugin for its contract per call site instead of per deployment.
+
+    Python crossing is per row (UDTF protocol) — fine for a lateral
+    expansion whose cost is dominated by output row construction;
+    bulk scalar paths stay on pandas_udf."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text, n):
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None
+                        for i in range(n))
+
+    spark.udtf.register("first_tokens", _udtf(FirstTokens))
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("docs_poly")
+    return spark.sql("""
+        SELECT d.doc_id, t.tok1, t.tok2, t.tok3
+        FROM docs_poly d, LATERAL first_tokens(d.text, 3) t
+    """)

@@ -507,3 +507,47 @@ def stream_update_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (out.withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1).drop("_r"))
+
+
+@register(
+    "stream_state_reader",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400)
+               AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a streaming query's STATE STORE as a batch table (Spark 4
+    statestore data source): run a daily windowed count to a
+    checkpoint, then open the checkpoint's state offline and project
+    the keyed counts back out. The state store IS the engine's
+    materialized CDC table — the RFC's plugins keep equivalent state
+    opaquely inside the guest (README.md:89); here it is a queryable
+    DataFrame, so an operator can audit, debug, or bootstrap-migrate
+    live state without touching the running query.
+
+    The invariant checked by the oracle: complete-mode aggregate state
+    over the full replay equals the batch aggregate, read not from
+    the sink but from the operator's own internal store."""
+    import tempfile
+
+    from cdc_plg_spark.streaming.core import read_events_stream
+
+    ckpt = tempfile.mkdtemp(prefix="state_reader_ckpt_")
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (ev.groupBy(F.window("ts", "1 day"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("noop")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"))
