@@ -85,7 +85,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 # /tmp (text round-trips, bucketed tables, compaction fragments) are
 # reused across runs, and a stale layout must never satisfy a newer
 # operator
-CACHE_VERSION = 2
+CACHE_VERSION = 3
 
 
 def cache_dir(kind: str, sf_dir: str) -> str:

@@ -103,10 +103,15 @@ def to_cdc_envelope(events: DataFrame) -> DataFrame:
 
 def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a MULTI-BATCH stream whose watermark
-    provably passes every real event: the events file plus two
+    provably passes every real event: the events file plus three
     far-future sentinel files (one 'view' + one 'click' row each,
-    user_id = -1), read with maxFilesPerTrigger=1 → three micro-
-    batches, two watermark advances.
+    user_id = -1), read with maxFilesPerTrigger=1 → four micro-
+    batches, three watermark advances. Three sentinels (not two)
+    because watermark-driven callbacks — outer-join NULL flush,
+    per-key event-time TIMEOUTS — fire in the batch AFTER the
+    advance that arms them: keys whose events lie inside the final
+    watermark-delay window of the last real event need the extra
+    batch, or their timers stay armed forever.
 
     Operators whose output only emits when the watermark passes —
     outer-join NULL padding, append-mode window finalization — need
@@ -131,7 +136,8 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_ns = (load_table(spark, "events", sf_dir)
                   .agg(F.max(F.unix_micros("ts"))).collect()[0][0]) * 1000
         hour_ns = 3600 * 10**9
-        for i, off in enumerate((hour_ns, 2 * hour_ns), start=1):
+        for i, off in enumerate((hour_ns, 2 * hour_ns, 3 * hour_ns),
+                                start=1):
             tmp = os.path.join(stage, f"_build{i}")
             (spark.createDataFrame(
                 [(-(2 * i + 100), max_ns + off, -1, "view", 0.0, "{}"),
@@ -145,7 +151,7 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
     # file stream picks files oldest-first: force the intended order
     now = os.path.getmtime(os.path.join(stage, "batch0.parquet"))
-    for i in (1, 2):
+    for i in (1, 2, 3):
         os.utime(os.path.join(stage, f"sentinel{i}.parquet"),
                  (now + 60 * i, now + 60 * i))
     return (spark.readStream.schema(EVENTS_RAW_SCHEMA)

@@ -551,3 +551,103 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.window.start").alias("window_start"),
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"))
+
+
+SESSION_GAP_S = 3600
+
+
+@register(
+    "stream_timeout_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+    marked AS (
+        SELECT user_id, ts_s,
+               CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id
+                                                ORDER BY ts_s)
+                         > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+    sess AS (
+        SELECT user_id, ts_s,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+    SELECT user_id, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming",),
+)
+def stream_timeout_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMERS: per-user sessions closed by an inactivity
+    timeout, not by incoming data — applyInPandasWithState with
+    EventTimeTimeout. Each key buffers its event times and arms a
+    timer at last_seen + gap; when the WATERMARK (the reference's
+    resolved-ts, README.md:64) passes that instant, the timed-out
+    callback splits the buffer into gap-delimited sessions, emits
+    every session provably closed, and re-arms for the open tail.
+    This is the stateful-plugin pattern (README.md:89) that reacts to
+    the PASSAGE OF EVENT TIME rather than to events — the semantics
+    session_window provides declaratively, re-built on raw timers to
+    exercise the timeout API (and oracle-checked against the
+    gaps-and-islands batch form, exactly, at every sf).
+
+    Two hard-won layout rules (see staged_events_stream): Catalyst
+    pushes filters BELOW the EventTimeWatermark node, so the sentinel
+    rows must NOT be filtered out before groupBy — the sentinel key
+    is handled inside the function (consume, never arm a timer); and
+    timers within the final watermark-delay window need a batch after
+    their arming watermark advance, hence the third sentinel."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cdc_plg_spark.streaming.core import (run_to_table,
+                                              staged_events_stream)
+
+    gap = SESSION_GAP_S
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        if key[0] < 0:              # sentinel key: consume, no timer
+            for _ in pdf_iter:
+                pass
+            return
+        buf = list(state.get[0]) if state.exists else []
+        if state.hasTimedOut:
+            wm_s = state.getCurrentWatermarkMs() // 1000
+            out, keep, cur = [], [], []
+            for t in sorted(buf):
+                if cur and t - cur[-1] > gap:
+                    if cur[-1] + gap <= wm_s:
+                        out.append((key[0], cur[0], cur[-1], len(cur)))
+                    else:
+                        keep.extend(cur)
+                    cur = []
+                cur.append(t)
+            if cur:
+                if cur[-1] + gap <= wm_s:
+                    out.append((key[0], cur[0], cur[-1], len(cur)))
+                else:
+                    keep.extend(cur)
+            if keep:
+                state.update((keep,))
+                state.setTimeoutTimestamp((max(keep) + gap) * 1000)
+            else:
+                state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "start_s", "end_s", "n"])
+        else:
+            for pdf in pdf_iter:
+                buf.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000_000).tolist())
+            state.update((buf,))
+            state.setTimeoutTimestamp((max(buf) + gap) * 1000)
+            return
+
+    ev = staged_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    res = (ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        "user_id BIGINT, start_s BIGINT, end_s BIGINT, n BIGINT",
+        "buf ARRAY<BIGINT>", "append", GroupStateTimeout.EventTimeTimeout))
+    return run_to_table(res, output_mode="append")
