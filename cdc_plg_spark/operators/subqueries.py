@@ -90,3 +90,45 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN orders o ON month(o.o_orderdate) = m.m
         GROUP BY m.m
     """)
+
+
+# ONE SQL text, two engines: written in the Spark∩DuckDB dialect
+# intersection (ANSI CTEs, EXTRACT, CAST, ROUND, window SUM) and used
+# verbatim as both the Spark query and the DuckDB oracle.
+PORTABLE_SQL = """
+    WITH rev AS (
+        SELECT r.r_name AS region,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                             * 10000 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+    )
+    SELECT region, yr,
+           CAST(rev_cents AS DOUBLE) / 10000 AS revenue,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / SUM(CAST(rev_cents AS DOUBLE)) OVER (PARTITION BY yr), 6)
+               AS share
+    FROM rev
+"""
+
+
+@register("sql_portable_cte", oracle=PORTABLE_SQL)
+def sql_portable_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portability proof: the IDENTICAL SQL text — multi-join CTE,
+    exact-cents aggregation, share-of-year window — runs unmodified on
+    Spark (this query) and DuckDB (the oracle IS the same string).
+    The engine's SQL surface (spark.sql over the registered fixture
+    views) is ANSI enough that a user's existing warehouse query moves
+    over by changing the connection string, which is the migration
+    story the whole repo exists to support. Catalyst still plans it
+    Spark-first: broadcasts for the dimension chain, partial+final
+    agg, window over the collapsed aggregate."""
+    from cdc_plg_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(PORTABLE_SQL)
