@@ -632,3 +632,52 @@ def analytics_cumulative_distinct_users(spark: SparkSession,
     return joined.select(
         "d", "new_users",
         F.sum("new_users").over(w).alias("cum_distinct_users"))
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) * 100 AS BIGINT))
+                    AS DOUBLE) / 100 AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey AS custkey,
+           CAST(NTILE(4) OVER (ORDER BY last_us DESC, o_custkey) AS INT)
+               AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+               AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+               AS m_quartile
+    FROM per_cust
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    via three NTILE windows over the per-customer aggregate. The
+    aggregate collapses orders to |customers| rows FIRST; the three
+    global windows then rank that — a single-partition sort each,
+    acceptable because the windowed relation is the customer dimension,
+    not the fact (at 100 TB: range-partition the sort or switch to
+    percentile_approx cutpoints — the quartile labels, not the exact
+    sort, are the product). Tie-break on custkey keeps NTILE
+    deterministic across engines."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = (F.floor(F.abs(F.round("o_totalprice", 2)) * 100 + F.lit(0.5))
+             * F.signum(F.col("o_totalprice"))).cast("long")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.unix_micros(F.col("o_orderdate")
+                                         .cast("timestamp")))
+                      .alias("last_us"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     (F.sum(cents).cast("double") / 100).alias("monetary")))
+    r_w = Window.orderBy(F.desc("last_us"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
+        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
+        F.ntile(4).over(m_w).cast("int").alias("m_quartile"))

@@ -338,3 +338,76 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lab").alias("cluster_id"),
                          (F.col("lab") == F.col("node")).alias("is_canonical"))
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS tok,
+               array_to_string(list_sort(list_distinct(
+                   string_split(text, ' ')))[1:3], ' ') AS blk
+        FROM documents),
+    ordered AS (
+        SELECT doc_id, tok, blk,
+               LEAD(doc_id, 1) OVER w AS nb1_id,
+               LEAD(tok, 1) OVER w AS nb1_tok,
+               LEAD(doc_id, 2) OVER w AS nb2_id,
+               LEAD(tok, 2) OVER w AS nb2_tok
+        FROM toks
+        WINDOW w AS (ORDER BY blk, doc_id)),
+    pairs AS (
+        SELECT doc_id AS doc_a, nb1_id AS doc_b,
+               ROUND(CAST(len(list_intersect(tok, nb1_tok)) AS DOUBLE)
+                     / len(list_distinct(list_concat(tok, nb1_tok))), 6)
+                   AS jac
+        FROM ordered WHERE nb1_id IS NOT NULL
+        UNION ALL
+        SELECT doc_id, nb2_id,
+               ROUND(CAST(len(list_intersect(tok, nb2_tok)) AS DOUBLE)
+                     / len(list_distinct(list_concat(tok, nb2_tok))), 6)
+        FROM ordered WHERE nb2_id IS NOT NULL)
+    SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection — the third blocking
+    strategy in the dedup family (exact hash; LSH buckets; here: sort
+    by a canonical key, compare each record only to its W=2 sorted
+    neighbors). O(n·W) comparisons instead of O(n²), no hash-collision
+    tuning; the trade is that near-dups must agree on the block key
+    (first 3 sorted distinct tokens — canonicalized, so token order in
+    the document doesn't matter).
+
+    At 100 TB the global sort is the cost — but it's a sort on a short
+    key with no pairwise stage before it, and the window comparison is
+    partition-local after a range partitioning; W widens recall
+    linearly in cost, vs LSH's exponential bucket trade."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = F.array_distinct(F.split("text", " "))
+    toks = d.select(
+        "doc_id", tok.alias("tok"),
+        F.array_join(F.slice(F.sort_array(tok), 1, 3), " ").alias("blk"))
+    w = Window.orderBy("blk", "doc_id")
+    ordered = toks.select(
+        "doc_id", "tok",
+        F.lead("doc_id", 1).over(w).alias("nb1_id"),
+        F.lead("tok", 1).over(w).alias("nb1_tok"),
+        F.lead("doc_id", 2).over(w).alias("nb2_id"),
+        F.lead("tok", 2).over(w).alias("nb2_tok"))
+
+    def jac(a, b):
+        return F.round(
+            F.size(F.array_intersect(a, b)).cast("double")
+            / F.size(F.array_distinct(F.concat(a, b))), 6)
+
+    p1 = (ordered.filter(F.col("nb1_id").isNotNull())
+          .select(F.col("doc_id").alias("doc_a"),
+                  F.col("nb1_id").alias("doc_b"),
+                  jac(F.col("tok"), F.col("nb1_tok")).alias("jac")))
+    p2 = (ordered.filter(F.col("nb2_id").isNotNull())
+          .select(F.col("doc_id").alias("doc_a"),
+                  F.col("nb2_id").alias("doc_b"),
+                  jac(F.col("tok"), F.col("nb2_tok")).alias("jac")))
+    return p1.unionByName(p2).filter(F.col("jac") >= 0.5)

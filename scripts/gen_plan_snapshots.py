@@ -48,6 +48,8 @@ SNAPSHOT_QUERIES = [
     "analytics_promo_share", "analytics_small_qty_revenue",
     "analytics_idle_customers", "analytics_min_cost_supplier",
     "analytics_yoy_growth", "analytics_basket_pairs",
+    "analytics_rfm_segmentation", "dedup_sorted_neighborhood",
+    "sql_portable_cte",
     "fn_datetime_tz", "sample_weighted", "maintenance_zorder_layout",
     "audit_observe_metrics",
     "subquery_in", "subquery_scalar_correlated",
