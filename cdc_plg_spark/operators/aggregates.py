@@ -372,3 +372,35 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.regr_intercept(y, x), 6).alias("intercept"),
                  F.round(F.regr_r2(y, x), 6).alias("r2"),
                  F.regr_count(y, x).alias("n")))
+
+
+@register(
+    "agg_median_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med_v
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(MEDIAN(e.value), 6) AS median_value,
+           ROUND(MEDIAN(ABS(e.value - m.med_v)), 6) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread per group: exact MEDIAN and the median
+    absolute deviation (MAD) — the outlier-resistant twin of
+    mean/stddev (agg_stats), the robust scale every data-quality
+    screen should prefer when heavy tails are possible. Two passes by
+    construction (MAD needs the median first); the per-group median
+    relation is tiny and broadcasts back onto the fact. Exact medians
+    sort within groups — at 100 TB swap to percentile_approx with a
+    documented error bound; the fixture scale earns exactness."""
+    ev = load_table(spark, "events", sf_dir)
+    med = (ev.groupBy(F.col("event_type").alias("m_type"))
+           .agg(F.median("value").alias("med_v")))
+    return (ev.join(F.broadcast(med), ev.event_type == F.col("m_type"))
+            .groupBy("event_type")
+            .agg(F.round(F.median("value"), 6).alias("median_value"),
+                 F.round(F.median(F.abs(F.col("value") - F.col("med_v"))), 6)
+                  .alias("mad")))

@@ -318,3 +318,38 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("next_nn"),
                       F.nth_value("v", 2, ignoreNulls=True).over(full)
                        .alias("second_nn")))
+
+
+@register(
+    "win_trailing_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+           CAST(SUM(CAST(ROUND(value, 4) * 10000 AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 10000 AS trailing_24h
+    FROM events
+    """,
+)
+def win_trailing_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame: each event's trailing-24-hour value
+    total per user — RANGE BETWEEN 86400 PRECEDING on the epoch
+    second, the frame whose width is measured in event time, not row
+    count (rowsBetween frames break the moment event density varies;
+    this is the form feature pipelines actually need). One shuffle on
+    the key, one sort, exact cents inside the frame; ties at the same
+    second share a frame edge identically in both engines because the
+    range key is the integer second itself."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_s = (F.unix_micros("ts") / 1_000_000).cast("long")
+    cents = (F.floor(F.abs(F.col("value") * 10000) + F.lit(0.5))
+             * F.signum(F.col("value"))).cast("long")
+    base = ev.select("event_id", "user_id", ts_s.alias("ts_s"),
+                     cents.alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts_s")
+         .rangeBetween(-86400, 0))
+    return base.select(
+        "event_id", "user_id", "ts_s",
+        (F.sum("cents").over(w).cast("double") / 10000)
+         .alias("trailing_24h"))

@@ -35,7 +35,8 @@ SNAPSHOT_QUERIES = [
     "cdc_delta_agg", "ts_time_bucket", "ts_gap_fill", "ts_ewma",
     "ts_interpolate_linear",
     "topk_global", "topk_per_group", "win_running_sum", "win_lag_lead",
-    "win_ignore_nulls", "win_cume_dist",
+    "win_ignore_nulls", "win_cume_dist", "win_trailing_time_range",
+    "agg_median_mad",
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
