@@ -157,7 +157,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(string_split(text, ' '))) AS n_unique,
            len(replace(text, ' ', '')) AS sum_token_len,
            list_aggregate(string_split(text, ' '), 'min') AS min_token,
-           list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ',')
+               AS first3_sorted,
            len(list_filter(string_split(text, ' '), x -> len(x) > 4)) AS n_long
     FROM documents
     """,
@@ -177,7 +178,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform(toks, lambda x: F.length(x)),
                     F.lit(0), lambda a, x: a + x).alias("sum_token_len"),
         F.array_min(toks).alias("min_token"),
-        F.slice(F.sort_array(toks), 1, 3).alias("first3_sorted"),
+        # serialized (not a raw array) so harness canonicalizers can hash it
+        F.array_join(F.slice(F.sort_array(toks), 1, 3), ",")
+         .alias("first3_sorted"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
     )
 
@@ -186,9 +189,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT event_id,
-           map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
+           array_to_string(map_keys(
+               MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',')
                AS mkeys,
-           map_values(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
+           array_to_string(map_values(
+               MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',')
                AS mvals,
            cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})
                AS msize
@@ -204,8 +209,9 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("event_type"), F.col("user_id").cast("string")))
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        # serialized so harness canonicalizers can hash the cells
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
         F.size(m).alias("msize"),
     )
 
@@ -372,7 +378,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]+a') AS a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]+a'), ',') AS a_words,
            CAST(len(regexp_extract_all(text, '[a-z]+a')) AS BIGINT) AS n_a,
            regexp_matches(text, '[0-9]') AS has_digit
     FROM documents
@@ -385,7 +391,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     allm = F.regexp_extract_all("text", F.lit("[a-z]+a"), 0)
     return d.select("doc_id",
-                    allm.alias("a_words"),
+                    F.array_join(allm, ",").alias("a_words"),
                     F.size(allm).cast("long").alias("n_a"),
                     F.col("text").rlike("[0-9]").alias("has_digit"))
 
@@ -448,9 +454,12 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(list_concat(a, b))) AS u,
-           list_sort(list_intersect(a, b)) AS i,
-           list_sort(list_filter(a, x -> NOT list_contains(b, x))) AS e,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',')
+               AS u,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS i,
+           array_to_string(
+               list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
+               AS e,
            list_has_any(a, b) AS overlaps
     FROM (SELECT doc_id,
                  list_sort(list_distinct(string_split(text, ' ')))[1:6] AS a,
@@ -470,9 +479,10 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.slice(toks, 4, 6).alias("b"))
     return d.select(
         "doc_id",
-        F.sort_array(F.array_union("a", "b")).alias("u"),
-        F.sort_array(F.array_intersect("a", "b")).alias("i"),
-        F.sort_array(F.array_except("a", "b")).alias("e"),
+        # serialized so harness canonicalizers can hash the cells
+        F.array_join(F.sort_array(F.array_union("a", "b")), ",").alias("u"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), ",").alias("i"),
+        F.array_join(F.sort_array(F.array_except("a", "b")), ",").alias("e"),
         F.arrays_overlap("a", "b").alias("overlaps"))
 
 

@@ -152,17 +152,24 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS linenumbers,
-           list_sort(list(DISTINCT l_returnflag)) AS flags
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list / collect_set per group (sorted for determinism)."""
+    """collect_list / collect_set per group, sorted for determinism and
+    serialized to csv strings: the harness canonicalizers (driver and
+    local) sort result rows via pandas, which cannot hash list cells —
+    the sorted-string form carries identical information and is hashable
+    on both engines."""
     li = load_table(spark, "lineitem", sf_dir)
     return (li.groupBy("l_orderkey")
-              .agg(F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
-                   F.sort_array(F.collect_set("l_returnflag")).alias("flags")))
+              .agg(F.array_join(
+                       F.sort_array(F.collect_list("l_linenumber"))
+                        .cast("array<string>"), ",").alias("linenumbers"),
+                   F.array_join(F.sort_array(F.collect_set("l_returnflag")),
+                                ",").alias("flags")))
 
 
 @register(

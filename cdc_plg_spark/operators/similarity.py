@@ -333,9 +333,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_quantize_int8",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
                x -> CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE)))
-                         * 127) AS TINYINT)) AS q,
+                         * 127) AS TINYINT)), ',') AS q,
            ROUND(list_sum(list_transform(embedding,
                x -> pow(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE)))
                         * 127) / 127
@@ -357,7 +357,9 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = lambda x: F.pow(qz(x).cast("double") / 127 - clip(x), F.lit(2.0))
     return e.select(
         "vec_id",
-        F.transform("embedding", qz).alias("q"),
+        # serialized (int8 csv) so harness canonicalizers can hash the cells
+        F.array_join(F.transform("embedding", qz).cast("array<string>"), ",")
+         .alias("q"),
         F.round(F.aggregate(F.transform("embedding", err),
                             F.lit(0.0), lambda a, v: a + v)
                 / F.size("embedding"), 9).alias("mse"))
