@@ -656,14 +656,17 @@ def analytics_cumulative_distinct_users(spark: SparkSession,
 )
 def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary quartiles
-    via three NTILE windows over the per-customer aggregate. The
-    aggregate collapses orders to |customers| rows FIRST; the three
-    global windows then rank that — a single-partition sort each,
-    acceptable because the windowed relation is the customer dimension,
-    not the fact (at 100 TB: range-partition the sort or switch to
-    percentile_approx cutpoints — the quartile labels, not the exact
-    sort, are the product). Tie-break on custkey keeps NTILE
-    deterministic across engines."""
+    with exact NTILE(4) semantics (tie-break on custkey, identical to
+    the oracle's NTILE) — but computed WITHOUT a single-partition
+    window. Each dimension's exact global rank decomposes as
+    `rank = offset(bucket) + rank_within_bucket`, where the bucket is a
+    value-derived range key (order day / order count / spend band): the
+    within-bucket rank is a window PARTITIONED by bucket (parallel),
+    and the bucket offsets come from a model-sized per-bucket count
+    table (collected + broadcast, same pattern as IVF centroids). The
+    quartile label is then closed-form arithmetic on the rank. At
+    100 TB, bucket granularity is the knob: finer buckets bound
+    per-partition rows while the counts table stays tiny."""
     o = load_table(spark, "orders", sf_dir)
     cents = (F.floor(F.abs(F.round("o_totalprice", 2)) * 100 + F.lit(0.5))
              * F.signum(F.col("o_totalprice"))).cast("long")
@@ -673,11 +676,50 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("last_us"),
                      F.count(F.lit(1)).alias("frequency"),
                      (F.sum(cents).cast("double") / 100).alias("monetary")))
-    r_w = Window.orderBy(F.desc("last_us"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return per_cust.select(
+
+    def exact_rank(df, bucket, order_cols, out):
+        """Exact global row_number under `order_cols` (whose leading
+        column descends within `bucket`, and buckets descend too) via
+        bucket-partitioned window + broadcast cumulative offsets."""
+        b = df.withColumn("_bkt", bucket.cast("long"))
+        w = Window.partitionBy("_bkt").orderBy(*order_cols)
+        counts = sorted(
+            ((r["_bkt"], r["cnt"]) for r in
+             b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()),
+            reverse=True)  # buckets ordered DESC, matching the sort
+        offsets, acc = [], 0
+        for k, cnt in counts:
+            offsets.append((k, acc))
+            acc += cnt
+        offs = spark.createDataFrame(offsets, "_bkt long, _off long")
+        return (b.withColumn("_rn", F.row_number().over(w))
+                 .join(F.broadcast(offs), "_bkt")
+                 .withColumn(out, F.col("_off") + F.col("_rn"))
+                 .drop("_bkt", "_off", "_rn"))
+
+    ranked = exact_rank(per_cust, F.floor(F.col("last_us") / 86_400_000_000),
+                        [F.desc("last_us"), F.asc("o_custkey")], "r_rank")
+    ranked = exact_rank(ranked, F.col("frequency"),
+                        [F.desc("frequency"), F.asc("o_custkey")], "f_rank")
+    ranked = exact_rank(ranked, F.floor(F.col("monetary") / 1000),
+                        [F.desc("monetary"), F.asc("o_custkey")], "m_rank")
+
+    # NTILE(4) closed form: the first (n % 4) tiles get ceil(n/4) rows.
+    n = per_cust.count()
+    big, size_small = n % 4, max(n // 4, 1)
+    size_big, threshold = n // 4 + 1, (n % 4) * (n // 4 + 1)
+
+    def ntile4(rank_col):
+        # integer `div` keeps the tile assignment exact at any n
+        return F.expr(
+            f"CAST(CASE WHEN {rank_col} <= {threshold}"
+            f"  THEN ({rank_col} - 1) DIV {size_big}"
+            f"  ELSE {big} + ({rank_col} - 1 - {threshold}) DIV {size_small}"
+            f" END + 1 AS INT)")
+
+    return ranked.select(
         F.col("o_custkey").alias("custkey"),
-        F.ntile(4).over(r_w).cast("int").alias("r_quartile"),
-        F.ntile(4).over(f_w).cast("int").alias("f_quartile"),
-        F.ntile(4).over(m_w).cast("int").alias("m_quartile"))
+        ntile4("r_rank").alias("r_quartile"),
+        ntile4("f_rank").alias("f_quartile"),
+        ntile4("m_rank").alias("m_quartile"))

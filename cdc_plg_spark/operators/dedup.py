@@ -380,18 +380,32 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first 3 sorted distinct tokens — canonicalized, so token order in
     the document doesn't matter).
 
-    At 100 TB the global sort is the cost — but it's a sort on a short
-    key with no pairwise stage before it, and the window comparison is
-    partition-local after a range partitioning; W widens recall
-    linearly in cost, vs LSH's exponential bucket trade."""
+    Scale design (no single-partition stage): the sorted sequence is
+    SPLIT BY A FIXED-LENGTH PREFIX of the block key — truncation is
+    monotone, so ordering groups by prefix and rows by (blk, doc_id)
+    inside each group reproduces the global sort order exactly. The
+    W=2 neighbor comparison then runs under a window PARTITIONED by
+    that prefix (parallel, no global sort), and the only pairs it
+    misses — the ≤2 rows on either side of each group boundary — are
+    stitched back exactly: per-group counts (one row per prefix,
+    model-sized) are collected, turned into cumulative global offsets,
+    and broadcast back so the boundary rows' true global positions
+    identify cross-group neighbors with a small×small join. At 100 TB,
+    widen the prefix to keep per-group row counts bounded; W widens
+    recall linearly in cost, vs LSH's exponential bucket trade."""
     d = load_table(spark, "documents", sf_dir)
     tok = F.array_distinct(F.split("text", " "))
     toks = d.select(
         "doc_id", tok.alias("tok"),
         F.array_join(F.slice(F.sort_array(tok), 1, 3), " ").alias("blk"))
-    w = Window.orderBy("blk", "doc_id")
+    toks = toks.withColumn("pfx", F.substring("blk", 1, 4))
+
+    # Per-prefix window: reproduces the global (blk, doc_id) order inside
+    # each prefix group, in parallel.
+    w = Window.partitionBy("pfx").orderBy("blk", "doc_id")
     ordered = toks.select(
-        "doc_id", "tok",
+        "doc_id", "tok", "pfx",
+        F.row_number().over(w).alias("rn"),
         F.lead("doc_id", 1).over(w).alias("nb1_id"),
         F.lead("tok", 1).over(w).alias("nb1_tok"),
         F.lead("doc_id", 2).over(w).alias("nb2_id"),
@@ -410,4 +424,37 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("doc_id").alias("doc_a"),
                   F.col("nb2_id").alias("doc_b"),
                   jac(F.col("tok"), F.col("nb2_tok")).alias("jac")))
-    return p1.unionByName(p2).filter(F.col("jac") >= 0.5)
+    within = p1.unionByName(p2)
+
+    # Cross-boundary stitching: global position = group offset + rn.
+    # The per-prefix counts table is model-sized (one row per 4-char
+    # prefix); collecting it to build cumulative offsets is the same
+    # legitimate driver-side pattern as IVF centroids.
+    counts = sorted(
+        (r["pfx"], r["cnt"])
+        for r in toks.groupBy("pfx").agg(F.count(F.lit(1)).alias("cnt"))
+                     .collect())
+    offsets, acc = [], 0
+    for pfx, cnt in counts:
+        offsets.append((pfx, acc, cnt))
+        acc += cnt
+    offs = spark.createDataFrame(offsets, "pfx string, off long, cnt long")
+    edges = (ordered.join(F.broadcast(offs), "pfx")
+             .withColumn("gpos", F.col("off") + F.col("rn")))
+    last2 = edges.filter(F.col("rn") >= F.col("cnt") - 1)   # group tail
+    first2 = edges.filter(F.col("rn") <= 2)                 # group head
+    # Each tail row targets global positions gpos+1 / gpos+2; exploding
+    # those targets turns the neighbor match into an EQUI join on the
+    # position (hash join), not a cartesian over all boundary rows.
+    targets = last2.select(
+        F.col("doc_id"), F.col("tok"), F.col("pfx"),
+        F.explode(F.array(F.col("gpos") + 1, F.col("gpos") + 2))
+         .alias("gpos"))
+    cross = (targets.alias("a").join(
+                 first2.alias("b"),
+                 (F.col("a.gpos") == F.col("b.gpos"))
+                 & (F.col("a.pfx") != F.col("b.pfx")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     jac(F.col("a.tok"), F.col("b.tok")).alias("jac")))
+    return within.unionByName(cross).filter(F.col("jac") >= 0.5)

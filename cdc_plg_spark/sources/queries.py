@@ -155,39 +155,46 @@ def sink_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH numbered AS (
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS p,
-               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+               o_orderkey % 8 AS writer_id,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey % 8
+                                  ORDER BY o_orderkey) - 1 AS rn
         FROM orders WHERE o_orderstatus = 'F'
     )
-    SELECT CAST(rn // 500 AS BIGINT) AS batch_id,
+    SELECT CAST(writer_id AS BIGINT) AS writer_id,
+           CAST(rn // 500 AS BIGINT) AS batch_id,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
                AS batch_total
-    FROM numbered GROUP BY 1
+    FROM numbered GROUP BY 1, 2
     """,
 )
 def sink_jdbc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL-protocol batched sink (README.md:17,:22 — the Doris
     batch-write-optimization plugin): rows are packed into fixed-size
     INSERT batches (batchsize=500, the knob `df.write.jdbc` exposes as
-    `batchsize`). Emits one row per batch with its row count and
-    checksum — the batch packing is the semantics under test; the
-    network write is `.jdbc(url, table, properties={"batchsize": 500})`.
+    `batchsize`), PER WRITER TASK — exactly what `df.write.jdbc` does:
+    each of the N partitions opens its own connection and packs its own
+    rows, with no global coordination. Emits one row per (writer,
+    batch) with its row count and checksum; the network write is
+    `.jdbc(url, table, properties={"batchsize": 500})`.
 
-    Scale note: the global row_number here exists only so the DuckDB
-    oracle can reproduce the batch assignment deterministically. The
-    production form packs batches PER PARTITION (each JDBC writer task
-    batches its own partition's rows — what df.write.jdbc does
-    natively), which needs no global sort."""
+    The writer assignment is a deterministic key hash (o_orderkey % 8
+    — standing in for repartition(8, key)) so the DuckDB oracle can
+    reproduce the packing; the row_number window is PARTITIONED by
+    writer, so the plan has no single-partition stage and scales with
+    the writer count."""
     from cdc_plg_spark.functions.numeric import fast_round
     from pyspark.sql import Window
 
     o = (load_table(spark, "orders", sf_dir)
          .filter(F.col("o_orderstatus") == "F")
-         .select("o_orderkey", fast_round("o_totalprice", 2).alias("p")))
-    w = Window.orderBy("o_orderkey")
+         .select("o_orderkey", fast_round("o_totalprice", 2).alias("p"),
+                 (F.col("o_orderkey") % 8).alias("writer_id")))
+    w = Window.partitionBy("writer_id").orderBy("o_orderkey")
     numbered = o.withColumn("rn", F.row_number().over(w) - 1)
     return (numbered
-            .groupBy((F.col("rn") / 500).cast("bigint").alias("batch_id"))
+            .groupBy(F.col("writer_id").cast("bigint").alias("writer_id"),
+                     (F.col("rn") / 500).cast("bigint").alias("batch_id"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  (F.sum(F.round(F.col("p") * 100).cast("long"))
                   .cast("double") / 100).alias("batch_total")))

@@ -190,3 +190,28 @@ def test_dynamic_partition_pruning_fires(spark, sf_small):
     j = fact.join(dim, "yr").groupBy("tag").count()
     p = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_sorted_neighborhood_window_is_partitioned(spark, sf_small):
+    """The W=2 neighbor window must run partitioned by the block-key
+    prefix — an empty-partition-spec window would pull the whole corpus
+    into one task (the round-1 scale bug). No single-partition exchange
+    anywhere in the plan."""
+    p = plan_str(q("dedup_sorted_neighborhood", spark, sf_small), "simple")
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_jdbc_batch_packing_is_per_writer(spark, sf_small):
+    """Batch packing must mirror df.write.jdbc: each writer partition
+    packs its own rows (window partitioned by writer_id), never a
+    global row_number."""
+    p = plan_str(q("sink_jdbc_batch", spark, sf_small), "simple")
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_rfm_has_no_global_sort(spark, sf_small):
+    """RFM quartiles must come from bucket-partitioned ranks + broadcast
+    offsets — three single-partition NTILE sorts (the round-1 form)
+    serialize the customer dimension through one task."""
+    p = plan_str(q("analytics_rfm_segmentation", spark, sf_small), "simple")
+    assert "Exchange SinglePartition" not in p, p
