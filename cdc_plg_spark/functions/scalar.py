@@ -663,13 +663,19 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     row instead of one per extracted path, and the binary encoding
     pushes shredded-path reads down in formats that support it.
     to_json(variant) round-trips to minified JSON — DuckDB's json()
-    normalization, making the whole family oracle-checkable."""
+    normalization, making the whole family oracle-checkable.
+
+    The typed cast uses try_variant_get (NULL, not error, on a
+    non-int-castable k) and presence uses the UNTYPED variant_get —
+    a present-but-string/null k must report has_k the way the
+    oracle's json_extract IS NOT NULL does; the strict typed form
+    would either raise or report false for it."""
     ev = load_table(spark, "events", sf_dir)
     v = F.parse_json("props")
     return ev.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
-        F.expr("variant_get(parse_json(props), '$.k', 'int') IS NOT NULL")
+        F.expr("try_variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k') IS NOT NULL")
          .alias("has_k"),
         F.to_json(v).alias("normalized"))
 

@@ -244,38 +244,49 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "analytics_small_qty_revenue",
     oracle="""
-    SELECT CAST(ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS DOUBLE)
-               AS avg_yearly
+    WITH pa AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1)
+    SELECT CAST(ROUND(
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100 / 7.0, 4) AS DOUBLE) AS avg_yearly
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
     WHERE p.p_type = 'SMALL'
-      AND l.l_quantity < (
-          SELECT 0.5 * AVG(l2.l_quantity)
-          FROM lineitem l2
-          WHERE l2.l_partkey = l.l_partkey)
+      AND 2 * pa.n * CAST(ROUND(l.l_quantity * 100) AS BIGINT) < pa.qty_c
     """,
 )
 def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-half-average-quantity
-    orders of small parts.
+    orders of small parts (the correlated `l_quantity < 0.5 * AVG`
+    subquery, decorrelated by hand into a per-part aggregate joined
+    back on l_partkey — |parts| rows, tiny next to the fact, broadcast;
+    if it were not, the equi-join shuffles both sides on the same key
+    and AQE picks SMJ).
 
-    The oracle states it as a correlated scalar subquery; the Spark
-    plan decorrelates by hand: a per-part AVG aggregate (|parts| rows
-    — tiny next to the fact) joined back on l_partkey. At 100 TB the
-    per-part aggregate still fits broadcast for any realistic part
-    dimension; if it did not, the equi-join on l_partkey shuffles both
-    sides by the same key and AQE picks SMJ."""
+    All arithmetic is fixed-point: the below-half-average predicate
+    `qty < (sum/100) / (2n)` is compared as integers
+    (`2*n*qty_cents < sum_cents`) and the revenue uses _exact_sum, so
+    neither the filter nor the total depends on float accumulation
+    order — double SUM/AVG can flip a 4-decimal rounding boundary
+    between engines at larger scale factors."""
     li = load_table(spark, "lineitem", sf_dir)
     p = (load_table(spark, "part", sf_dir)
          .filter(F.col("p_type") == "SMALL"))
-    avg_qty = (li.groupBy(F.col("l_partkey").alias("ap_partkey"))
-               .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty")))
+    qty_c = (F.floor(F.abs(F.col("l_quantity") * 100) + F.lit(0.5))
+             * F.signum("l_quantity")).cast("long")
+    pa = (li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+          .agg(F.sum(qty_c).alias("qty_c"),
+               F.count(F.lit(1)).alias("n")))
     filtered = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-                .join(F.broadcast(avg_qty),
+                .join(F.broadcast(pa),
                       li.l_partkey == F.col("ap_partkey"))
-                .filter(F.col("l_quantity") < F.col("half_avg_qty")))
+                .filter(2 * F.col("n") * qty_c < F.col("qty_c")))
     return filtered.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 4).cast("double")
+        F.round(_exact_sum("l_extendedprice") / 7.0, 4).cast("double")
          .alias("avg_yearly"))
 
 

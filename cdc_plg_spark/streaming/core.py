@@ -130,15 +130,22 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     stage = cache_dir("stream_staged", sf_dir)
     if not os.path.isdir(stage):
-        os.makedirs(stage, exist_ok=True)
+        # Build the 4-file layout in a scratch dir and rename it into
+        # place as the LAST step: a crash mid-population must never
+        # leave a partial `stage` (e.g. missing sentinel3.parquet) that
+        # later runs would silently reuse — final-window timers and
+        # outer-join flushes would then never fire, with no error.
+        build = stage + ".build"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(stage, "batch0.parquet"))
+                    os.path.join(build, "batch0.parquet"))
         max_ns = (load_table(spark, "events", sf_dir)
                   .agg(F.max(F.unix_micros("ts"))).collect()[0][0]) * 1000
         hour_ns = 3600 * 10**9
         for i, off in enumerate((hour_ns, 2 * hour_ns, 3 * hour_ns),
                                 start=1):
-            tmp = os.path.join(stage, f"_build{i}")
+            tmp = os.path.join(build, f"_build{i}")
             (spark.createDataFrame(
                 [(-(2 * i + 100), max_ns + off, -1, "view", 0.0, "{}"),
                  (-(2 * i + 101), max_ns + off, -1, "click", 0.0, "{}")],
@@ -147,8 +154,12 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             part = next(f for f in os.listdir(tmp)
                         if f.endswith(".parquet") and not f.startswith("."))
             os.replace(os.path.join(tmp, part),
-                       os.path.join(stage, f"sentinel{i}.parquet"))
+                       os.path.join(build, f"sentinel{i}.parquet"))
             shutil.rmtree(tmp)
+        try:
+            os.rename(build, stage)  # atomic publish
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # concurrent builder won
     # file stream picks files oldest-first: force the intended order
     now = os.path.getmtime(os.path.join(stage, "batch0.parquet"))
     for i in (1, 2, 3):

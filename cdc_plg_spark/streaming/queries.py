@@ -338,11 +338,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction — which is exactly what the SQL oracle checks. In
     production the state table is Delta/Iceberg MERGE INTO; the
     dataflow per batch — shuffle both sides on the pk, keep max — is
-    identical. Events are re-chunked into 3 files so availableNow
-    genuinely exercises the multi-batch path (fixtures are single
-    files = single batch otherwise).
+    identical. Events are re-chunked into 3 files (range-partitioned
+    on the chunk id, so each of the 3 chunk values lands in its own
+    non-empty file — hash repartition can collide values into fewer)
+    so availableNow genuinely exercises the multi-batch path (fixtures
+    are single files = single batch otherwise).
     """
     import os as _os
+    import shutil as _sh
     import tempfile as _tf
 
     from cdc_plg_spark.catalog import cache_dir, load_table
@@ -353,10 +356,17 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (load_table(spark, "events", sf_dir)
          .select("event_id", "ts", "user_id", "event_type", "value")
          .withColumn("chunk", (F.col("event_id") % 3).cast("int"))
-         .repartition(3, "chunk").drop("chunk")
+         .repartitionByRange(3, "chunk").drop("chunk")
          .write.mode("overwrite").parquet(chunks))
+        n_files = sum(1 for f in _os.listdir(chunks)
+                      if f.endswith(".parquet") and not f.startswith("."))
+        assert n_files == 3, f"expected 3 chunk files, got {n_files}"
 
-    state_base = _tf.mkdtemp(prefix="cdc_upsert_state_")
+    # state versions live under the sf-keyed cache (CACHE_VERSION governs
+    # cleanup); the checkpoint is per-run scratch, removed in `finally` —
+    # mkdtemp without cleanup leaked a directory pair per invocation.
+    state_base = cache_dir("upsert_state", sf_dir)
+    _os.makedirs(state_base, exist_ok=True)
     ckpt = _tf.mkdtemp(prefix="cdc_upsert_ckpt_")
     current: dict[str, str] = {"path": ""}
 
@@ -384,7 +394,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type STRING, value DOUBLE")
               .option("maxFilesPerTrigger", 1)
               .parquet(chunks))
-    run_foreach_batch(stream, merge_batch, ckpt)
+    try:
+        run_foreach_batch(stream, merge_batch, ckpt)
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
 
     final = spark.read.parquet(current["path"])
     return final.select("user_id", "event_id",
