@@ -32,6 +32,9 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 # all three are dynamic SQL confs.
 _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # fixture timestamps are µs isAdjustedToUTC=false: read as plain
+    # TimestampType (not NTZ) so event-time ops and pushdown both work
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     # engine semantics are permissive-SQL (Spark 4 defaults ANSI on;
@@ -66,6 +69,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # `div` = integer division: ns values exceed double's 2^53
             # exact-integer range, so float division would drift by ±1µs
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Defense for driver-owned sessions where inferTimestampNTZ couldn't be
+    # flipped before this read was planned: NTZ wall-clock == UTC instant
+    # under the UTC session, so the cast is value-preserving.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -84,8 +93,8 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 # bump when any cached-artifact format changes: derived artifacts in
 # /tmp (text round-trips, bucketed tables, compaction fragments) are
 # reused across runs, and a stale layout must never satisfy a newer
-# operator
-CACHE_VERSION = 3
+# operator.  v4: fixtures regenerated with µs/NTZ timestamps (was ns).
+CACHE_VERSION = 4
 
 
 def cache_dir(kind: str, sf_dir: str) -> str:

@@ -556,30 +556,37 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_trig",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(sin(radians(l_discount * 3600)), 6) AS s,
-           ROUND(cos(radians(l_discount * 3600)), 6) AS c,
-           ROUND(atan2(l_tax + 0.001, l_discount + 0.001), 6) AS a2,
-           ROUND(degrees(atan(l_quantity / 50.0)), 6) AS deg,
-           ROUND(ln(l_extendedprice), 6) AS lnp,
-           ROUND(log10(l_extendedprice), 6) AS lgp
+           ROUND(sin(radians(l_discount * 3600)), 6) + 0.0 AS s,
+           ROUND(cos(radians(l_discount * 3600)), 6) + 0.0 AS c,
+           ROUND(atan2(l_tax + 0.001, l_discount + 0.001), 6) + 0.0 AS a2,
+           ROUND(degrees(atan(l_quantity / 50.0)), 6) + 0.0 AS deg,
+           ROUND(ln(l_extendedprice), 6) + 0.0 AS lnp,
+           ROUND(log10(l_extendedprice), 6) + 0.0 AS lgp
     FROM lineitem
     """,
 )
 def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigonometric / logarithmic family (sin, cos, atan2, degrees/
     radians, ln, log10) — geo/angle math surface; every expression a
-    codegen'd JVM intrinsic."""
+    codegen'd JVM intrinsic.
+
+    Every rounded output gets ``+ 0.0``: sin() of an exact multiple of 2π
+    lands at ~-2e-16, which ROUND(…, 6) keeps as IEEE negative zero in
+    DuckDB but not in Spark — adding positive zero canonicalizes -0.0 to
+    0.0 in both engines (r02 driver hash-mismatch root cause)."""
     li = load_table(spark, "lineitem", sf_dir)
     ang = F.radians(F.col("l_discount") * 3600)
+    z = F.lit(0.0)
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.round(F.sin(ang), 6).alias("s"),
-        F.round(F.cos(ang), 6).alias("c"),
-        F.round(F.atan2(F.col("l_tax") + 0.001, F.col("l_discount") + 0.001),
-                6).alias("a2"),
-        F.round(F.degrees(F.atan(F.col("l_quantity") / 50.0)), 6).alias("deg"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("lnp"),
-        F.round(F.log10("l_extendedprice"), 6).alias("lgp"))
+        (F.round(F.sin(ang), 6) + z).alias("s"),
+        (F.round(F.cos(ang), 6) + z).alias("c"),
+        (F.round(F.atan2(F.col("l_tax") + 0.001, F.col("l_discount") + 0.001),
+                 6) + z).alias("a2"),
+        (F.round(F.degrees(F.atan(F.col("l_quantity") / 50.0)), 6) + z)
+        .alias("deg"),
+        (F.round(F.log(F.col("l_extendedprice")), 6) + z).alias("lnp"),
+        (F.round(F.log10("l_extendedprice"), 6) + z).alias("lgp"))
 
 
 @register(

@@ -6,8 +6,14 @@ way a production workload would: selective scans → broadcast dims →
 shuffle agg → ordered top-k.
 
 Scale notes mirror the component operators: filters reach the scans,
-dimensions broadcast, every aggregate is partial+final, top-k compiles
-to TakeOrderedAndProject.
+every aggregate is partial+final, top-k compiles to
+TakeOrderedAndProject. Broadcast policy (100 TB design point): explicit
+``F.broadcast`` hints only on FIXED-cardinality frames (nation=25,
+region=5, per-event-type stats, model-sized offset tables).
+Scale-growing tables — customer, supplier, part — carry NO hint:
+size-based join selection + AQE broadcasts them while they fit the
+threshold (they do at sf0.1) and falls back to a shuffle join at scale
+factors where an unconditional hint would OOM the executors.
 """
 
 from __future__ import annotations
@@ -41,7 +47,8 @@ from cdc_plg_spark.registry import register
     """,
 )
 def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: segment filter on the customer dim (broadcast),
+    """TPC-H Q3 shape: segment filter on the customer dim (unhinted —
+    AQE broadcasts it while small),
     date filters pushed to both fact scans, revenue agg, top-10."""
     c = (load_table(spark, "customer", sf_dir)
          .filter(F.col("c_mktsegment") == "BUILDING"))
@@ -51,7 +58,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_shipdate") > "1995-03-15"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey",
                      F.col("o_orderdate").cast("date").alias("orderdate"),
                      "o_orderpriority")
@@ -75,13 +82,13 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def analytics_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: fact → two chained broadcast dims → per-nation
-    revenue, ordered."""
+    """TPC-H Q5 shape: fact → supplier (size-gated) → nation
+    (broadcast hint, fixed 25 rows) → per-nation revenue, ordered."""
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
             .agg(_exact_sum(rev, scale=4).alias("revenue"))
@@ -301,7 +308,8 @@ def analytics_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TPC-H Q5 shape — the deepest join tree in the suite: fact
     lineitem against orders (shuffle join on orderkey) with the
     customer/supplier "local trade" equi-condition, then the
-    region→nation dimension chain, all three dims broadcast. The
+    region→nation dimension chain. Only fixed-size nation/region carry
+    broadcast hints; customer/supplier are size-gated (AQE). The
     region filter prunes the broadcast side BEFORE it ships, so at
     100 TB the only big exchange is lineitem×orders; Catalyst pushes
     the date window to the orders scan."""
@@ -316,8 +324,8 @@ def analytics_regional_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("r_name") == "ASIA"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -388,7 +396,7 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    brand_rev = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    brand_rev = (li.join(p, li.l_partkey == p.p_partkey)
                  .groupBy(F.col("p_brand").alias("brand"))
                  .agg(_exact_sum(rev, scale=4).alias("revenue")))
     w_run = (Window.orderBy(F.desc("revenue"), "brand")
@@ -427,7 +435,8 @@ def analytics_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts for every FK edge of
     the star schema via left-anti joins — the data-quality gate a CDC
     pipeline runs after each apply (out-of-order deletes manufacture
-    orphans). Each anti join broadcasts the key side of its dimension;
+    orphans). Each anti join's dimension side is size-gated (AQE
+    broadcasts it while it fits; dims grow with scale factor);
     the four checks share no state so Spark schedules them as parallel
     stages of one job."""
     o = load_table(spark, "orders", sf_dir)
@@ -437,7 +446,7 @@ def analytics_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
 
     def audit(name: str, fact: DataFrame, dim: DataFrame, cond) -> DataFrame:
-        return (fact.join(F.broadcast(dim), cond, "left_anti")
+        return (fact.join(dim, cond, "left_anti")
                 .agg(F.count(F.lit(1)).alias("n_bad"))
                 .select(F.lit(name).alias("check_name"), "n_bad"))
 
@@ -490,7 +499,7 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
              ).cast("long")
     agg = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(s, li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
            .groupBy(F.year("o_orderdate").cast("long").alias("yr"),

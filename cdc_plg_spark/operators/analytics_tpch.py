@@ -11,7 +11,10 @@ express (no partsupp / shipmode / phone columns — see FIXTURES.md).
 Reference grounding: the RFC names real-time data analytics as its
 first motivating use case (/root/reference/README.md:15); these are
 the standard analytics workloads such a pipeline feeds, expressed
-Spark-first: selective filters at the scans, broadcast for every
+Spark-first: selective filters at the scans, broadcast hints only
+for fixed-cardinality nation/region and scalar aggregates — customer/
+supplier/part and per-key aggregates are size-gated (AQE) because they
+grow with scale factor; an unconditional hint OOMs at 100 TB — for every
 dimension, partial+final aggregation, window-after-agg ordering.
 """
 
@@ -50,7 +53,8 @@ def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions, by ship year.
 
     Two *different* roles of the same nation dimension (supplier side
-    vs customer side) join as two independent broadcasts — the fact
+    vs customer side) join as two independent fixed-size broadcast
+    builds (supplier/customer themselves are size-gated) — the fact
     table is touched once and never shuffled for the dimensions; the
     only exchange is the final 4-column group-by. The nation filter is
     applied inside each broadcast build side, so the hash tables carry
@@ -70,8 +74,8 @@ def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("n_name").alias("cust_nation")))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
             .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -102,7 +106,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and order year (retail price × qty × 0.1 stands in for supplycost
     — the fixture has no partsupp table, FIXTURES.md).
 
-    The p_name LIKE filter lives inside the broadcast build of `part`,
+    The p_name LIKE filter lives inside the build side of `part`
+    (size-gated broadcast),
     shrinking the hash table AND letting the join itself drop the
     non-matching fact rows before the aggregate — at 100 TB the
     selective dimension-join-as-filter is the whole game for Q9."""
@@ -115,8 +120,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - F.col("p_retailprice") * F.col("l_quantity") * 0.1)
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy(F.col("n_name").alias("supp_nation"),
                      F.year("o_orderdate").cast("long").alias("yr"))
@@ -145,7 +150,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned the most revenue in a
     half-year window — returnflag filter pushed to the lineitem scan,
-    date range pushed to the orders scan, customer+nation broadcast,
+    date range pushed to the orders scan, nation broadcast (customer
+    size-gated),
     top-20 via TakeOrderedAndProject (no global sort materializes)."""
     li = (load_table(spark, "lineitem", sf_dir)
           .filter(F.col("l_returnflag") == "R"))
@@ -156,7 +162,7 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name",
                      F.col("n_name").alias("nation"),
@@ -224,7 +230,7 @@ def analytics_order_count_distribution(spark: SparkSession,
 def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly % of revenue from PROMO parts — a
     conditional-sum ratio computed in ONE pass over the filtered fact
-    (no self-join, no second scan); part broadcasts."""
+    (no self-join, no second scan); part joins size-gated."""
     li = (load_table(spark, "lineitem", sf_dir)
           .filter((F.col("l_shipdate") >= "1996-01-01")
                   & (F.col("l_shipdate") < "1998-01-01")))
@@ -233,7 +239,7 @@ def analytics_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
              ).cast("long")
     promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .groupBy(F.year("l_shipdate").cast("long").alias("yr"),
                      F.month("l_shipdate").cast("long").alias("mon"))
             .agg(F.round(100.0 * F.sum(promo_cents).cast("double")
@@ -263,7 +269,8 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-half-average-quantity
     orders of small parts (the correlated `l_quantity < 0.5 * AVG`
     subquery, decorrelated by hand into a per-part aggregate joined
-    back on l_partkey — |parts| rows, tiny next to the fact, broadcast;
+    back on l_partkey — |parts| rows, far smaller than the fact but
+    scale-growing, so size-gated rather than hint-broadcast;
     if it were not, the equi-join shuffles both sides on the same key
     and AQE picks SMJ).
 
@@ -281,8 +288,8 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = (li.groupBy(F.col("l_partkey").alias("ap_partkey"))
           .agg(F.sum(qty_c).alias("qty_c"),
                F.count(F.lit(1)).alias("n")))
-    filtered = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-                .join(F.broadcast(pa),
+    filtered = (li.join(p, li.l_partkey == p.p_partkey)
+                .join(pa,
                       li.l_partkey == F.col("ap_partkey"))
                 .filter(2 * F.col("n") * qty_c < F.col("qty_c")))
     return filtered.agg(
@@ -390,8 +397,8 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
     best = (ps.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1))
-    return (best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+    return (best.join(p, best.l_partkey == p.p_partkey)
+            .join(s, best.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .select("p_partkey", "p_name", F.col("s_name").alias("supplier"),
                     F.col("n_name").alias("nation"),
@@ -437,7 +444,7 @@ def analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.floor(F.abs(rev) * 10000 + F.lit(0.5)) * F.signum(rev)
              ).cast("long")
     yearly = (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
               .groupBy(F.col("n_name").alias("nation"),
                        F.year("o_orderdate").cast("long").alias("yr"))

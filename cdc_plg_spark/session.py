@@ -30,6 +30,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     # rejects; read as long ns and convert in catalog.load_table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # fixture timestamps are µs with isAdjustedToUTC=false; with NTZ
+    # inference on they'd surface as TIMESTAMP_NTZ and every
+    # unix_micros/watermark call breaks.  Read them as TimestampType —
+    # session TZ is UTC, so the instant matches DuckDB's naive read —
+    # and keep the scan type native so filters still push down.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # local testing tier; cluster deployments override
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.autoBroadcastJoinThreshold": "64MB",

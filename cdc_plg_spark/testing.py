@@ -74,6 +74,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
             assert ok.all(), (
                 f"{name}: column {c!r}: {int((~ok).sum())} value mismatches, "
                 f"first at row {int(np.argmax(~ok))}: {av[np.argmax(~ok)]} vs {bv[np.argmax(~ok)]}")
+            # Driver-hash twin: the CORRECTNESS harness hashes values, so a
+            # cell that is merely *close* (last-ulp drift, -0.0 vs 0.0) still
+            # fails at driver time.  Require exact equality + identical sign
+            # bit (catches negative zero), tolerating NaN==NaN.
+            exact = ((av == bv) & (np.signbit(av) == np.signbit(bv))) | (
+                np.isnan(av) & np.isnan(bv))
+            assert exact.all(), (
+                f"{name}: column {c!r}: {int((~exact).sum())} cells differ under "
+                f"driver-hash (exact) semantics; first at row "
+                f"{int(np.argmax(~exact))}: {av[np.argmax(~exact)]!r} vs "
+                f"{bv[np.argmax(~exact)]!r} (close but not bit-identical — "
+                f"round/canonicalize in BOTH engines)")
         else:
             # integer columns may come back int64 vs Int64/float — compare as objects
             mism = av.astype(str) != bv.astype(str)
