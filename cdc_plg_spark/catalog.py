@@ -28,8 +28,8 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 # Session confs the engine depends on regardless of who built the
-# SparkSession (the driver harness passes its own): set at runtime —
-# all three are dynamic SQL confs.
+# SparkSession (the driver harness passes its own): every entry is a
+# dynamic SQL conf, settable at runtime.
 _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # fixture timestamps are µs isAdjustedToUTC=false: read as plain
@@ -71,10 +71,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     # Defense for driver-owned sessions where inferTimestampNTZ couldn't be
     # flipped before this read was planned: NTZ wall-clock == UTC instant
-    # under the UTC session, so the cast is value-preserving.
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # ONLY under a UTC session — guard that, or the cast would silently
+    # shift instants. Fixtures hold no nested timestamps (asserted in
+    # tests/test_catalog.py), so top-level dtypes are sufficient.
+    if any(t == "timestamp_ntz" for _, t in df.dtypes):
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise RuntimeError(
+                f"timestamp_ntz fixture read under non-UTC session ({tz!r});"
+                " cast would shift instants")
+        for c, t in df.dtypes:
+            if t == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -94,7 +102,9 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 # /tmp (text round-trips, bucketed tables, compaction fragments) are
 # reused across runs, and a stale layout must never satisfy a newer
 # operator.  v4: fixtures regenerated with µs/NTZ timestamps (was ns).
-CACHE_VERSION = 4
+# v5: streaming sentinels rewritten in µs TIMESTAMP (were ns BIGINT —
+# stale stream_staged dirs would collapse stream event-time into 1970).
+CACHE_VERSION = 5
 
 
 def cache_dir(kind: str, sf_dir: str) -> str:

@@ -99,8 +99,12 @@ PORTABLE_SQL = """
     WITH rev AS (
         SELECT r.r_name AS region,
                CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
-                             * 10000 AS BIGINT)) AS BIGINT) AS rev_cents
+               -- round BEFORE the BIGINT cast so the cast argument is
+               -- integral: Spark truncates double->BIGINT, DuckDB rounds,
+               -- and ROUND(x,4)*10000 lands on .9999... representations
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000, 0) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -110,8 +114,10 @@ PORTABLE_SQL = """
     )
     SELECT region, yr,
            CAST(rev_cents AS DOUBLE) / 10000 AS revenue,
+           -- window-sum the BIGINTs (order-insensitive, exact), divide once:
+           -- both engines see bit-identical operands
            ROUND(CAST(rev_cents AS DOUBLE)
-                 / SUM(CAST(rev_cents AS DOUBLE)) OVER (PARTITION BY yr), 6)
+                 / CAST(SUM(rev_cents) OVER (PARTITION BY yr) AS DOUBLE), 6)
                AS share
     FROM rev
 """

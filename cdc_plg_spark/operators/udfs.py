@@ -95,26 +95,45 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_grouped_map",
     oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
     SELECT user_id, event_id,
-           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS demeaned
-    FROM events
+           cents * COUNT(*) OVER (PARTITION BY user_id)
+               - CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT)
+               AS demeaned_scaled
+    FROM c
     """,
 )
 def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group table transform via applyInPandas (grouped-map):
     each user's events arrive as one pandas DataFrame. This is the
     reference's per-table plugin unit (TablePipeline, README.md:95)
-    expressed as a keyed Arrow batch."""
+    expressed as a keyed Arrow batch.
+
+    The compared value is (value - group_mean) scaled by 1e4*count,
+    computed WITHOUT any float mean or division: quantize each value to
+    integer 1e-4 units (floor(x*1e4+0.5) — deterministic, no tie-mode
+    dependence), then cents*n - sum(cents).  Pure int64 arithmetic is
+    bit-identical across pandas and DuckDB, which a rounded float mean
+    is not (summation-order ulp drift flips cells near rounding
+    boundaries — observed live at sf0.01)."""
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf[["user_id", "event_id"]].copy()
-        out["demeaned"] = np.round(pdf["value"] - pdf["value"].mean(), 4)
+        cents = np.floor(
+            pdf["value"].to_numpy() * 10000 + 0.5).astype("int64")
+        out["demeaned_scaled"] = cents * len(pdf) - cents.sum()
         return out
 
     ev = load_table(spark, "events", sf_dir)
     return (ev.select("user_id", "event_id", "value")
               .groupBy("user_id")
-              .applyInPandas(demean, "user_id bigint, event_id bigint, demeaned double"))
+              .applyInPandas(
+                  demean,
+                  "user_id bigint, event_id bigint, demeaned_scaled bigint"))
 
 
 @register(

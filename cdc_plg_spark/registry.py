@@ -77,17 +77,38 @@ _QUERY_MODULES = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _driver_rows() -> dict[str, dict]:
-    """Latest driver CORRECTNESS row per query (filename sort = round order)."""
-    rows: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+# Rounds strictly before this one ran with a different global read path
+# (round 3 flipped inferTimestampNTZ + regenerated fixtures to µs), so a
+# green recorded earlier doesn't prove the query is green NOW.  Bump this
+# whenever a change affects every query's inputs (conf/fixture migration)
+# so stale greens rotate back through the driver's budget.
+_TRUSTED_GREEN_MIN_ROUND = 3
+
+
+def _round_of(path: str) -> int:
+    import re
+
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+def _driver_rows() -> dict[str, tuple[int, dict]]:
+    """Latest driver CORRECTNESS row per query as (round, row).
+
+    Numeric round sort, not lexicographic — r100 must beat r99."""
+    rows: dict[str, tuple[int, dict]] = {}
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")),
+                   key=_round_of)
+    for path in paths:
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            rows.update({k: v for k, v in data.items() if isinstance(v, dict)})
+            rnd = _round_of(path)
+            rows.update({k: (rnd, v) for k, v in data.items()
+                         if isinstance(v, dict)})
     return rows
 
 
@@ -97,20 +118,25 @@ def _ordered() -> list[Query]:
     The driver's correctness harness walks queries() in iteration order and
     stops after a fixed per-round budget, so ordering decides what gets
     (re-)verified.  Buckets: (0) queries whose latest driver row failed —
-    recheck immediately; (1) queries with no driver row yet; (2) driver-green
-    queries — re-verified only once everything else has a row.  The sort is
-    stable, so registration (module-priority) order holds within a bucket.
+    recheck immediately; (1) queries with no driver row yet; (2) queries
+    green only under a pre-migration read path (round <
+    _TRUSTED_GREEN_MIN_ROUND) — re-verify; (3) trusted driver-green
+    queries.  The sort is stable, so registration (module-priority) order
+    holds within a bucket.
     """
     rows = _driver_rows()
 
     def bucket(q: Query) -> int:
-        r = rows.get(q.name)
-        if r is None:
+        hit = rows.get(q.name)
+        if hit is None:
             return 1
+        rnd, r = hit
         green = r.get("hash_match") is True or (
             r.get("err") == "no_oracle" and r.get("spark_rows") is not None
         )
-        return 2 if green else 0
+        if not green:
+            return 0
+        return 3 if rnd >= _TRUSTED_GREEN_MIN_ROUND else 2
 
     return sorted(_REGISTRY.values(), key=bucket)
 

@@ -27,27 +27,26 @@ from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import ensure_session_confs
 
-# Parquet-file schema of the events fixture, with ts widened to long ns
-# (nanosAsLong) exactly as the batch reader sees it.
-EVENTS_RAW_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+# Parquet-file schema of the events fixture (µs TIMESTAMP since fixture
+# v4) — matches what the batch reader sees after catalog.load_table.
+EVENTS_RAW_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
                      "event_type STRING, value DOUBLE, props STRING")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as an unbounded stream (file source).
 
-    File sources need an explicit schema; ts arrives as long ns and is
-    rebuilt into a µs TimestampType — same normalization as
-    catalog.load_table.
+    File sources need an explicit schema; ts is a µs TIMESTAMP
+    (isAdjustedToUTC=false, read as plain TimestampType under the UTC
+    session) — identical to the batch path in catalog.load_table.
     """
     ensure_session_confs(spark)
     # events.parquet is a single file; a non-glob path would make
     # FileStreamSource force basePath to it (must be a directory). A glob
     # skips that branch and leaves our directory basePath in effect.
     path = os.path.join(sf_dir, "events.[p]arquet")
-    df = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-          .option("basePath", sf_dir).parquet(path))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("basePath", sf_dir).parquet(path))
 
 
 def read_cdc_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
@@ -140,16 +139,23 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(build)
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(build, "batch0.parquet"))
-        max_ns = (load_table(spark, "events", sf_dir)
-                  .agg(F.max(F.unix_micros("ts"))).collect()[0][0]) * 1000
-        hour_ns = 3600 * 10**9
-        for i, off in enumerate((hour_ns, 2 * hour_ns, 3 * hour_ns),
+        max_us = (load_table(spark, "events", sf_dir)
+                  .agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+        hour_us = 3600 * 10**6
+        for i, off in enumerate((hour_us, 2 * hour_us, 3 * hour_us),
                                 start=1):
             tmp = os.path.join(build, f"_build{i}")
+            # build via integer µs + timestamp_micros (JVM-side): naive
+            # datetimes through createDataFrame would round-trip the
+            # Python process's LOCAL timezone, shifting the instant
             (spark.createDataFrame(
-                [(-(2 * i + 100), max_ns + off, -1, "view", 0.0, "{}"),
-                 (-(2 * i + 101), max_ns + off, -1, "click", 0.0, "{}")],
-                EVENTS_RAW_SCHEMA)
+                [(-(2 * i + 100), max_us + off, -1, "view", 0.0, "{}"),
+                 (-(2 * i + 101), max_us + off, -1, "click", 0.0, "{}")],
+                "event_id BIGINT, ts_us BIGINT, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING")
+             .select("event_id",
+                     F.timestamp_micros("ts_us").alias("ts"),
+                     "user_id", "event_type", "value", "props")
              .coalesce(1).write.mode("overwrite").parquet(tmp))
             part = next(f for f in os.listdir(tmp)
                         if f.endswith(".parquet") and not f.startswith("."))
@@ -166,8 +172,7 @@ def staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(os.path.join(stage, f"sentinel{i}.parquet"),
                  (now + 60 * i, now + 60 * i))
     return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("maxFilesPerTrigger", "1").parquet(stage)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+            .option("maxFilesPerTrigger", "1").parquet(stage))
 
 
 ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."

@@ -224,7 +224,7 @@ def stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           MAX(epoch(ts)) - MIN(epoch(ts)) AS span_s
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
     FROM events GROUP BY user_id
     """,
     tags=("streaming",),
@@ -246,21 +246,23 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     class SpanTracker(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "span", "n BIGINT, first_s BIGINT, last_s BIGINT")
+                "span", "n BIGINT, first_us BIGINT, last_us BIGINT")
 
         def handleInputRows(self, key, rows, timerValues):
-            n, first_s, last_s = 0, None, None
+            # exact integer µs (pandas datetime64[ns] int view // 1000):
+            # a float seconds epoch would drift vs the oracle hash
+            n, first_us, last_us = 0, None, None
             if self._state.exists():
-                n, first_s, last_s = self._state.get()
+                n, first_us, last_us = self._state.get()
             for pdf in rows:
-                secs = (pdf["ts"].astype("int64") // 1_000_000_000)
+                us = (pdf["ts"].astype("int64") // 1_000)
                 n += len(pdf)
-                lo, hi = int(secs.min()), int(secs.max())
-                first_s = lo if first_s is None else min(first_s, lo)
-                last_s = hi if last_s is None else max(last_s, hi)
-            self._state.update((n, first_s, last_s))
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, first_us, last_us))
             yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                                "span_s": [last_s - first_s]})
+                                "span_us": [last_us - first_us]})
 
         def close(self) -> None:
             pass
@@ -269,13 +271,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (ev.groupBy("user_id")
               .transformWithStateInPandas(
                   SpanTracker(),
-                  outputStructType="user_id BIGINT, n_events BIGINT, span_s BIGINT",
+                  outputStructType="user_id BIGINT, n_events BIGINT, span_us BIGINT",
                   outputMode="Update",
                   timeMode="None"))
     out = run_to_table(result, output_mode="update")
     return (out.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
-                 F.max("span_s").alias("span_s")))
+                 F.max("span_us").alias("span_us")))
 
 
 def _span_via_apply_in_pandas_with_state(spark: SparkSession,
@@ -287,31 +289,31 @@ def _span_via_apply_in_pandas_with_state(spark: SparkSession,
 
     def track(key, pdf_iter, state: GroupState):
         if state.exists:
-            n, first_s, last_s = state.get
+            n, first_us, last_us = state.get
         else:
-            n, first_s, last_s = 0, None, None
+            n, first_us, last_us = 0, None, None
         for pdf in pdf_iter:
-            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            us = pdf["ts"].astype("int64") // 1_000
             n += len(pdf)
-            lo, hi = int(secs.min()), int(secs.max())
-            first_s = lo if first_s is None else min(first_s, lo)
-            last_s = hi if last_s is None else max(last_s, hi)
-        state.update((n, first_s, last_s))
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "span_s": [last_s - first_s]})
+                            "span_us": [last_us - first_us]})
 
     ev = read_events_stream(spark, sf_dir)
     result = (ev.groupBy("user_id")
               .applyInPandasWithState(
                   track,
-                  outputStructType="user_id BIGINT, n_events BIGINT, span_s BIGINT",
-                  stateStructType="n BIGINT, first_s BIGINT, last_s BIGINT",
+                  outputStructType="user_id BIGINT, n_events BIGINT, span_us BIGINT",
+                  stateStructType="n BIGINT, first_us BIGINT, last_us BIGINT",
                   outputMode="update",
                   timeoutConf=GroupStateTimeout.NoTimeout))
     out = run_to_table(result, output_mode="update")
     return (out.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
-                 F.max("span_s").alias("span_s")))
+                 F.max("span_us").alias("span_us")))
 
 
 @register(
@@ -353,14 +355,30 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = cache_dir("upsert_chunks", sf_dir)
     if not _os.path.isdir(chunks):
-        (load_table(spark, "events", sf_dir)
-         .select("event_id", "ts", "user_id", "event_type", "value")
-         .withColumn("chunk", (F.col("event_id") % 3).cast("int"))
-         .repartitionByRange(3, "chunk").drop("chunk")
-         .write.mode("overwrite").parquet(chunks))
-        n_files = sum(1 for f in _os.listdir(chunks)
-                      if f.endswith(".parquet") and not f.startswith("."))
-        assert n_files == 3, f"expected 3 chunk files, got {n_files}"
+        # one explicit file per chunk id: repartitionByRange samples its
+        # boundaries, and with only 3 distinct keys a sampling round can
+        # coalesce two keys into one partition (observed live) — the
+        # multi-batch guarantee must not depend on sampler luck.  Build
+        # in scratch + atomic rename so a crash never publishes a
+        # partial layout (same discipline as staged_events_stream).
+        build = chunks + ".build"
+        _sh.rmtree(build, ignore_errors=True)
+        _os.makedirs(build)
+        ev = (load_table(spark, "events", sf_dir)
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+        for i in range(3):
+            tmp = _os.path.join(build, f"_b{i}")
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in _os.listdir(tmp)
+                        if f.endswith(".parquet") and not f.startswith("."))
+            _os.replace(_os.path.join(tmp, part),
+                        _os.path.join(build, f"chunk{i}.parquet"))
+            _sh.rmtree(tmp)
+        try:
+            _os.rename(build, chunks)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
 
     # state versions live under the sf-keyed cache (CACHE_VERSION governs
     # cleanup); the checkpoint is per-run scratch, removed in `finally` —

@@ -60,7 +60,17 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
                         name: str = "", float_rtol: float = 1e-6,
-                        float_atol: float = 1e-6) -> None:
+                        float_atol: float = 1e-6, exact: bool = True) -> None:
+    """Compare like the driver does.
+
+    ``exact=True`` (default) mirrors the driver's value hash: float cells
+    must be bit-identical, because the CORRECTNESS gate hashes raw values
+    and last-ulp drift fails it.  Pass ``exact=False`` only for local
+    sanity checks where isclose(float_rtol/float_atol) is the intended
+    contract (e.g. recall-style metrics never sent through the driver
+    hash) — a query registered WITH an oracle should always use the
+    default, or it can pass here and still fail at driver time.
+    """
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: schema mismatch: spark={list(a.columns)} oracle={list(b.columns)}")
@@ -74,17 +84,19 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
             assert ok.all(), (
                 f"{name}: column {c!r}: {int((~ok).sum())} value mismatches, "
                 f"first at row {int(np.argmax(~ok))}: {av[np.argmax(~ok)]} vs {bv[np.argmax(~ok)]}")
+            if not exact:
+                continue
             # Driver-hash twin: the CORRECTNESS harness hashes values, so a
             # cell that is merely *close* (last-ulp drift, -0.0 vs 0.0) still
             # fails at driver time.  Require exact equality + identical sign
             # bit (catches negative zero), tolerating NaN==NaN.
-            exact = ((av == bv) & (np.signbit(av) == np.signbit(bv))) | (
+            bitsame = ((av == bv) & (np.signbit(av) == np.signbit(bv))) | (
                 np.isnan(av) & np.isnan(bv))
-            assert exact.all(), (
-                f"{name}: column {c!r}: {int((~exact).sum())} cells differ under "
+            assert bitsame.all(), (
+                f"{name}: column {c!r}: {int((~bitsame).sum())} cells differ under "
                 f"driver-hash (exact) semantics; first at row "
-                f"{int(np.argmax(~exact))}: {av[np.argmax(~exact)]!r} vs "
-                f"{bv[np.argmax(~exact)]!r} (close but not bit-identical — "
+                f"{int(np.argmax(~bitsame))}: {av[np.argmax(~bitsame)]!r} vs "
+                f"{bv[np.argmax(~bitsame)]!r} (close but not bit-identical — "
                 f"round/canonicalize in BOTH engines)")
         else:
             # integer columns may come back int64 vs Int64/float — compare as objects
