@@ -359,7 +359,8 @@ def analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY unit_price, l_suppkey) AS rn
         FROM ps)
     SELECT p.p_partkey, p.p_name, s.s_name AS supplier,
-           n.n_name AS nation, ROUND(b.unit_price, 4) AS unit_price
+           n.n_name AS nation,
+           CAST(FLOOR(b.unit_price * 10000 + 0.5) AS BIGINT) AS unit_price_e4
     FROM best b
     JOIN part p ON b.l_partkey = p.p_partkey
     JOIN supplier s ON b.l_suppkey = s.s_suppkey
@@ -376,7 +377,13 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: unit price is a ratio of two exact
     fixed-point sums, so both engines derive bit-identical doubles and
-    the rank can't flip on float noise; ties break on suppkey. At
+    the rank can't flip on float noise; ties break on suppkey.  The
+    OUTPUT is integer 1e-4 units via floor(x*1e4+0.5), not ROUND:
+    Spark's round(double) goes through BigDecimal.valueOf (shortest
+    decimal string) while DuckDB rounds the exact binary value, so a
+    ratio whose shortest repr is a midpoint (e.g. 416.26075 for
+    416.260749999...) rounds differently — floor over identical IEEE
+    ops cannot diverge. At
     scale the aggregate collapses the fact to |part×supp| rows BEFORE
     the window, and the window shuffle key (partkey) matches the
     aggregate's grouping prefix."""
@@ -402,7 +409,8 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
             .select("p_partkey", "p_name", F.col("s_name").alias("supplier"),
                     F.col("n_name").alias("nation"),
-                    F.round("unit_price", 4).alias("unit_price")))
+                    F.floor(F.col("unit_price") * 10000 + F.lit(0.5))
+                     .cast("long").alias("unit_price_e4")))
 
 
 @register(

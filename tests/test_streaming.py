@@ -183,3 +183,44 @@ def test_checkpoint_restart_with_plugin_swap(spark, tdir):
     rows = {r["event_id"]: (r["plugin_version"], r["scaled"])
             for r in spark.read.parquet(out_dir).collect()}
     assert rows == {1: ("v1", 20.0), 2: ("v2", 300.0)}, rows
+
+
+def test_stream_ts_range_matches_batch(spark, sf_dir):
+    """The round-3 regression guard: the file-source stream must see the
+    SAME event-time range as the batch reader.  A schema/conversion
+    mismatch (e.g. applying a ns-era div-1000 to µs fixtures) collapses
+    stream timestamps into 1970 and silently shrinks every windowed
+    result — cheap to assert, catastrophic to miss."""
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
+
+    batch = (load_table(spark, "events", sf_dir)
+             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+             .collect()[0])
+    streamed = run_to_table(
+        read_events_stream(spark, sf_dir)
+        .groupBy().agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")),
+        output_mode="complete").collect()[0]
+    assert streamed["lo"] == batch["lo"], (streamed, batch)
+    assert streamed["hi"] == batch["hi"], (streamed, batch)
+
+
+def test_staged_stream_covers_batch_range(spark, sf_dir):
+    """staged_events_stream = fixture + future sentinels: real rows must
+    span exactly the batch range, sentinels must all be strictly later
+    (they advance the watermark past every real event)."""
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import run_to_table, staged_events_stream
+
+    batch = (load_table(spark, "events", sf_dir)
+             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+             .collect()[0])
+    rows = run_to_table(
+        staged_events_stream(spark, sf_dir)
+        .groupBy(F.col("user_id") < 0)
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")),
+        output_mode="complete").collect()
+    by_sentinel = {r[0]: r for r in rows}
+    real, sent = by_sentinel[False], by_sentinel[True]
+    assert (real["lo"], real["hi"]) == (batch["lo"], batch["hi"])
+    assert sent["lo"] > batch["hi"]
