@@ -59,10 +59,28 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one fixture table by name from a scale-factor directory."""
+    """Load one fixture table by name from a scale-factor directory.
+
+    The analyzed base DataFrame is memoized per (session, table, dir):
+    ``spark.read.parquet`` re-lists the path and re-infers the schema
+    from footers on EVERY call (~120 ms even for a single file), which
+    dominated query build time when each registry query loads 2-5
+    tables.  DataFrames are immutable, so reuse is safe; the cache
+    lives on the session object so its lifetime tracks the session.
+    In production the same role is played by a metastore/catalog table
+    whose schema is known without per-query inference."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
+    cache: dict = getattr(spark, "_cdc_df_cache", None) or {}
+    if not hasattr(spark, "_cdc_df_cache"):
+        try:
+            spark._cdc_df_cache = cache
+        except AttributeError:  # exotic session proxy; degrade to uncached
+            pass
+    hit = cache.get((name, sf_dir))
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
@@ -83,6 +101,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         for c, t in df.dtypes:
             if t == "timestamp_ntz":
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
+    cache[(name, sf_dir)] = df
     return df
 
 
