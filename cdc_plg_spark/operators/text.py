@@ -411,3 +411,144 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg(-F.log2(F.col("c") / F.col("n"))), 6)
                   .alias("avg_neg_log2p")))
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS s
+           FROM t, UNNEST(range(1, len(w)-6)) AS u(i)
+           WHERE len(w) >= 8),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+    SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_shared
+    FROM sh JOIN ev USING (s) WHERE sh.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token shingle with the held-out eval set (here: doc_id % 50 == 0
+    as a deterministic stand-in for a benchmark suite), reporting how
+    many distinct shingles leak.  The standard n-gram-collision
+    contamination check (GPT-3 appendix C / PaLM style) as one
+    dataflow: explode corpus shingles, inner-join against the distinct
+    eval-shingle set, count per doc.
+
+    Scale: the join shuffles on the shingle string — at 100 TB hash
+    the shingle to a BIGINT first (fn_hash's xxhash64) so shuffle rows
+    are fixed-width; the eval side is typically MBs (benchmarks are
+    small) and broadcasts, making this a map-side scan of the corpus.
+    Docs shorter than 8 tokens have no shingles and cannot leak."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _toks()
+    sh = (d.filter(F.size(toks) >= 8)
+          .select("doc_id",
+                  F.explode(F.transform(
+                      F.sequence(F.lit(1), F.size(toks) - F.lit(7)),
+                      lambda i: F.concat_ws(" ", F.slice(toks, i, 8))))
+                   .alias("s")))
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    return (sh.filter(F.col("doc_id") % 50 != 0)
+            .join(ev, "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_shared")))
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+           FROM t, UNNEST(range(1, len(w))) AS u(i)
+           WHERE len(w) >= 2),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_c,
+           CAST(FLOOR(1000.0 * MAX(c) / SUM(c) + 0.5) AS BIGINT) AS top_pm
+    FROM cnt GROUP BY 1
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: the share of a document
+    occupied by its most frequent word bigram (top_pm, per-mille as
+    integer — floor(1000*max/total+0.5) is identical IEEE arithmetic
+    in both engines, where a rounded float would drift).  High values
+    mark boilerplate/spam for the quality filter to drop.
+
+    Scale: explode → two-level aggregation, both keyed by doc_id so
+    the second agg is map-side local after the first shuffle.  The
+    bigram count state is bounded per doc, not per corpus."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = _toks()
+    bg = (d.filter(F.size(toks) >= 2)
+          .select("doc_id",
+                  F.explode(F.transform(
+                      F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+                      lambda i: F.concat_ws(" ", F.slice(toks, i, 2))))
+                   .alias("g")))
+    cnt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (cnt.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                 F.max("c").cast("long").alias("top_c"),
+                 F.floor(F.lit(1000.0) * F.max("c") / F.sum("c")
+                         + F.lit(0.5)).cast("long").alias("top_pm")))
+
+
+@register(
+    "sample_domain_quota",
+    oracle="""
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+    FROM documents QUALIFY rn <= 25
+    """,
+)
+def sample_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most K documents per source,
+    chosen by deterministic hash order (md5 of the id) — the domain-
+    mixing step of a training-data pipeline, reproducible across runs
+    and engines with no RNG state.
+
+    Scale: one shuffle on source; rank-k per group truncates state at
+    K per key.  Skewed mega-domains are exactly the point — the quota
+    bounds them."""
+    d = load_table(spark, "documents", sf_dir)
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (d.select("doc_id", "source")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 25))
+
+
+@register(
+    "sample_pack_token_budget",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+    SELECT doc_id, source, n_tok,
+           CAST((cum - n_tok) // 512 AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def sample_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    bin so cumulative token count per bin stays near a 512-token
+    budget — greedy sequential fill in deterministic doc_id order,
+    bin = floor(tokens_before_this_doc / budget).  Integer `div` on
+    both engines (Spark `div` truncates, DuckDB `//` floors — equal on
+    the non-negative running sums here).
+
+    Scale: a running-sum window partitioned by source — no global
+    order, no single-partition exchange; each source packs
+    independently, which is also what a sharded tokenizer wants."""
+    d = load_table(spark, "documents", sf_dir)
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.select("doc_id", "source", F.size(_toks()).alias("n_tok"))
+            .withColumn("cum", F.sum("n_tok").over(w))
+            .select("doc_id", "source", "n_tok",
+                    F.expr("(cum - n_tok) div 512").cast("long").alias("bin")))

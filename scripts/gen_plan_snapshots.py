@@ -38,6 +38,8 @@ SNAPSHOT_QUERIES = [
     "win_ignore_nulls", "win_cume_dist", "win_trailing_time_range",
     "agg_median_mad",
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
+    "text_decontaminate", "text_repetition_signals", "sample_domain_quota",
+    "sample_pack_token_budget",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
     "fn_variant", "fn_try_arith", "analytics_cumulative_distinct_users",
