@@ -103,3 +103,40 @@ def set_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = d.filter(F.col("doc_id") < 250).select("doc_id", "n_chars")
     new = d.filter(F.col("doc_id") >= 250).select("doc_id", "lang", "n_chars")
     return old.unionByName(new, allowMissingColumns=True)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection: each nation kept
+    min(#customers, #suppliers) times).  Spark plans it as a
+    count-matching aggregate — one shuffle on the row, no join
+    explosion, same as the bag-difference twin set_except."""
+    return (_cust_nations(spark, sf_dir)
+            .intersectAll(_supp_nations(spark, sf_dir)))
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — completes the §2.7 matrix:
+    union/intersect/except each in ALL and DISTINCT flavors.  The
+    supplier side is thinned to rich accounts so the difference is
+    non-empty at every fixture scale (all 25 nations have SOME
+    supplier; fewer have a high-balance one)."""
+    rich = (load_table(spark, "supplier", sf_dir)
+            .filter(F.col("s_acctbal") > 8000)
+            .select(F.col("s_nationkey").alias("nationkey")))
+    return _cust_nations(spark, sf_dir).subtract(rich)

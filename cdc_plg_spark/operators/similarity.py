@@ -363,3 +363,43 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(F.transform("embedding", err),
                             F.lit(0.0), lambda a, v: a + v)
                 / F.size("embedding"), 9).alias("mse"))
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle="""
+    WITH u AS (
+      SELECT label, i - 1 AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+    SELECT label, pos,
+           CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mean_e6,
+           COUNT(*) AS n
+    FROM u GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-class centroid of an embedding column — the
+    building block of IVF training, k-means assignment and class-mean
+    features, expressed as posexplode → (label, dim) aggregate.
+
+    Components are quantized to integer 1e-6 units BEFORE summing
+    (floor(x*1e6+0.5) of the same float32 value is bit-identical in
+    both engines), so the sum is exact integer arithmetic and the
+    floored mean cannot drift with summation order — a raw float AVG
+    would differ between engines at the last ulp.
+
+    Scale: the explode produces |rows|x|dim| narrow (label, pos, q)
+    tuples; partial aggregation collapses them map-side to
+    |labels|x|dim| before the only shuffle, so shuffle volume is the
+    MODEL size, not the data size."""
+    e = load_table(spark, "embeddings", sf_dir)
+    u = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    q = F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    return (u.withColumn("q", q)
+            .groupBy("label", F.col("pos").cast("long").alias("pos"))
+            .agg(F.floor(F.sum("q").cast("double") / F.count(F.lit(1)))
+                  .cast("long").alias("mean_e6"),
+                 F.count(F.lit(1)).alias("n")))

@@ -353,3 +353,23 @@ def win_trailing_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts_s",
         (F.sum("cents").over(w).cast("double") / 10000)
          .alias("trailing_24h"))
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: spend quartiles within each order priority.
+    The order key is (totalprice, orderkey) — the unique tiebreak makes
+    tile assignment deterministic across engines and partitionings."""
+    o = load_table(spark, "orders", sf_dir)
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    return (o.select("o_orderkey", "o_orderpriority",
+                     F.ntile(4).over(w).alias("quartile")))

@@ -39,7 +39,8 @@ SNAPSHOT_QUERIES = [
     "agg_median_mad",
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
     "text_decontaminate", "text_repetition_signals", "sample_domain_quota",
-    "sample_pack_token_budget",
+    "sample_pack_token_budget", "set_intersect_all", "set_except_distinct",
+    "win_ntile", "embedding_centroid_per_label",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
     "fn_variant", "fn_try_arith", "analytics_cumulative_distinct_users",
