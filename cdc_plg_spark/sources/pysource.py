@@ -1,0 +1,137 @@
+"""Python DataSource plugin — the reference's pluggable-source contract
+(/root/reference/README.md:17,:21 "sources feed ordered change events";
+:59-68 plugin registration) realized through Spark 4's Python
+DataSource API: a user-authored source registered by name and then
+consumed with plain ``spark.read.format(name)`` — no JVM code, no
+rebuild, exactly the plugin deployment story the RFC describes.
+
+The shipped source is a deterministic CDC-event generator: every
+(partition, row) pair maps to one synthetic change event through pure
+integer arithmetic, so the output is reproducible across runs,
+partitionings and engines — which is what lets the driver hash-check a
+GENERATED table against a DuckDB ``range()`` oracle.
+
+Scale notes: ``partitions()`` is the parallelism contract — each
+InputPartition becomes one Spark task reading an id-range slice, so a
+100 TB-scale generate (or a real source: a Kafka topic, a JDBC range
+scan, an object-store listing) fans out without driver involvement.
+Arrow-batched row delivery happens inside the worker; the generator
+yields plain tuples, which the API batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# 2024-01-01T00:00:00Z in epoch seconds: the generator's time origin.
+_EPOCH0 = 1_704_067_200
+_EVENT_TYPES = ("view", "click", "purchase", "error")
+
+
+class EventGenSource(DataSource):
+    """format("cdc_eventgen") — options: rows (total), parts (tasks)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_eventgen"
+
+    def schema(self) -> str:
+        return ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, amount DOUBLE")
+
+    def reader(self, schema) -> "EventGenReader":
+        return EventGenReader(int(self.options.get("rows", 1000)),
+                              int(self.options.get("parts", 4)))
+
+
+class EventGenReader(DataSourceReader):
+    def __init__(self, rows: int, parts: int) -> None:
+        self.rows, self.parts = rows, parts
+
+    def partitions(self):
+        # contiguous id ranges: slice i covers [lo, hi)
+        step = (self.rows + self.parts - 1) // self.parts
+        return [InputPartition((i * step, min((i + 1) * step, self.rows)))
+                for i in range(self.parts)]
+
+    def read(self, partition: InputPartition):
+        import datetime as _dt
+
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            # tz-AWARE datetimes: a naive value would be reinterpreted
+            # through the worker's local timezone on conversion
+            ts = _dt.datetime.fromtimestamp(
+                _EPOCH0 + i * 60, tz=_dt.timezone.utc)
+            yield (i, ts, i % 97,
+                   _EVENT_TYPES[i % 4],
+                   (i % 1000) / 100.0)
+
+
+def register_python_sources(spark) -> None:
+    """Idempotently register the plugin source on a session (the RFC's
+    'register plugin by name' step)."""
+    for src in (EventGenSource, EventGenStreamSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass  # already registered on this session
+
+
+class EventGenStreamSource(DataSource):
+    """format("cdc_eventgen_stream") — a BOUNDED replay stream: emits
+    the same deterministic events as cdc_eventgen in `chunk`-row
+    micro-batches until `rows` have been produced, then reports no new
+    data.  Offsets are plain row indices, so checkpoint recovery
+    (readBetweenOffsets) is exact replay — the RFC's resume-from-
+    checkpoint-ts contract (README.md:65,:119) with the offset ledger
+    played by Spark's commit log."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_eventgen_stream"
+
+    def schema(self) -> str:
+        return ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type STRING, amount DOUBLE")
+
+    def simpleStreamReader(self, schema) -> "EventGenStreamReader":
+        return EventGenStreamReader(int(self.options.get("rows", 1000)),
+                                    int(self.options.get("chunk", 250)))
+
+
+def _gen_rows(lo: int, hi: int):
+    import datetime as _dt
+
+    for i in range(lo, hi):
+        ts = _dt.datetime.fromtimestamp(
+            _EPOCH0 + i * 60, tz=_dt.timezone.utc)
+        yield (i, ts, i % 97, _EVENT_TYPES[i % 4], (i % 1000) / 100.0)
+
+
+try:  # Spark 4 simple-stream API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class EventGenStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, rows: int, chunk: int) -> None:
+            self.rows, self.chunk = rows, chunk
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + self.chunk, self.rows)
+            # iter(list), not a bare generator or list: the engine's
+            # prefetch cache both copy.copy()s the iterator (generators
+            # can't) and next()s it directly (lists can't) — a list
+            # iterator supports both
+            return iter(list(_gen_rows(lo, hi))), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return _gen_rows(start["i"], end["i"])
+
+        def commit(self, end) -> None:
+            pass
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    EventGenStreamReader = None  # type: ignore[assignment]

@@ -422,3 +422,71 @@ def gen_synthetic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("id") * 2654435761) % 1000000).cast("double")
                     .alias("val_raw")))\
         .select("id", "h", "cat", (F.col("val_raw") / 1000).alias("val"))
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT i AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(i) AS ts,
+           i % 97 AS user_id,
+           CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                      WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST(i % 1000 AS DOUBLE) / 100.0 AS amount
+    FROM range(0, 5000) t(i)
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-authored source PLUGIN consumed by name — the reference's
+    source-plugin registration contract (README.md:17,:59-68) through
+    Spark 4's Python DataSource API (sources/pysource.py): register
+    once per session, then ``spark.read.format("cdc_eventgen")``.
+    Each InputPartition becomes one task reading an id-range slice, so
+    the source scales out like any file scan; the generated events are
+    pure integer arithmetic, hence bit-reproducible and hash-checkable
+    against a DuckDB range() oracle."""
+    from cdc_plg_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    return (spark.read.format("cdc_eventgen")
+            .option("rows", 5000).option("parts", 8).load())
+
+
+@register(
+    "source_python_stream_replay",
+    oracle="""
+    SELECT i AS event_id,
+           TIMESTAMP '2024-01-01 00:00:00' + to_minutes(i) AS ts,
+           i % 97 AS user_id,
+           CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                      WHEN 2 THEN 'purchase' ELSE 'error' END AS event_type,
+           CAST(i % 1000 AS DOUBLE) / 100.0 AS amount
+    FROM range(0, 3000) t(i)
+    """,
+)
+def source_python_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-authored STREAMING source plugin driven to exhaustion by
+    repeated checkpointed availableNow runs — the scheduled-micro-batch
+    deployment shape, and a live proof of the RFC's resume-from-
+    checkpoint-ts contract (README.md:65,:119): each restart picks up
+    at the committed row-index offset (SimpleDataSourceStreamReader in
+    sources/pysource.py), the parquet sink's metadata log keeps the
+    output exactly-once, and the union of all runs hash-matches the
+    deterministic generator's full range."""
+    import tempfile
+
+    from cdc_plg_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    out_dir = tempfile.mkdtemp(prefix="cdc_pystream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_pystream_ckpt_")
+    st = (spark.readStream.format("cdc_eventgen_stream")
+          .option("rows", 3000).option("chunk", 1000).load())
+    for _ in range(4):  # 3 chunks + one provably-empty run
+        q = (st.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
