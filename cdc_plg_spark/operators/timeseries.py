@@ -224,3 +224,45 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "d",
         F.round(interp, 6).alias("interp_value"),
         F.col("day_value").isNotNull().alias("is_observed"))
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             FIRST_VALUE(value) OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS open,
+             LAST_VALUE(value) OVER (
+                 PARTITION BY user_id, CAST(ts AS DATE)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS close
+      FROM events)
+    SELECT user_id, d, open,
+           MAX(value) AS high, MIN(value) AS low,
+           close, COUNT(*) AS n
+    FROM w GROUP BY 1, 2, 3, 6
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (user, day) open/high/low/close — the
+    financial-rollup shape of time-series downsampling.  Open/close
+    are selected (not computed) values, picked by min/max over
+    struct(ts, event_id, value): the unique (ts, event_id) prefix
+    decides the comparison, the value field rides along, and the whole
+    thing is ONE hash aggregate with map-side partials — no window, no
+    sort, rows collapse to |user x day| before the only shuffle.  The
+    oracle uses the window formulation instead (DuckDB's arg_min can't
+    take a composite ordering key) — two plans, one answer."""
+    ev = load_table(spark, "events", sf_dir)
+    key = F.struct("ts", "event_id", "value")
+    return (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+            .agg(F.min(key).getField("value").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(key).getField("value").alias("close"),
+                 F.count(F.lit(1)).alias("n")))
