@@ -152,6 +152,31 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming",),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED dedup via dropDuplicatesWithinWatermark
+    (Spark 3.5+): unlike plain dropDuplicates, whose per-key state
+    grows forever, each key's state is evicted once the watermark
+    passes its event time — the only dedup that survives an unbounded
+    100 TB/day CDC stream.  Same doubled-source setup as stream_dedup:
+    the source is read twice and unioned, so every event arrives
+    twice with identical event time; the dedup restores the original
+    set, which is exactly what the batch oracle states."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (a.unionByName(b)
+                .withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .select("event_id", "user_id", "event_type"))
+    return run_to_table(deduped, output_mode="append")
+
+
+@register(
     "stream_stateful_custom",
     oracle="""
     SELECT user_id,
