@@ -490,3 +490,59 @@ def source_python_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              .start())
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "scan_json_corrupt_records",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE event_id % 100 <> 0) AS BIGINT)
+               AS n_good,
+           CAST(COUNT(*) FILTER (WHERE event_id % 100 = 0) AS BIGINT)
+               AS n_bad,
+           CAST(SUM(event_id) FILTER (WHERE event_id % 100 <> 0) AS BIGINT)
+               AS sum_good_ids
+    FROM events
+    """,
+)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingestion of dirty JSONL — the malformed-wire-event
+    path every real CDC intake needs (README.md:75's JSON format, but
+    producers emit garbage sometimes).  A deterministic JSONL copy of
+    the events table is built with every 100th event replaced by an
+    unparsable line; the PERMISSIVE reader lands those in
+    `_corrupt_record` instead of failing the job, and the query counts
+    both populations plus an exact checksum of the clean rows.
+    DROPMALFORMED/FAILFAST are the same reader one option away.
+
+    Scale: the quarantine pattern — bad rows stay queryable for a
+    dead-letter sink instead of poisoning the pipeline."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+
+    path = cache_dir("json_badlines", sf_dir)
+    if not _os.path.isdir(path):
+        build = path + ".build"
+        _sh.rmtree(build, ignore_errors=True)
+        ev = load_table(spark, "events", sf_dir)
+        line = F.when(
+            F.col("event_id") % 100 == 0,
+            F.concat(F.lit("{corrupt::"), F.col("event_id").cast("string")),
+        ).otherwise(F.to_json(F.struct("event_id", "user_id", "value")))
+        ev.select(line.alias("value")).write.mode("overwrite").text(build)
+        try:
+            _os.rename(build, path)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
+    raw = (spark.read
+           .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, "
+                   "_corrupt_record STRING")
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt_record")
+           .json(path))
+    good = F.col("_corrupt_record").isNull()
+    return raw.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_bad"),
+        F.sum(F.when(good, F.col("event_id"))).alias("sum_good_ids"))
