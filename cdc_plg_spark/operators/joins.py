@@ -500,3 +500,44 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.col("event_id").alias("purchase_id"), "user_id",
                         p_us.alias("ts_us"),
                         nearest.alias("nearest_click_id")))
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 10 = 0 THEN NULL
+                           ELSE c_nationkey END AS ck
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 CASE WHEN s_suppkey % 10 = 0 THEN NULL
+                      ELSE s_nationkey END AS sk
+          FROM supplier)
+    SELECT c.ck AS nationkey, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics SCD
+    merge keys and optional foreign keys need.  Keys are deterministic
+    nullified copies of the nation keys so both populations exist.
+
+    Scale note: every NULL key hashes to ONE shuffle partition — a
+    null-heavy fact side is the canonical skew bomb.  Salt the null
+    bucket or split the query (IS NULL pairs via cross of two tiny
+    filtered sides, non-null via plain equi-join) when nulls exceed a
+    few percent; here the null fraction is 10% of two dimension-sized
+    inputs, which one task absorbs."""
+    c = (load_table(spark, "customer", sf_dir)
+         .select("c_custkey",
+                 F.when(F.col("c_custkey") % 10 == 0, None)
+                  .otherwise(F.col("c_nationkey")).alias("ck")))
+    s = (load_table(spark, "supplier", sf_dir)
+         .select("s_suppkey",
+                 F.when(F.col("s_suppkey") % 10 == 0, None)
+                  .otherwise(F.col("s_nationkey")).alias("sk")))
+    return (c.join(s, c["ck"].eqNullSafe(s["sk"]))
+            .groupBy(F.col("ck").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

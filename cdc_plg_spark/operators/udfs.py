@@ -292,3 +292,39 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.tok1, t.tok2, t.tok3
         FROM docs_poly d, LATERAL first_tokens(d.text, 3) t
     """)
+
+
+@register(
+    "udtf_map_arrow",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_e2,
+           CAST(LENGTH(event_type) AS BIGINT) AS type_len
+    FROM events
+    """,
+)
+def udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition transform via mapInArrow — the zero-copy floor
+    of the Python runner spectrum: user code receives pyarrow
+    RecordBatches directly (no pandas materialization, no index
+    bookkeeping), computes with Arrow compute kernels, and yields
+    batches back.  For numeric kernels this skips the
+    Arrow→pandas→Arrow round trip mapInPandas pays, which matters when
+    batches are wide or string-heavy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            value = b.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [b.column("event_id"),
+                 pc.cast(pc.floor(pc.add(pc.multiply(value, 100.0), 0.5)),
+                         pa.int64()),
+                 pc.cast(pc.utf8_length(b.column("event_type")), pa.int64())],
+                ["event_id", "value_e2", "type_len"])
+
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.select("event_id", "value", "event_type")
+            .mapInArrow(kernel,
+                        "event_id bigint, value_e2 bigint, type_len bigint"))
