@@ -1,12 +1,14 @@
 """Second batch of TPC-H-shaped composite plans.
 
 Completes the classic decision-support shapes over the fixture star
-schema (FIXTURES.md): cross-nation trade flow (Q7), product profit
-(Q9), returned-item ranking (Q10), order-count distribution (Q13),
-promotion share (Q14), correlated small-quantity revenue (Q17), and
-idle-customer audit (Q22). Together with analytics.py's Q3/Q5/Q8/Q21
-shapes this covers every TPC-H query pattern the fixture columns can
-express (no partsupp / shipmode / phone columns — see FIXTURES.md).
+schema (FIXTURES.md): late-order priority count (Q4), cross-nation
+trade flow (Q7), product profit (Q9), returned-item ranking (Q10),
+linestatus priority mix (Q12), order-count distribution (Q13),
+promotion share (Q14), correlated small-quantity revenue (Q17),
+large-volume orders (Q18), and idle-customer audit (Q22). Together
+with analytics.py's Q3/Q5/Q8/Q21 shapes this covers every TPC-H query
+pattern the fixture columns can express (no partsupp / shipmode /
+phone columns — see FIXTURES.md).
 
 Reference grounding: the RFC names real-time data analytics as its
 first motivating use case (/root/reference/README.md:15); these are
@@ -508,3 +510,119 @@ def analytics_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .filter(F.col("n_orders") >= 3))
+
+
+@register(
+    "analytics_priority_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate < DATE '1996-01-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def analytics_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a one-year window) having at least
+    one line shipped more than 60 days after the order date, counted
+    per priority — the EXISTS-correlated-subquery pattern.
+
+    Spark-first: the EXISTS becomes a LEFT SEMI join on l_orderkey;
+    the date filter prunes the orders scan BEFORE the join, and only
+    the join keys + the two dates cross the shuffle.  The ship-lag
+    predicate references both sides, so it rides on the join condition
+    (a semi join with a non-equi residual), not a post-filter."""
+    o = (load_table(spark, "orders", sf_dir)
+         .filter((F.col("o_orderdate") >= "1995-01-01")
+                 & (F.col("o_orderdate") < "1996-01-01")))
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "analytics_linestatus_priority_mix",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1995-01-01'
+      AND l.l_shipdate < DATE '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def analytics_linestatus_priority_mix(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line status (standing in for shipmode — the
+    fixture has none, FIXTURES.md), how many shipped lines belong to
+    high- vs low-priority orders.  One equi-join where the fact-side
+    date filter is pushed to the lineitem scan; the conditional counts
+    are a single pass of partial+final aggregation."""
+    li = (load_table(spark, "lineitem", sf_dir)
+          .filter((F.col("l_shipdate") >= "1995-01-01")
+                  & (F.col("l_shipdate") < "1996-01-01"))
+          .select("l_orderkey", "l_linestatus"))
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey",
+                                                   "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register(
+    "analytics_large_volume_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_e2
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def analytics_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customers — the classic aggregate-then-rejoin (the
+    HAVING set is tiny, so the second lineitem pass joins against a
+    broadcast of qualifying keys).  Quantities aggregate in exact 1e-2
+    integer units.
+
+    Scale: lineitem is scanned twice but shuffled once per scan on
+    l_orderkey; the qualifying-order set after HAVING is orders-of-
+    magnitude smaller than the fact and broadcasts into both rejoins."""
+    li = load_table(spark, "lineitem", sf_dir)
+    qty_e2 = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(qty_e2).alias("tot"))
+           .filter(F.col("tot") > 20000)
+           .select("l_orderkey"))
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
+                  F.col("o_orderkey") == F.col("lk"))
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+            .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+                       .cast("long")).alias("qty_e2")))
