@@ -51,6 +51,7 @@ _REGISTRY: dict[str, Query] = {}
 # driver-green last); module order here decides priority *within* the
 # never-checked bucket, so the riskiest / least-SQL-like families lead.
 _QUERY_MODULES = (
+    "cdc_plg_spark.operators.pipeline",
     "cdc_plg_spark.operators.dedup",
     "cdc_plg_spark.operators.similarity",
     "cdc_plg_spark.operators.udfs",

@@ -41,7 +41,8 @@ SNAPSHOT_QUERIES = [
     "text_decontaminate", "text_repetition_signals", "sample_domain_quota",
     "sample_pack_token_budget", "set_intersect_all", "set_except_distinct",
     "win_ntile", "embedding_centroid_per_label", "source_python_datasource",
-    "ts_resample_ohlc", "join_null_safe", "analytics_priority_late_orders",
+    "ts_resample_ohlc", "join_null_safe", "pipeline_llm_preprocess",
+    "analytics_priority_late_orders",
     "analytics_linestatus_priority_mix", "analytics_large_volume_orders",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
