@@ -90,8 +90,9 @@ def pipeline_llm_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (md5(text), doc_id) pairs, not text, once; the eval
     shingle set dedupes to MBs and broadcasts into the contamination
     semi-join; quota + packing are two windows over the SAME
-    source-partitioned shuffle, which Spark reuses.  Five stages,
-    three logical shuffles of ever-shrinking data."""
+    source-partitioned shuffle, which Spark reuses.  Five stages, five
+    exchanges (two of them tiny distinct-sets feeding broadcasts), each
+    over strictly shrinking data."""
     d = load_table(spark, "documents", sf_dir)
     toks = F.split("text", " ")
     kept = (d.filter(F.col("lang").isin("en", "de", "fr")
