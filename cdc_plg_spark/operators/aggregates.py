@@ -411,3 +411,27 @@ def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.median("value"), 6).alias("median_value"),
                  F.round(F.median(F.abs(F.col("value") - F.col("med_v"))), 6)
                   .alias("mad")))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — every subset of the grouping keys in one pass (rollup's
+    superset: adds the per-linestatus-only marginals).  Spark plans it
+    as a single Expand + hash aggregate, so the fact is scanned once
+    regardless of how many grouping sets the cube implies."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.grouping_id().alias("gid"),
+                   _exact_sum("l_quantity").alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n"))
+              .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n"))

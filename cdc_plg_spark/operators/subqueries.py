@@ -138,3 +138,37 @@ def sql_portable_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     return spark.sql(PORTABLE_SQL)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-06-01' AND o_totalprice < 150000
+    GROUP BY 1
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(query, args=...)`): named markers
+    bind server-side as literals AFTER parsing, so user input can never
+    splice into the query text — the injection-safe surface a
+    multi-tenant SQL endpoint needs, and the binding travels with the
+    plan into every pushed-down scan filter."""
+    from cdc_plg_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice < :cap
+        GROUP BY 1
+        """,
+        args={"cutoff": "1995-06-01", "cap": 150000},
+    )

@@ -41,7 +41,7 @@ SNAPSHOT_QUERIES = [
     "text_decontaminate", "text_repetition_signals", "sample_domain_quota",
     "sample_pack_token_budget", "set_intersect_all", "set_except_distinct",
     "win_ntile", "embedding_centroid_per_label", "source_python_datasource",
-    "ts_resample_ohlc", "join_null_safe", "pipeline_llm_preprocess",
+    "ts_resample_ohlc", "join_null_safe", "pipeline_llm_preprocess", "agg_cube",
     "analytics_priority_late_orders",
     "analytics_linestatus_priority_mix", "analytics_large_volume_orders",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
