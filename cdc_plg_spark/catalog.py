@@ -72,8 +72,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_confs(spark)
-    cache: dict = getattr(spark, "_cdc_df_cache", None) or {}
-    if not hasattr(spark, "_cdc_df_cache"):
+    cache: dict | None = getattr(spark, "_cdc_df_cache", None)
+    if cache is None:
+        cache = {}
         try:
             spark._cdc_df_cache = cache
         except AttributeError:  # exotic session proxy; degrade to uncached
