@@ -546,3 +546,50 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(good.cast("long")).alias("n_good"),
         F.sum((~good).cast("long")).alias("n_bad"),
         F.sum(F.when(good, F.col("event_id"))).alias("sum_good_ids"))
+
+
+@register(
+    "sink_jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC sink + source round trip (README.md:22's warehouse
+    sink) against the embedded Derby engine that ships in Spark's
+    classpath: 8 writer partitions each open their own connection and
+    pack 500-row INSERT batches (`batchsize` — the Doris/MySQL batch-
+    write optimization), then the table is read BACK through a
+    partitioned JDBC scan (partitionColumn/num Partitions → 8 parallel
+    range queries, the standard trick for parallelizing a warehouse
+    extract) and checksummed against the fixture.  Unlike
+    sink_jdbc_batch (which models the packing arithmetic), every byte
+    here crosses a real JDBC driver both ways."""
+    import os as _os
+    import tempfile as _tf
+
+    db = _os.path.join(_tf.mkdtemp(prefix="cdc_derby_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    (o.repartition(8, "o_orderkey")
+      .write.mode("overwrite")
+      .option("driver", drv).option("batchsize", "500")
+      .jdbc(url, "orders_sink"))
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    back = (spark.read
+            .option("driver", drv)
+            .jdbc(url, "orders_sink",
+                  column="o_orderkey", lowerBound=lo, upperBound=hi + 1,
+                  numPartitions=8))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                       .cast("long")).alias("total_cents")))
