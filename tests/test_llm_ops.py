@@ -144,3 +144,70 @@ def test_hll_sketch_accuracy(spark, sf_dir):
     assert len(m) == len(approx) and len(m) > 0
     rel = (m.approx_users - m.exact_users).abs() / m.exact_users
     assert (rel <= 0.05).all(), m[rel > 0.05]
+
+
+def test_domain_quota_invariants(spark, sf_dir):
+    """sample_domain_quota: never more than K docs per source, ranks
+    contiguous from 1, and deterministic across runs."""
+    from cdc_plg_spark import registry
+
+    fn = registry.get("sample_domain_quota").fn
+    a = fn(spark, sf_dir).toPandas()
+    per = a.groupby("source")["rn"].agg(["count", "min", "max"])
+    assert (per["count"] <= 25).all()
+    assert (per["min"] == 1).all()
+    assert (per["max"] == per["count"]).all()
+    b = fn(spark, sf_dir).toPandas()
+    assert a.sort_values(["source", "rn"]).reset_index(drop=True).equals(
+        b.sort_values(["source", "rn"]).reset_index(drop=True))
+
+
+def test_pack_token_budget_invariants(spark, sf_dir):
+    """sample_pack_token_budget: bins are contiguous per source and a
+    bin's token total only exceeds the budget by at most one document's
+    overhang (greedy sequential fill semantics)."""
+    from cdc_plg_spark import registry
+
+    pdf = registry.get("sample_pack_token_budget").fn(spark, sf_dir).toPandas()
+    for (src, b), grp in pdf.groupby(["source", "bin"]):
+        total = grp["n_tok"].sum()
+        # all but the last doc fit under budget when it was opened
+        assert total - grp["n_tok"].iloc[-1] <= 512, (src, b, total)
+    for src, grp in pdf.groupby("source"):
+        bins = sorted(grp["bin"].unique())
+        assert bins == list(range(len(bins))), (src, bins)
+
+
+def test_decontaminate_flags_real_overlap(spark, sf_dir):
+    """text_decontaminate: every flagged doc genuinely shares an
+    8-token shingle with the eval partition (recomputed in pandas)."""
+    from cdc_plg_spark import registry
+    from cdc_plg_spark.catalog import load_table
+
+    flagged = registry.get("text_decontaminate").fn(spark, sf_dir).toPandas()
+    docs = load_table(spark, "documents", sf_dir).toPandas()
+
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+
+    ev = set()
+    for t in docs[docs.doc_id % 50 == 0].text:
+        ev |= shingles(t)
+    by_id = dict(zip(docs.doc_id, docs.text))
+    for _, row in flagged.iterrows():
+        sh = shingles(by_id[row.doc_id])
+        assert len(sh & ev) == row.n_shared, row.doc_id
+
+
+def test_centroid_counts_cover_corpus(spark, sf_dir):
+    """embedding_centroid_per_label: per-label counts are constant
+    across dims and sum to the corpus size."""
+    from cdc_plg_spark import registry
+    from cdc_plg_spark.catalog import load_table
+
+    pdf = registry.get("embedding_centroid_per_label").fn(spark, sf_dir).toPandas()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    per_label = pdf.groupby("label")["n"].nunique()
+    assert (per_label == 1).all()
+    assert pdf.groupby("label")["n"].first().sum() == n_vecs
