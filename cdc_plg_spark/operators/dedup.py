@@ -458,3 +458,103 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("b.doc_id").alias("doc_b"),
                      jac(F.col("a.tok"), F.col("b.tok")).alias("jac")))
     return within.unionByName(cross).filter(F.col("jac") >= 0.5)
+
+
+def _minhash_oracle_sql() -> str:
+    """The ENTIRE MinHash+LSH pipeline in DuckDB SQL (same k/b/r and
+    permutation constants as the Spark side, token hash = md5-prefix
+    int so both engines can compute it)."""
+    k, rows, bands, p = _MINHASH_K, _MINHASH_ROWS, _MINHASH_BANDS, (1 << 31) - 1
+    aj = [(_HASH_A * (2 * j + 1)) % p + 1 for j in range(k)]
+    bj = [(_HASH_B * (j + 1)) % (1 << 31) for j in range(k)]
+    return f"""
+    WITH consts AS (SELECT {aj}::BIGINT[] AS aj, {bj}::BIGINT[] AS bj),
+    tok AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                 t -> CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)
+                      % 2147483648) AS hs
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(1, {k}+1), j ->
+                 list_min(list_transform(hs, h -> (aj[j]*h + bj[j]) % {p})))
+                 AS sig
+      FROM tok, consts),
+    bands AS (
+      SELECT doc_id, sig, b AS band_idx,
+             list_reduce(sig[(b*{rows}+1):(b*{rows}+{rows})],
+                         (acc, v) -> (acc*31 + v) % {p}) AS band_hash
+      FROM sig, UNNEST(range(0, {bands})) AS t(b)),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+                      l.sig AS sig1, r.sig AS sig2
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+      WHERE l.doc_id < r.doc_id)
+    SELECT doc1, doc2,
+           CAST(len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i]))
+                AS BIGINT) AS n_match
+    FROM pairs
+    WHERE len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i])) >= 23
+    """
+
+
+@register("dedup_fuzzy_minhash_checked", oracle=_minhash_oracle_sql(),
+          tags=("lsh",))
+def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_fuzzy_minhash with every stage cross-engine HASH-CHECKED:
+    the token hash is an md5-prefix integer (reproducible in DuckDB,
+    unlike xxhash64), the band hash is an integer polynomial fold
+    (reproducible, unlike Spark's Murmur `hash()`), and the output is
+    the integer match count (n_match >= 23 ⇔ estimated Jaccard ≥ 0.7;
+    a rounded fraction like 23/32 = 0.71875 lands on a decimal
+    midpoint where the engines' tie-breaks differ).  The production
+    variant (dedup_fuzzy_minhash) keeps the faster xxhash64; THIS
+    query proves the LSH dataflow itself — signature, banding,
+    candidate join, similarity estimate — is correct end to end.
+    Same 100 TB shape: linear scan → band explode → bucket join."""
+    p = F.lit((1 << 31) - 1)
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.array_distinct(F.split("text", " "))
+    hs = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(1 << 31)))
+
+    def perm(a: F.Column, b: F.Column):
+        return lambda h: F.pmod(a * h + b, p)
+
+    perms = []
+    for j in range(_MINHASH_K):
+        a = F.lit((_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1)
+        b = F.lit((_HASH_B * (j + 1)) % (1 << 31))
+        perms.append(F.array_min(F.transform(hs, perm(a, b))))
+    sig = d.select("doc_id", F.array(*perms).alias("sig"))
+
+    def band_hash(b: F.Column):
+        sl = F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS)
+        return F.aggregate(
+            F.slice(sl, 2, _MINHASH_ROWS - 1),
+            F.element_at(sl, 1),
+            lambda acc, v: F.pmod(acc * 31 + v, p))
+
+    bands = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)), band_hash))
+        .alias("band_idx", "band_hash"))
+    left = bands.select(F.col("doc_id").alias("doc1"),
+                        F.col("sig").alias("sig1"), "band_idx", "band_hash")
+    right = bands.select(F.col("doc_id").alias("doc2"),
+                         F.col("sig").alias("sig2"), "band_idx", "band_hash")
+    pairs = (left.join(right, ["band_idx", "band_hash"])
+             .filter(F.col("doc1") < F.col("doc2"))
+             .select("doc1", "doc2", "sig1", "sig2")
+             .dropDuplicates(["doc1", "doc2"]))
+    n_match = F.size(F.filter(
+        F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
+    return (pairs.withColumn("n_match", n_match.cast("long"))
+            .filter(F.col("n_match") >= 23)
+            .select("doc1", "doc2", "n_match"))
