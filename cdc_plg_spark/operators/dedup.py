@@ -182,13 +182,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc1", "doc2", F.round(jac, 6).alias("jaccard")))
 
 
-@register("dedup_simhash", tags=("vectorized-udf",))
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    h AS (
+      SELECT doc_id, cnt,
+             CAST(concat('0x', substring(md5(t), 1, 16)) AS UBIGINT) AS hv
+      FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (hv >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS score
+      FROM h, UNNEST(range(0, 64)) AS u(i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN score > 0
+                      THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS s
+      FROM bits GROUP BY 1)
+    SELECT doc_id,
+           CAST(CASE WHEN s >= CAST(1 AS HUGEINT) << 63
+                     THEN s - (CAST(1 AS HUGEINT) << 64) ELSE s END AS BIGINT)
+               AS simhash
+    FROM sig
+    """,
+    tags=("vectorized-udf",),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (Arrow-vectorized pandas
     UDF over mapInPandas batches; md5-derived per-token hashes keep it
     deterministic across workers). Near-dup = small Hamming distance;
     downstream banding on 16-bit chunks finds pairs without O(n²).
-    rows-only: no SQL twin for bit-majority voting."""
+    The oracle replays the bit-majority vote in pure SQL — md5 hex
+    prefix as UBIGINT (== the UDF's first-8-bytes big-endian), per-bit
+    weighted vote, HUGEINT bit-assembly, two's-complement fold back to
+    BIGINT — so the signature is value-verified, not rows-only."""
 
     def simhash_batches(batches):
         for pdf in batches:
