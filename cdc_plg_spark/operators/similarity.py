@@ -131,7 +131,46 @@ def _planes(table: int) -> list[list[float]]:
             for p in range(_N_PLANES)]
 
 
-@register("sim_ann_lsh", tags=("lsh", "approx"))
+def _ann_lsh_oracle_sql() -> str:
+    """The full LSH dataflow in DuckDB SQL: the SAME integer plane
+    formula, sign buckets, multi-table candidate union, and left-fold
+    cosine as the Spark side — so the approximate search is exactly
+    reproducible and hash-checked, not merely rows-counted."""
+
+    def dot(v: str, p: int, t: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {_DIM}+1), j -> "
+                f"CAST({v}[j] AS DOUBLE) * "
+                f"((({p}*73856093 + (j-1)*19349663 + 83492791 + {t}*1299709)"
+                f" % 2001 - 1000) / 1000.0)), (s, x) -> s + x)")
+
+    def bucket(v: str, t: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(v, p, t)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(_N_PLANES))
+
+    return f"""
+    WITH tb AS (
+      SELECT vec_id, embedding, t.t AS tbl,
+             {bucket('embedding', 't.t')} AS bucket
+      FROM embeddings, UNNEST(range(0, {_N_TABLES})) AS t(t)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                      q.embedding AS qe, c.embedding AS ce
+      FROM (SELECT * FROM tb WHERE vec_id < 10) q
+      JOIN (SELECT * FROM tb WHERE vec_id >= 10) c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket)
+    SELECT query_id, corpus_id, cos, rk FROM (
+      SELECT query_id, corpus_id,
+             ROUND({_cos_sql('qe', 'ce')}, 6) AS cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_cos_sql('qe', 'ce')} DESC,
+                                         corpus_id) AS rk
+      FROM cand)
+    WHERE rk <= 5
+    """
+
+
+@register("sim_ann_lsh", oracle=_ann_lsh_oracle_sql(), tags=("lsh", "approx"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN via multi-table sign-random-projection LSH.
 
@@ -140,8 +179,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vectors sharing a bucket in ≥1 table. At 100 TB this bounds
     each query's scan to the union of its buckets instead of the full
     corpus — the standard recall/cost trade (more tables → recall↑,
-    scan↑). rows-only check (approximate by construction); recall vs
-    `sim_topk_search` is asserted in tests/test_llm_ops.py.
+    scan↑). The oracle replays the identical plane/bucket/candidate
+    math in SQL, so the approximate result is value-verified; recall
+    vs `sim_topk_search` is asserted in tests/test_llm_ops.py.
     """
     e = load_table(spark, "embeddings", sf_dir)
 
