@@ -98,13 +98,31 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nationkey", "n_name", "n_regionkey"))
 
 
-@register("source_cdc_stream", tags=("streaming", "cdc"))
+@register(
+    "source_cdc_stream",
+    oracle="""
+    SELECT ts AS commit_ts,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           'events' AS "table",
+           CASE WHEN event_type = 'signup' THEN NULL
+                ELSE event_id END AS before_event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE event_id END AS after_event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE value END AS after_value
+    FROM events
+    """,
+    tags=("streaming", "cdc"),
+)
 def source_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC changelog source (README.md:17): unbounded ordered
     row-change events in the RowChangedEvent envelope
     (commit_ts, op, table, before, after — README.md:62). Materialized
-    via availableNow replay; rows-only (struct columns don't hash
-    portably across engines). Envelope invariants are asserted in
+    via availableNow replay; the returned projection flattens the
+    before/after images to scalars so the envelope derivation is
+    value-verified against the batch oracle (struct columns themselves
+    don't hash portably). Envelope invariants are asserted in
     tests/test_streaming.py::test_cdc_envelope_roundtrip."""
     from cdc_plg_spark.streaming.core import (read_events_stream,
                                               run_to_table, to_cdc_envelope)
@@ -271,14 +289,21 @@ def sink_foreach_plugin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- streaming joins
 
-@register("join_enrich_stream_static", tags=("streaming",))
+@register(
+    "join_enrich_stream_static",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
 def join_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream × static dimension enrichment (README.md:89 — plugins
     consult reference data per event via host_call; Spark-native: the
     dimension is just a DataFrame joined into the stream). The static
-    side is broadcast per micro-batch — no stream state. rows-only:
-    verified against the equivalent batch join in
-    tests/test_streaming_joins.py."""
+    side is broadcast per micro-batch — no stream state; the replay
+    equals the batch join, which IS the oracle."""
     from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
 
     ev = read_events_stream(spark, sf_dir)
@@ -290,14 +315,29 @@ def join_enrich_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(enriched, output_mode="complete")
 
 
-@register("join_interval_stream", tags=("streaming",))
+@register(
+    "join_interval_stream",
+    oracle="""
+    WITH c AS (SELECT user_id AS cu, event_id AS cid, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id AS vu, ts AS vts
+          FROM events WHERE event_type = 'view')
+    SELECT cu AS c_user, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT cid) AS n_clicks
+    FROM c JOIN v ON cu = vu
+       AND vts >= cts - INTERVAL 10 MINUTE AND vts < cts
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
 def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each 'click' event joins 'view'
     events of the same user within the preceding 10 minutes. Watermarks
     on BOTH sides bound the join state (Spark evicts rows outside the
     interval once the watermark passes — the resolved-ts contract
-    applied to join state). rows-only: verified against the equivalent
-    batch range join in tests/test_streaming_joins.py."""
+    applied to join state). Inner interval joins emit all matched
+    pairs in the replay, so the result equals the batch range join —
+    the oracle."""
     from cdc_plg_spark.streaming.core import read_events_stream, run_to_table
 
     base = read_events_stream(spark, sf_dir)
@@ -323,7 +363,24 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("click_id").alias("n_clicks")))
 
 
-@register("join_outer_stream_stream", tags=("streaming",))
+@register(
+    "join_outer_stream_stream",
+    oracle="""
+    WITH c AS (SELECT user_id AS cu, event_id AS cid, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT user_id AS vu, event_id AS vid, ts AS vts
+          FROM events WHERE event_type = 'view')
+    SELECT cu AS c_user,
+           COUNT(DISTINCT cid) AS n_clicks,
+           COUNT(vid) AS n_pairs,
+           COUNT(DISTINCT CASE WHEN vid IS NULL THEN cid END)
+               AS n_unmatched
+    FROM c LEFT JOIN v ON cu = vu
+       AND vts >= cts - INTERVAL 10 MINUTE AND vts < cts
+    GROUP BY 1
+    """,
+    tags=("streaming",),
+)
 def join_outer_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream interval join: every 'click' emits,
     with its matching prior-10-minute 'view' count or alone if none
@@ -337,8 +394,9 @@ def join_outer_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     which happen between micro-batches — a single availableNow batch
     would hold every unmatched click back forever. The sentinel-staged
     multi-batch source (streaming.core.staged_events_stream) provides
-    the advances. rows-only: verified against the batch left join in
-    tests/test_streaming_joins.py."""
+    the advances; with them, the replay equals the batch left join —
+    the oracle below (sentinel rows carry user_id -1 and are dropped;
+    sentinel views can never match a real click's user)."""
     from cdc_plg_spark.streaming.core import (run_to_table,
                                               staged_events_stream)
 
