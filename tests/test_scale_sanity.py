@@ -35,6 +35,13 @@ SCALE_QUERIES = (
     "join_asof_nearest",       # two-direction window carry
     "maintenance_zorder_layout",   # global-bounds normalization + z-bucket
     "text_unigram_logprob",    # vocabulary broadcast scales sublinearly
+    "pipeline_llm_preprocess",  # 5-stage composite (shuffle count must
+    #                             not grow with sf)
+    "text_decontaminate",       # shingle join (eval side stays broadcast)
+    "embedding_centroid_per_label",  # shuffle stays model-sized
+    "sample_pack_token_budget",     # per-source running sum
+    "dedup_fuzzy_minhash_checked",  # LSH bucket join (pair count grows
+    #                                 with corpus similarity mass)
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
