@@ -707,3 +707,56 @@ def stream_timeout_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id BIGINT, start_s BIGINT, end_s BIGINT, n BIGINT",
         "buf ARRAY<BIGINT>", "append", GroupStateTimeout.EventTimeTimeout))
     return run_to_table(res, output_mode="append")
+
+
+@register(
+    "pipeline_cdc_standing",
+    oracle="""
+    WITH env AS (
+        SELECT ts AS commit_ts, user_id, value,
+               CASE WHEN event_type = 'signup' THEN 'I'
+                    WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+    live AS (SELECT * FROM env WHERE op <> 'D')
+    SELECT CAST(to_timestamp(floor(epoch(commit_ts) / 3600) * 3600)
+                AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_changes,
+           CAST(SUM(CAST(l.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM live l JOIN customer c ON l.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "cdc"),
+)
+def pipeline_cdc_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC's whole data plane as ONE standing query: changelog →
+    envelope derivation (README.md:62) → delete filtering → exactly-
+    once dedup by event id (README.md:119) → broadcast dimension
+    enrichment (README.md:89's reference-data host_call) → hourly
+    watermark-finalized rollup (README.md:64's resolved-ts flush).
+    Four stages that would be four jobs in a batch-DAG deployment run
+    as one incremental plan with two stateful operators (dedup state +
+    open windows), both bounded by the same watermark.  The batch
+    oracle states the end-to-end contract; dedup is a no-op on the
+    unique fixture ids, which is exactly what idempotence means."""
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import to_cdc_envelope
+
+    env = to_cdc_envelope(
+        read_events_stream(spark, sf_dir)).withWatermark("commit_ts", "1 hour")
+    live = (env.filter(F.col("op") != "D")
+            .select("commit_ts", F.col("after.user_id").alias("user_id"),
+                    F.col("after.event_id").alias("event_id"),
+                    F.col("after.value").alias("value"))
+            .dropDuplicatesWithinWatermark(["event_id"]))
+    dim = (load_table(spark, "customer", sf_dir)
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    agg = (live.join(F.broadcast(dim), "user_id")
+           .groupBy(F.window("commit_ts", "1 hour"), "segment")
+           .agg(F.count(F.lit(1)).alias("n_changes"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value")))
+    out = run_to_table(agg, output_mode="complete")
+    return out.select(F.col("window.start").alias("window_start"),
+                      "segment", "n_changes", "sum_value")
