@@ -221,3 +221,69 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("nx").alias("ok_min"), F.max("nx").alias("ok_max"),
                  F.min("ny").alias("pk_min"), F.max("ny").alias("pk_max")))
+
+
+@register(
+    "maintenance_vacuum_versions",
+    oracle="""
+    WITH latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT CAST(2 AS BIGINT) AS versions_retained,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS key_checksum
+    FROM latest WHERE rn = 1
+    """,
+    tags=("cdc", "maintenance"),
+)
+def maintenance_vacuum_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum over a versioned state table (the lakehouse
+    VACUUM contract): materialize four cumulative state versions of
+    the events changelog (one per week of commits, each version =
+    latest-per-key over everything ≤ its cut), delete all but the
+    newest 2, and prove the surviving HEAD still equals the full
+    compaction — retention must never change current state, only
+    forfeit time travel beyond the horizon.
+
+    Scale: each version write is one latest-per-key shuffle over the
+    prefix; the vacuum itself is pure manifest/directory work, no data
+    pass — exactly how table-format VACUUM behaves."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+    from pyspark.sql import Window as W
+
+    base = cache_dir("vacuum_state", sf_dir)
+    cuts = ("2024-01-08", "2024-01-15", "2024-01-22", "2099-01-01")
+    if not _os.path.isdir(base):
+        build = base + ".build"
+        _sh.rmtree(build, ignore_errors=True)
+        _os.makedirs(build)
+        ev = load_table(spark, "events", sf_dir)
+        w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        for i, cut in enumerate(cuts):
+            (ev.filter(F.col("ts") < cut)
+               .withColumn("_r", F.row_number().over(w))
+               .filter(F.col("_r") == 1).drop("_r")
+               .write.mode("overwrite")
+               .parquet(_os.path.join(build, f"state_{i}")))
+        try:
+            _os.rename(build, base)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
+    # vacuum: drop every version below the retention horizon (keep 2)
+    versions = sorted(
+        int(d.rsplit("_", 1)[1]) for d in _os.listdir(base)
+        if d.startswith("state_"))
+    for v in versions[:-2]:
+        _sh.rmtree(_os.path.join(base, f"state_{v}"), ignore_errors=True)
+    kept = sorted(
+        int(d.rsplit("_", 1)[1]) for d in _os.listdir(base)
+        if d.startswith("state_"))
+    head = spark.read.parquet(_os.path.join(base, f"state_{kept[-1]}"))
+    return head.agg(
+        F.lit(len(kept)).cast("long").alias("versions_retained"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("key_checksum"))
