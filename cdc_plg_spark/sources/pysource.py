@@ -71,7 +71,7 @@ class EventGenReader(DataSourceReader):
 def register_python_sources(spark) -> None:
     """Idempotently register the plugin source on a session (the RFC's
     'register plugin by name' step)."""
-    for src in (EventGenSource, EventGenStreamSource):
+    for src in (EventGenSource, EventGenStreamSource, JsonlSinkSource):
         try:
             spark.dataSource.register(src)
         except Exception:
@@ -135,3 +135,71 @@ try:  # Spark 4 simple-stream API
             pass
 except ImportError:  # pragma: no cover - pre-4.0 Spark
     EventGenStreamReader = None  # type: ignore[assignment]
+
+
+class JsonlSinkSource(DataSource):
+    """format("cdc_jsonl_sink") — a user-authored SINK plugin through
+    the same Python DataSource API: each writer task streams its rows
+    to a private part file, returns a commit message naming it, and
+    the driver-side commit() publishes a manifest listing exactly the
+    committed parts — the two-phase write/commit split the RFC's sink
+    contract requires (README.md:99-119): a failed/retried task's
+    uncommitted file is simply never manifested, so re-execution is
+    idempotent.  Option: path (output directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options["path"], [f.name for f in schema])
+
+
+try:
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+    from dataclasses import dataclass
+
+    @dataclass
+    class _Part(WriterCommitMessage):
+        filename: str
+        n_rows: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str, columns: list) -> None:
+            self.path, self.columns = path, columns
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(_os.path.join(self.path, name), "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(
+                        {c: row[c] for c in self.columns},
+                        default=str) + "\n")
+                    n += 1
+            return _Part(filename=name, n_rows=n)
+
+        def commit(self, messages) -> None:
+            import json as _json
+            import os as _os
+
+            manifest = [{"file": m.filename, "n_rows": m.n_rows}
+                        for m in messages]
+            with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages) -> None:
+            import os as _os
+
+            for m in messages:
+                try:
+                    _os.remove(_os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    JsonlWriter = None  # type: ignore[assignment]

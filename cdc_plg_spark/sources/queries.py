@@ -651,3 +651,43 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                        .cast("long")).alias("total_cents")))
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-authored SINK plugin (sources/pysource.py JsonlSinkSource)
+    driven through ``df.write.format("cdc_jsonl_sink")``: per-task part
+    files + commit messages + a driver-side manifest — the RFC's
+    two-phase sink contract in the Python DataSource API.  The proof
+    reads back ONLY manifested parts and checksums them against the
+    fixture: an aborted or duplicate task attempt can never leak rows
+    into the result."""
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    from cdc_plg_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    out = _tf.mkdtemp(prefix="cdc_jsonl_sink_")
+    o = (load_table(spark, "orders", sf_dir)
+         .filter(F.col("o_orderstatus") == "O")
+         .select("o_orderkey", "o_orderpriority"))
+    (o.repartition(8).write.format("cdc_jsonl_sink")
+      .option("path", out).mode("append").save())
+    with open(_os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [_os.path.join(out, m["file"]) for m in manifest]
+    back = spark.read.schema("o_orderkey BIGINT, o_orderpriority STRING").json(files)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_checksum")))
