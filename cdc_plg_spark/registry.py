@@ -132,11 +132,15 @@ def _ordered() -> list[Query]:
         if hit is None:
             return 1
         rnd, r = hit
+        # a rows-only pass only counts for queries that still have no
+        # oracle: once a query GAINS an oracle, its old weak row no
+        # longer proves anything — re-verify like never-checked
         green = r.get("hash_match") is True or (
             r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+            and q.oracle is None
         )
         if not green:
-            return 0
+            return 1 if r.get("err") == "no_oracle" else 0
         return 3 if rnd >= _TRUSTED_GREEN_MIN_ROUND else 2
 
     return sorted(_REGISTRY.values(), key=bucket)
