@@ -1,11 +1,13 @@
 """Second batch of TPC-H-shaped composite plans.
 
 Completes the classic decision-support shapes over the fixture star
-schema (FIXTURES.md): late-order priority count (Q4), cross-nation
-trade flow (Q7), product profit (Q9), returned-item ranking (Q10),
-linestatus priority mix (Q12), order-count distribution (Q13),
-promotion share (Q14), correlated small-quantity revenue (Q17),
-large-volume orders (Q18), and idle-customer audit (Q22). Together
+schema (FIXTURES.md): late-order priority count (Q4), forecast
+revenue (Q6), cross-nation trade flow (Q7), product profit (Q9),
+returned-item ranking (Q10), linestatus priority mix (Q12),
+order-count distribution (Q13), promotion share (Q14), top supplier
+(Q15), correlated small-quantity revenue (Q17), large-volume orders
+(Q18), disjunctive filters (Q19), and idle-customer audit (Q22).
+Together
 with analytics.py's Q3/Q5/Q8/Q21 shapes this covers every TPC-H query
 pattern the fixture columns can express (no partsupp / shipmode /
 phone columns — see FIXTURES.md).
@@ -626,3 +628,115 @@ def analytics_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
             .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
                        .cast("long")).alias("qty_e2")))
+
+
+@register(
+    "analytics_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_increase_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue impact of dropping small-quantity
+    discounts — a pure scan-side query: three conjunctive predicates
+    all pushed to the parquet scan, one global sum, no join, no
+    window.  The simplest query in the suite and the purest test that
+    pushdown + map-side partials work: at 100 TB it reads only the
+    row groups whose min/max stats survive the predicates."""
+    li = load_table(spark, "lineitem", sf_dir)
+    inc = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 10000
+                  + F.lit(0.5)).cast("long")
+    return (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                      & (F.col("l_shipdate") < "1996-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(inc).alias("revenue_increase_e4"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register(
+    "analytics_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) AS total_e4
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1995-04-01'
+        GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_e4 AS BIGINT) AS total_e4
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_e4 = (SELECT MAX(total_e4) FROM rev)
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — the create-view-then-correlate-against-its-MAX pattern.  The
+    revenue aggregate is computed ONCE and reused for both the scalar
+    MAX and the equality filter (Catalyst plans the reuse; returning
+    all ties keeps the result deterministic without an arbitrary
+    tiebreak, exactly as the spec query does)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    e4 = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 * 10000 + F.lit(0.5)).cast("long")
+    rev = (li.filter((F.col("l_shipdate") >= "1995-01-01")
+                     & (F.col("l_shipdate") < "1995-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(e4).alias("total_e4")))
+    top = rev.agg(F.max("total_e4").alias("m"))
+    return (rev.join(F.broadcast(top), rev.total_e4 == F.col("m"))
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_e4"))
+
+
+@register(
+    "analytics_disjunctive_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_e4,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_type = 'SMALL')
+       OR (p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_type = 'MEDIUM')
+       OR (p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_type = 'LARGE')
+    """,
+)
+def analytics_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR-ed conjunct groups spanning both join
+    sides (p_type stands in for p_container — the fixture has no
+    container column, FIXTURES.md).  The optimizer test here is
+    predicate DECOMPOSITION:
+    Catalyst extracts the common l_quantity/p_size bounds as
+    scan-level filters (CNF conversion) so both tables prune BEFORE
+    the join, and the residual disjunction evaluates post-join — the
+    classic case where naive planning reads everything."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    q, sz, ct = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    cond = (
+        (sz.between(1, 5) & q.between(1, 11) & (ct == "SMALL"))
+        | (sz.between(1, 10) & q.between(10, 20) & (ct == "MEDIUM"))
+        | (sz.between(1, 15) & q.between(20, 30) & (ct == "LARGE")))
+    e4 = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 * 10000 + F.lit(0.5)).cast("long")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.sum(e4).alias("revenue_e4"),
+                 F.count(F.lit(1)).alias("n_lines")))

@@ -42,6 +42,8 @@ SNAPSHOT_QUERIES = [
     "sample_pack_token_budget", "set_intersect_all", "set_except_distinct",
     "win_ntile", "embedding_centroid_per_label", "source_python_datasource",
     "ts_resample_ohlc", "join_null_safe", "pipeline_llm_preprocess", "agg_cube",
+    "analytics_forecast_revenue", "analytics_top_supplier",
+    "analytics_disjunctive_filter",
     "analytics_priority_late_orders",
     "analytics_linestatus_priority_mix", "analytics_large_volume_orders",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
