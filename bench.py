@@ -87,9 +87,12 @@ def main() -> None:
              .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-             # throughput run submits 22 jobs at once: FAIR interleaves
-             # their stages across idle cores instead of FIFO queueing
-             # behind whichever job grabbed the scheduler first
+             # throughput run submits 22 jobs at once.  FAIR alone is not
+             # enough: without a pool per submitter every job lands in the
+             # default pool, whose internal mode is FIFO — so the workload
+             # runner below also sets spark.scheduler.pool per thread
+             # (dynamically-created pools fair-share against each other
+             # with weight 1, no allocation file needed).
              .config("spark.scheduler.mode", "FAIR")
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory",
@@ -121,11 +124,21 @@ def main() -> None:
     # GIL — a single-driver artifact: real concurrent clients each build
     # their own plans, and DuckDB's equivalent cost, SQL parsing, is
     # ~1 ms).  The wall therefore measures ENGINE throughput: scheduling
-    # + execution of 22 overlapping jobs on 32 cores.
+    # + execution of 22 overlapping jobs on 32 cores.  Build time is
+    # reported separately (spark_plan_build_sec) so the prepared-plan
+    # headline can't be misread as end-to-end latency.
+    t_build = time.perf_counter()
     prepared = {n: entries[n].fn(spark, SF_DIR) for n in names}
+    plan_build_sec = round(time.perf_counter() - t_build, 4)
 
     def run_prepared(name):
-        prepared[name].write.format("noop").mode("overwrite").save()
+        # one dynamically-created FAIR pool per query: pools fair-share
+        # against each other, so no single job monopolizes the scheduler
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        try:
+            prepared[name].write.format("noop").mode("overwrite").save()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     def spark_workload():
         with ThreadPoolExecutor(16) as ex:
@@ -184,6 +197,7 @@ def main() -> None:
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "spark_sequential_total": seq_total,
+        "spark_plan_build_sec": plan_build_sec,
         "duckdb": duck,
         "duckdb_sequential_total": duck_seq_total,
         "duckdb_concurrent_wall": duck_wall,

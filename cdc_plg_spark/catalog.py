@@ -49,6 +49,36 @@ _REQUIRED_RUNTIME_CONFS = {
 }
 
 
+def _is_utc_equivalent(tz: str) -> bool:
+    """True when the session zone keeps a fixed +00:00 offset, i.e. the
+    NTZ→TIMESTAMP cast below is value-preserving.  Accepts every UTC
+    spelling Spark does (region ids like Etc/Universal, fixed offsets
+    like +00:00 / GMT+0 / Z) instead of a brittle allowlist; a region
+    zone counts only if its offset is zero across the fixture date range
+    (no DST excursions)."""
+    import re
+
+    s = (tz or "").strip()
+    if not s:
+        return False
+    if s.upper() in ("Z", "UT", "UTC", "GMT"):
+        return True
+    m = re.fullmatch(
+        r"(?:UTC|GMT|UT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s,
+        re.IGNORECASE)
+    if m:
+        return not any(int(g or 0) for g in m.groups()[1:])
+    try:
+        from zoneinfo import ZoneInfo
+        zone = ZoneInfo(s)
+    except Exception:
+        return False
+    from datetime import datetime, timedelta, timezone
+    probes = [datetime(y, mth, 1, tzinfo=timezone.utc)
+              for y in (1992, 1998, 2020, 2026) for mth in (1, 7)]
+    return all(zone.utcoffset(dt) == timedelta(0) for dt in probes)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in _REQUIRED_RUNTIME_CONFS.items():
         try:
@@ -95,7 +125,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # tests/test_catalog.py), so top-level dtypes are sufficient.
     if any(t == "timestamp_ntz" for _, t in df.dtypes):
         tz = spark.conf.get("spark.sql.session.timeZone", "")
-        if tz not in ("UTC", "Etc/UTC", "GMT"):
+        if not _is_utc_equivalent(tz):
             raise RuntimeError(
                 f"timestamp_ntz fixture read under non-UTC session ({tz!r});"
                 " cast would shift instants")

@@ -189,14 +189,19 @@ try:
             import os as _os
 
             manifest = [{"file": m.filename, "n_rows": m.n_rows}
-                        for m in messages]
+                        for m in messages if m is not None]
             with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
                 _json.dump(manifest, f)
 
         def abort(self, messages) -> None:
             import os as _os
 
+            # the writer contract delivers None for tasks that failed
+            # before returning a commit message — an AttributeError here
+            # would mask the original write failure
             for m in messages:
+                if m is None:
+                    continue
                 try:
                     _os.remove(_os.path.join(self.path, m.filename))
                 except OSError:
