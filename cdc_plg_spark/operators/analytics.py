@@ -672,47 +672,63 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-derived range key (order day / order count / spend band): the
     within-bucket rank is a window PARTITIONED by bucket (parallel),
     and the bucket offsets come from a model-sized per-bucket count
-    table (collected + broadcast, same pattern as IVF centroids). The
+    table (running-sum window on executors, then broadcast). The
     quartile label is then closed-form arithmetic on the rank. At
     100 TB, bucket granularity is the knob: finer buckets bound
     per-partition rows while the counts table stays tiny."""
     o = load_table(spark, "orders", sf_dir)
     cents = (F.floor(F.abs(F.round("o_totalprice", 2)) * 100 + F.lit(0.5))
              * F.signum(F.col("o_totalprice"))).cast("long")
+    # Cached on executors: the per-customer profile is the aggregated
+    # model (3 scalars/customer), tiny vs the fact — caching it means
+    # the orders fact is scanned exactly ONCE no matter how many rank
+    # dimensions read the profile below.
     per_cust = (o.groupBy("o_custkey")
                 .agg(F.max(F.unix_micros(F.col("o_orderdate")
                                          .cast("timestamp")))
                       .alias("last_us"),
                      F.count(F.lit(1)).alias("frequency"),
-                     (F.sum(cents).cast("double") / 100).alias("monetary")))
+                     (F.sum(cents).cast("double") / 100).alias("monetary"))
+                ).cache()
 
     def exact_rank(df, bucket, order_cols, out):
         """Exact global row_number under `order_cols` (whose leading
         column descends within `bucket`, and buckets descend too) via
-        bucket-partitioned window + broadcast cumulative offsets."""
+        bucket-partitioned window + broadcast cumulative offsets. The
+        offsets are a prefix-sum computed on executors (broadcast
+        theta-join over the model-sized counts DF — one row per bucket,
+        B² pairs of a tiny table, no single-partition exchange), never
+        collected to the driver."""
         b = df.withColumn("_bkt", bucket.cast("long"))
         w = Window.partitionBy("_bkt").orderBy(*order_cols)
-        counts = sorted(
-            ((r["_bkt"], r["cnt"]) for r in
-             b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt"))
-              .collect()),
-            reverse=True)  # buckets ordered DESC, matching the sort
-        offsets, acc = [], 0
-        for k, cnt in counts:
-            offsets.append((k, acc))
-            acc += cnt
-        offs = spark.createDataFrame(offsets, "_bkt long, _off long")
+        counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt"))
+        prior = counts.select(F.col("_bkt").alias("_b2"),
+                              F.col("cnt").alias("_c2"))
+        offs = (counts.join(F.broadcast(prior),
+                            F.col("_b2") > F.col("_bkt"),  # buckets DESC
+                            "left")
+                .groupBy("_bkt")
+                .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off")))
         return (b.withColumn("_rn", F.row_number().over(w))
                  .join(F.broadcast(offs), "_bkt")
                  .withColumn(out, F.col("_off") + F.col("_rn"))
                  .drop("_bkt", "_off", "_rn"))
 
-    ranked = exact_rank(per_cust, F.floor(F.col("last_us") / 86_400_000_000),
-                        [F.desc("last_us"), F.asc("o_custkey")], "r_rank")
-    ranked = exact_rank(ranked, F.col("frequency"),
-                        [F.desc("frequency"), F.asc("o_custkey")], "f_rank")
-    ranked = exact_rank(ranked, F.floor(F.col("monetary") / 1000),
-                        [F.desc("monetary"), F.asc("o_custkey")], "m_rank")
+    # The three dimensions rank INDEPENDENTLY from the cached profile
+    # (not chained): chaining would square the upstream tree per level,
+    # while independent ranks each read the cache twice (rows + counts)
+    # and rejoin on the customer key — co-partitioned after the first
+    # shuffle at scale.
+    r_rk = exact_rank(per_cust, F.floor(F.col("last_us") / 86_400_000_000),
+                      [F.desc("last_us"), F.asc("o_custkey")], "r_rank"
+                      ).select("o_custkey", "r_rank")
+    f_rk = exact_rank(per_cust, F.col("frequency"),
+                      [F.desc("frequency"), F.asc("o_custkey")], "f_rank"
+                      ).select("o_custkey", "f_rank")
+    m_rk = exact_rank(per_cust, F.floor(F.col("monetary") / 1000),
+                      [F.desc("monetary"), F.asc("o_custkey")], "m_rank"
+                      ).select("o_custkey", "m_rank")
+    ranked = r_rk.join(f_rk, "o_custkey").join(m_rk, "o_custkey")
 
     # NTILE(4) closed form: the first (n % 4) tiles get ceil(n/4) rows.
     n = per_cust.count()

@@ -420,8 +420,10 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     that prefix (parallel, no global sort), and the only pairs it
     misses — the ≤2 rows on either side of each group boundary — are
     stitched back exactly: per-group counts (one row per prefix,
-    model-sized) are collected, turned into cumulative global offsets,
-    and broadcast back so the boundary rows' true global positions
+    model-sized) get cumulative global offsets via a broadcast
+    theta-join prefix-sum (computed on executors, never collected to
+    the driver) and are
+    broadcast back so the boundary rows' true global positions
     identify cross-group neighbors with a small×small join. At 100 TB,
     widen the prefix to keep per-group row counts bounded; W widens
     recall linearly in cost, vs LSH's exponential bucket trade."""
@@ -459,18 +461,19 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = p1.unionByName(p2)
 
     # Cross-boundary stitching: global position = group offset + rn.
-    # The per-prefix counts table is model-sized (one row per 4-char
-    # prefix); collecting it to build cumulative offsets is the same
-    # legitimate driver-side pattern as IVF centroids.
-    counts = sorted(
-        (r["pfx"], r["cnt"])
-        for r in toks.groupBy("pfx").agg(F.count(F.lit(1)).alias("cnt"))
-                     .collect())
-    offsets, acc = [], 0
-    for pfx, cnt in counts:
-        offsets.append((pfx, acc, cnt))
-        acc += cnt
-    offs = spark.createDataFrame(offsets, "pfx string, off long, cnt long")
+    # Cumulative offsets are computed DISTRIBUTIVELY — a broadcast
+    # theta-join prefix-sum over the per-prefix counts DF (model-sized:
+    # one row per 4-char prefix; B² pairs of a tiny table beats a
+    # single-partition window exchange, which the plan advisor bans
+    # fleet-wide). Nothing is collected to the driver, so adversarial
+    # prefix cardinality can't blow driver memory.
+    counts = toks.groupBy("pfx").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = counts.select(F.col("pfx").alias("p2"), F.col("cnt").alias("c2"))
+    offs = (counts.join(F.broadcast(prior), F.col("p2") < F.col("pfx"),
+                        "left")
+            .groupBy("pfx", "cnt")
+            .agg(F.coalesce(F.sum("c2"), F.lit(0)).alias("off"))
+            .select("pfx", "off", "cnt"))
     edges = (ordered.join(F.broadcast(offs), "pfx")
              .withColumn("gpos", F.col("off") + F.col("rn")))
     last2 = edges.filter(F.col("rn") >= F.col("cnt") - 1)   # group tail
