@@ -167,11 +167,23 @@ def test_funnel_single_keyed_shuffle(spark, sf_small):
 
 def test_ivf_candidate_join_is_equi(spark, sf_small):
     """IVF ANN prunes via an equi join on cell id — the plan must show
-    a broadcast HASH join (bounded candidates), not the nested-loop
-    cross product brute force uses."""
+    a broadcast HASH join (bounded candidates). The embedded recall
+    audit legitimately adds exactly two broadcast nested loops (the
+    exact baseline over the broadcast 10-query sample, and the 1-row
+    audit scalar); the CANDIDATE path itself must stay hash-equi, so
+    any third nested loop is a regression."""
     p = plan_str(q("sim_ann_ivf", spark, sf_small), "simple")
     assert "BroadcastHashJoin" in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+def test_ivf_checked_assignment_shuffles_once(spark, sf_small):
+    """The value-verified IVF twin's cell assignment must collapse the
+    K candidate rows per corpus vector map-side (partial max_by before
+    the exchange) — the shuffle moves one row per vector, not K."""
+    p = plan_str(q("sim_ann_ivf_checked", spark, sf_small), "formatted")
+    assert "partial_max_by" in p or "partial_maxby" in p.replace("_", ""), p
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_dynamic_partition_pruning_fires(spark, sf_small):
