@@ -341,6 +341,152 @@ def _span_via_apply_in_pandas_with_state(spark: SparkSession,
                  F.max("span_us").alias("span_us")))
 
 
+def _ensure_event_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Re-chunk the events fixture into 3 explicit parquet files (one
+    per event_id%3 value) so availableNow + maxFilesPerTrigger=1
+    genuinely exercises the multi-batch path — fixtures are single
+    files = single batch otherwise. One explicit file per chunk id:
+    repartitionByRange samples its boundaries, and with only 3 distinct
+    keys a sampling round can coalesce two keys into one partition
+    (observed live) — the multi-batch guarantee must not depend on
+    sampler luck. Build in scratch + atomic rename so a crash never
+    publishes a partial layout (same discipline as
+    staged_events_stream)."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+
+    chunks = cache_dir("upsert_chunks", sf_dir)
+    if not _os.path.isdir(chunks):
+        build = chunks + ".build"
+        _sh.rmtree(build, ignore_errors=True)
+        _os.makedirs(build)
+        ev = (load_table(spark, "events", sf_dir)
+              .select("event_id", "ts", "user_id", "event_type", "value"))
+        for i in range(3):
+            tmp = _os.path.join(build, f"_b{i}")
+            (ev.filter(F.col("event_id") % 3 == i)
+               .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in _os.listdir(tmp)
+                        if f.endswith(".parquet") and not f.startswith("."))
+            _os.replace(_os.path.join(tmp, part),
+                        _os.path.join(build, f"chunk{i}.parquet"))
+            _sh.rmtree(tmp)
+        try:
+            _os.rename(build, chunks)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
+    return chunks
+
+
+@register(
+    "stream_ddl_additive_evolve",
+    oracle="""
+    WITH ddl AS (
+        SELECT MIN(epoch_us(ts))
+               + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS at_us
+        FROM events)
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+           ROUND(value, 4) AS value,
+           CASE WHEN epoch_us(ts) >= ddl.at_us
+                THEN ROUND(value * 0.9, 4) END AS value_eur,
+           CAST(CASE WHEN epoch_us(ts) >= ddl.at_us THEN 2 ELSE 1 END
+                AS INT) AS schema_version
+    FROM events, ddl
+    """,
+    tags=("streaming", "cdc", "ddl"),
+)
+def stream_ddl_additive_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive DDL applied MID-STREAM, without a query restart — the
+    last honest gap vs the reference's per-event DDL interleave
+    (README.md:57,:63 EmitDDLEvent; §3.2 handles incompatible DDL via
+    controlled restart, this query proves the additive case needs none).
+
+    Flow: schema v1 (the base event shape) and v2 (adds a derived
+    `value_eur` column) are registered in the schema-registry table
+    with v2 effective at the midpoint of event time — the DDL event.
+    A 3-batch stream runs ONCE under foreachBatch; each batch consults
+    the registry (the host_call pattern, README.md:89) and splits its
+    rows at the effective timestamp: pre-DDL rows are written in the
+    v1 shape, post-DDL rows in the wider v2 shape WITH the new column
+    populated — so a straddling batch emits both shapes, exactly the
+    interleaved semantics. The sink directory therefore accumulates
+    heterogeneous-schema parquet within one run; mergeSchema
+    (union-by-name) unifies on read with NULL for the column's pre-DDL
+    history. The oracle replays the same split in SQL, and
+    `schema_version` carrying both 1 and 2 in one result proves rows
+    before AND after the DDL landed in a single uninterrupted run.
+
+    Scale: the per-batch work is a filter + projection (narrow, no
+    shuffle); registry lookup is a model-sized read per batch. At
+    100 TB the sink is a lakehouse table whose ADD COLUMN is a
+    metadata-only operation — union-by-name parquet is the same
+    semantics without the table format."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+    from cdc_plg_spark.streaming.schema_registry import (
+        REGISTRY_SCHEMA, register_schema)
+
+    chunks = _ensure_event_chunks(spark, sf_dir)
+
+    ev = load_table(spark, "events", sf_dir)
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).collect()[0]
+    ddl_us = lo + (hi - lo) // 2  # scalar: the DDL event's effective ts
+
+    base = _tf.mkdtemp(prefix="cdc_ddl_evolve_")
+    registry_path = _os.path.join(base, "registry")
+    sink_path = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    v1 = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+          "event_type STRING, value DOUBLE")
+    register_schema(spark, registry_path, "events", v1,
+                    "1970-01-01T00:00:00+00:00", version=1)
+    register_schema(
+        spark, registry_path, "events", v1 + ", value_eur DOUBLE",
+        pd.Timestamp(ddl_us, unit="us", tz="UTC").to_pydatetime(),
+        version=2)
+
+    def evolve_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # host_call: latest schema version in force (model-sized
+        # registry read per batch). unix_micros keeps the boundary in
+        # Spark, avoiding driver-local-timezone datetime conversion.
+        boundary_us = (
+            sess.read.schema(REGISTRY_SCHEMA).parquet(registry_path)
+            .filter(F.col("table") == "events")
+            .agg(F.max_by(F.unix_micros("effective_ts"), F.col("version")))
+            .collect()[0][0])
+        pre = batch_df.filter(F.unix_micros("ts") < boundary_us)
+        post = batch_df.filter(F.unix_micros("ts") >= boundary_us)
+        # v1 shape for pre-DDL rows; wider v2 shape (new column
+        # populated) for post-DDL rows — one run, two file schemas.
+        if not pre.isEmpty():
+            pre.write.mode("append").parquet(sink_path)
+        if not post.isEmpty():
+            (post.withColumn("value_eur", F.round(F.col("value") * 0.9, 4))
+             .write.mode("append").parquet(sink_path))
+
+    stream = (spark.readStream
+              .schema(v1)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(chunks))
+    run_foreach_batch(stream, evolve_batch, ckpt)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(sink_path)
+    return merged.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", F.round("value", 4).alias("value"),
+        F.round("value_eur", 4).alias("value_eur"),
+        F.when(F.col("value_eur").isNotNull(), F.lit(2))
+         .otherwise(F.lit(1)).cast("int").alias("schema_version"))
+
+
 @register(
     "stream_foreachbatch_upsert",
     oracle="""
@@ -375,35 +521,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
     import tempfile as _tf
 
-    from cdc_plg_spark.catalog import cache_dir, load_table
+    from cdc_plg_spark.catalog import cache_dir
     from cdc_plg_spark.streaming.core import run_foreach_batch
 
-    chunks = cache_dir("upsert_chunks", sf_dir)
-    if not _os.path.isdir(chunks):
-        # one explicit file per chunk id: repartitionByRange samples its
-        # boundaries, and with only 3 distinct keys a sampling round can
-        # coalesce two keys into one partition (observed live) — the
-        # multi-batch guarantee must not depend on sampler luck.  Build
-        # in scratch + atomic rename so a crash never publishes a
-        # partial layout (same discipline as staged_events_stream).
-        build = chunks + ".build"
-        _sh.rmtree(build, ignore_errors=True)
-        _os.makedirs(build)
-        ev = (load_table(spark, "events", sf_dir)
-              .select("event_id", "ts", "user_id", "event_type", "value"))
-        for i in range(3):
-            tmp = _os.path.join(build, f"_b{i}")
-            (ev.filter(F.col("event_id") % 3 == i)
-               .coalesce(1).write.mode("overwrite").parquet(tmp))
-            part = next(f for f in _os.listdir(tmp)
-                        if f.endswith(".parquet") and not f.startswith("."))
-            _os.replace(_os.path.join(tmp, part),
-                        _os.path.join(build, f"chunk{i}.parquet"))
-            _sh.rmtree(tmp)
-        try:
-            _os.rename(build, chunks)
-        except OSError:
-            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
+    chunks = _ensure_event_chunks(spark, sf_dir)
 
     # state versions live under the sf-keyed cache (CACHE_VERSION governs
     # cleanup); the checkpoint is per-run scratch, removed in `finally` —

@@ -224,3 +224,42 @@ def test_staged_stream_covers_batch_range(spark, sf_dir):
     real, sent = by_sentinel[False], by_sentinel[True]
     assert (real["lo"], real["hi"]) == (batch["lo"], batch["hi"])
     assert sent["lo"] > batch["hi"]
+
+
+def test_ddl_additive_evolve_mid_stream(spark, sf_dir):
+    """Additive-DDL-without-restart contract: one uninterrupted 3-batch
+    run must produce rows under BOTH schema versions (the DDL event
+    lands mid-stream), the evolved column must be NULL exactly for
+    pre-DDL event time and equal round(value*0.9, 4) after, and the
+    merged result must replay-match the batch equivalent row-for-row."""
+    from cdc_plg_spark import registry
+    from cdc_plg_spark.catalog import load_table
+
+    out = registry.all_entries()["stream_ddl_additive_evolve"].fn(
+        spark, sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")),
+                    F.max(F.unix_micros("ts"))).collect()[0]
+    ddl_us = lo + (hi - lo) // 2
+
+    by_ver = {r["schema_version"]: r["n"]
+              for r in out.groupBy("schema_version")
+                          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_ver.get(1, 0) > 0 and by_ver.get(2, 0) > 0, by_ver
+
+    # evolved column nullness must split exactly at the DDL timestamp
+    bad = out.filter(
+        ((F.col("ts_us") < ddl_us) & F.col("value_eur").isNotNull())
+        | ((F.col("ts_us") >= ddl_us) & F.col("value_eur").isNull())).count()
+    assert bad == 0
+
+    # replay equivalence vs the batch-computed evolution
+    batch = ev.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id",
+        "event_type", F.round("value", 4).alias("value"),
+        F.when(F.unix_micros("ts") >= ddl_us,
+               F.round(F.col("value") * 0.9, 4)).alias("value_eur"),
+        F.when(F.unix_micros("ts") >= ddl_us, F.lit(2))
+         .otherwise(F.lit(1)).cast("int").alias("schema_version"))
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
