@@ -42,6 +42,12 @@ SCALE_QUERIES = (
     "sample_pack_token_budget",     # per-source running sum
     "dedup_fuzzy_minhash_checked",  # LSH bucket join (pair count grows
     #                                 with corpus similarity mass)
+    "dedup_simhash",            # bit-majority signature agg
+    "dedup_sorted_neighborhood",    # prefix-split sort + boundary stitch
+    #                                 (offsets now executor-computed)
+    "sim_ann_lsh",              # plane/bucket math at corpus scale
+    "sim_ann_ivf_checked",      # full IVF dataflow, deterministic cells
+    "sample_domain_quota",      # deterministic hash-order quota
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
