@@ -43,7 +43,13 @@ BENCH_QUERIES = [
     "agg_hash_groupby",          # TPC-H Q1-style partial+final hash agg
     "agg_grouping_sets",         # rollup shuffle
     "join_inner_hash",           # broadcast hash join
-    "join_sortmerge",            # large-large shuffle join
+    "join_sortmerge",            # large-large shuffle join (forced SMJ
+    #                              exhibit — deliberately the 100 TB
+    #                              large-large shape, so it reads slow
+    #                              next to DuckDB's in-memory hash join
+    #                              at sf0.1; the bucketed twin below is
+    #                              the honest zero-exchange number)
+    "join_bucketed_colocated",   # same join, bucket-pruned layout
     "join_asof",                 # window-based as-of pattern
     "dedup_latest_per_key",      # CDC compaction window
     "topk_per_group",            # rank-k per group
