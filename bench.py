@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # Headline set: one representative per engine area (batch relational,
 # windows, LLM-pipeline). Streaming replays are excluded — their cost is
