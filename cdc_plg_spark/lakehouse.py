@@ -1,0 +1,447 @@
+"""TxLog — a from-scratch lakehouse table format on parquet + JSON log.
+
+The reference's first-listed sink use case is a batch-write-optimized
+warehouse sink (/root/reference/README.md:22): apply ordered row changes
+to a downstream analytical table transactionally.  Delta/Iceberg are the
+off-the-shelf answer, but neither package exists in this container
+(probed every round — see SURVEY.md §2.12), so this module implements
+the table-format contract itself, from first principles, the way the
+public Delta protocol does it:
+
+- **Commit log**: `<table>/_txlog/<version>.json` — JSONL of actions
+  (`add` / `remove` a data file, `meta`, `txn`).  A commit is published
+  by `os.link(tmp, final)`, which atomically fails if `final` exists →
+  optimistic concurrency without any lock service.  Writers that lose
+  the race re-read the log, re-validate, and retry.
+- **Data files**: plain parquet under `<table>/data/<writeid>/part-*`,
+  written by Spark executors; never mutated, only added/removed by
+  commits.  Data lands BEFORE the commit that references it, so a
+  crashed writer leaves only unreferenced orphans (cleaned by vacuum).
+- **File statistics**: every `add` carries `(rows, bytes, min_key,
+  max_key)` computed by ONE distributed job over the freshly written
+  files (`groupBy(input_file_name())`).  MERGE/DELETE use them for
+  file-level pruning: only files whose key range can contain a source
+  key are rewritten (copy-on-write), everything else is untouched.
+  That is the 100 TB story — a CDC batch touching 0.1% of keys
+  rewrites 0.1% of files, not the table.
+- **Checkpoints**: every `CHECKPOINT_EVERY` commits the full snapshot
+  (file list + txns) is written next to the log, so replay cost is
+  O(recent commits), not O(history).
+- **Idempotent txns**: a commit may carry `(app, epoch)`; re-applying
+  an epoch ≤ the recorded high-water mark is a no-op.  This is how the
+  `foreachBatch` streaming sink achieves exactly-once on top of
+  Spark's at-least-once epoch replay (README.md:119's idempotence
+  stance).
+- **Time travel / vacuum**: `read(version=N)` replays to N;
+  `vacuum(retain_last=k)` deletes data files unreachable from the
+  last k versions and truncates the log behind a new checkpoint.
+
+Driver-side state is manifest-sized only (one dict entry per live
+file — the same scale class as Delta's log replay on the driver);
+all data movement is Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CHECKPOINT_EVERY = 10
+_LOG_DIR = "_txlog"
+_PAD = 20
+
+
+class ConflictError(RuntimeError):
+    """A concurrent commit invalidated this writer's read snapshot."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: dict[str, dict] = field(default_factory=dict)  # rel path -> stats
+    txns: dict[str, int] = field(default_factory=dict)    # app -> max epoch
+    schema_json: str | None = None
+    key_col: str | None = None
+
+
+def _vname(v: int) -> str:
+    return f"{v:0{_PAD}d}.json"
+
+
+def _ckpt_name(v: int) -> str:
+    return f"{v:0{_PAD}d}.checkpoint.json"
+
+
+class TxLogTable:
+    """One table. Safe for concurrent writers on a shared filesystem."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log_dir = os.path.join(self.path, _LOG_DIR)
+
+    # ---------------------------------------------------------------- log
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".json") and not f.endswith(".checkpoint.json"))
+
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
+                      if f.endswith(".checkpoint.json"))
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        versions = self._versions()
+        if not versions:
+            return Snapshot(version=-1)
+        head = versions[-1] if version is None else version
+        if head not in versions:
+            raise ValueError(
+                f"version {head} not in log (have {versions[0]}..{versions[-1]}"
+                f"; earlier versions may have been vacuumed)")
+        snap = Snapshot(version=head)
+        start = 0
+        ckpts = [c for c in self._checkpoints() if c <= head]
+        if ckpts:
+            with open(os.path.join(self.log_dir, _ckpt_name(ckpts[-1]))) as f:
+                data = json.load(f)
+            snap.files = dict(data["files"])
+            snap.txns = dict(data["txns"])
+            snap.schema_json = data.get("schema")
+            snap.key_col = data.get("key_col")
+            start = ckpts[-1] + 1
+        for v in versions:
+            if v < start or v > head:
+                continue
+            with open(os.path.join(self.log_dir, _vname(v))) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "add" in action:
+                        a = action["add"]
+                        snap.files[a["path"]] = {k: a[k] for k in
+                                                 ("rows", "bytes",
+                                                  "min_key", "max_key")}
+                    elif "remove" in action:
+                        snap.files.pop(action["remove"]["path"], None)
+                    elif "txn" in action:
+                        t = action["txn"]
+                        prev = snap.txns.get(t["app"], -1)
+                        snap.txns[t["app"]] = max(prev, int(t["epoch"]))
+                    elif "meta" in action:
+                        m = action["meta"]
+                        snap.schema_json = m.get("schema", snap.schema_json)
+                        snap.key_col = m.get("key_col", snap.key_col)
+        return snap
+
+    def _try_commit(self, version: int, actions: list[dict]) -> bool:
+        """Publish `actions` as `version`. False = lost the race."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(self.log_dir, _vname(version))
+        try:
+            os.link(tmp, final)  # atomic create-exclusive publish
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _maybe_checkpoint(self, snap_after: Snapshot) -> None:
+        v = snap_after.version
+        if v > 0 and v % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(snap_after)
+
+    def _write_checkpoint(self, snap: Snapshot) -> None:
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.ckpt")
+        with open(tmp, "w") as f:
+            json.dump({"files": snap.files, "txns": snap.txns,
+                       "schema": snap.schema_json,
+                       "key_col": snap.key_col}, f)
+        os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self._versions():
+            with open(os.path.join(self.log_dir, _vname(v))) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "commit" in action:
+                        out.append({"version": v, **action["commit"]})
+        return out
+
+    # --------------------------------------------------------------- data
+
+    def _write_data(self, df: DataFrame, key_col: str,
+                    n_files: int | None = None) -> list[dict]:
+        """Write df as parquet under data/<writeid>; return add-actions.
+
+        The writer range-partitions on the key so files carry disjoint
+        key ranges — that clustering is what makes the min/max stats
+        selective for later MERGE pruning (same reason Delta users
+        OPTIMIZE ZORDER before heavy MERGE workloads)."""
+        write_id = uuid.uuid4().hex
+        rel_dir = os.path.join("data", write_id)
+        out_dir = os.path.join(self.path, rel_dir)
+        if n_files and n_files > 0:
+            df = df.repartitionByRange(n_files, F.col(key_col))
+        else:
+            df = df.repartitionByRange(F.col(key_col))
+        df.write.mode("overwrite").parquet(out_dir)
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            return []  # zero-row write (e.g. MERGE deleted every row)
+        # one distributed pass computes every file's stats
+        scan = self.spark.read.parquet(out_dir)
+        rows = (scan.groupBy(F.input_file_name().alias("f"))
+                    .agg(F.count(F.lit(1)).alias("rows"),
+                         F.min(key_col).alias("min_key"),
+                         F.max(key_col).alias("max_key"))
+                    .collect())  # manifest-sized: one row per new file
+        adds = []
+        for r in rows:
+            fname = os.path.basename(r["f"])
+            rel = os.path.join(rel_dir, fname)
+            adds.append({"add": {
+                "path": rel,
+                "rows": r["rows"],
+                "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }})
+        return adds
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    def _empty_df(self, snap: Snapshot) -> DataFrame:
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self.spark.createDataFrame([], schema)
+
+    def read(self, version: int | None = None,
+             key_between: tuple | None = None) -> DataFrame:
+        """Snapshot read; `key_between=(lo, hi)` prunes files by their
+        min/max stats before Spark ever lists them — manifest-level
+        partition pruning, no footer reads for skipped files."""
+        snap = self.snapshot(version)
+        if snap.version < 0 or snap.schema_json is None:
+            raise ValueError(f"not a TxLog table: {self.path}")
+        files = snap.files
+        if key_between is not None:
+            lo, hi = key_between
+            files = {p: s for p, s in files.items()
+                     if s["max_key"] >= lo and s["min_key"] <= hi}
+        if not files:
+            return self._empty_df(snap)
+        df = self.spark.read.parquet(*[self._abs(p) for p in sorted(files)])
+        if key_between is not None:
+            lo, hi = key_between
+            key = snap.key_col
+            df = df.filter(F.col(key).between(lo, hi))
+        return df
+
+    # ------------------------------------------------------------ writes
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame,
+               key_col: str, n_files: int | None = None) -> "TxLogTable":
+        t = cls(spark, path)
+        if t._versions():
+            raise ValueError(f"table already exists: {path}")
+        adds = t._write_data(df, key_col, n_files)
+        actions = [{"commit": {"op": "CREATE"}},
+                   {"meta": {"schema": df.schema.json(), "key_col": key_col}},
+                   *adds]
+        if not t._try_commit(0, actions):
+            raise ConflictError(f"concurrent create at {path}")
+        return t
+
+    def append(self, df: DataFrame, n_files: int | None = None,
+               txn: tuple[str, int] | None = None) -> dict:
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"version": snap.version, "skipped": True}
+        adds = self._write_data(df, snap.key_col, n_files)
+        actions = [{"commit": {"op": "APPEND"}}, *adds]
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
+        version = snap.version + 1
+        while not self._try_commit(version, actions):
+            # appends never conflict semantically; just take the next slot
+            # (but re-check txn idempotence under the new snapshot)
+            snap = self.snapshot()
+            if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+                return {"version": snap.version, "skipped": True}
+            version = snap.version + 1
+        self._maybe_checkpoint(self.snapshot(version))
+        return {"version": version, "files_added": len(adds),
+                "skipped": False}
+
+    def _candidate_files(self, snap: Snapshot, source: DataFrame,
+                         key_col: str) -> list[str]:
+        """Exact file-level pruning: a file is a rewrite candidate iff
+        its [min_key, max_key] contains at least one source key.  One
+        small job — source keys against the broadcast manifest."""
+        if not snap.files:
+            return []
+        stats_rows = [(p, s["min_key"], s["max_key"])
+                      for p, s in snap.files.items()]
+        stats_df = self.spark.createDataFrame(
+            stats_rows, ["_file", "_min_key", "_max_key"])
+        hits = (source.select(F.col(key_col).alias("_k")).distinct()
+                .join(F.broadcast(stats_df),
+                      F.col("_k").between(F.col("_min_key"),
+                                          F.col("_max_key")))
+                .select("_file").distinct().collect())
+        return sorted(r["_file"] for r in hits)
+
+    def merge(self, source: DataFrame, op_col: str | None = None,
+              txn: tuple[str, int] | None = None) -> dict:
+        """MERGE INTO this table USING source ON key.
+
+        Row semantics (the reference's sink apply contract,
+        README.md:62,:64): source rows with `op_col` == 'D' delete the
+        key; any other source row upserts it; target keys absent from
+        the source pass through untouched.  Source must be compacted to
+        one row per key (latest op wins) by the caller.
+
+        Copy-on-write at file granularity: only files whose stats admit
+        a source key are read and rewritten; inserts that land outside
+        every live file's range become new files.  Retries on
+        concurrent commits; raises ConflictError if a concurrent writer
+        removed one of our candidate files (caller re-runs the merge).
+        """
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("merge into non-existent table")
+            if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+                return {"version": snap.version, "skipped": True}
+            key = snap.key_col
+            touched = self._candidate_files(snap, source, key)
+            cols = [f.name for f in
+                    StructType.fromJson(json.loads(snap.schema_json)).fields]
+            if touched:
+                target = self.spark.read.parquet(
+                    *[self._abs(p) for p in touched])
+            else:
+                target = self._empty_df(snap)
+            s = source
+            if op_col is None:
+                s = s.withColumn("_op", F.lit("U"))
+            else:
+                s = s.withColumn("_op", F.col(op_col)).drop(op_col)
+            t_ = target.withColumn("_t", F.lit(1)).alias("t")
+            s_ = s.withColumn("_s", F.lit(1)).alias("s")
+            joined = t_.join(s_, on=key, how="full_outer")
+            merged = (joined
+                      .filter(F.col("s._s").isNull()
+                              | (F.col("_op") != "D"))
+                      .select(F.col(key), *[
+                          F.when(F.col("s._s").isNotNull(),
+                                 F.col(f"s.{c}"))
+                           .otherwise(F.col(f"t.{c}")).alias(c)
+                          for c in cols if c != key]))
+            merged = merged.select(*cols)  # original column order
+            n_files = max(1, len(touched))
+            adds = self._write_data(merged, key, n_files)
+            actions = [{"commit": {"op": "MERGE",
+                                   "files_pruned":
+                                       len(snap.files) - len(touched),
+                                   "files_rewritten": len(touched)}},
+                       *[{"remove": {"path": p}} for p in touched],
+                       *adds]
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1,
+                        "files_scanned": len(touched),
+                        "files_pruned": len(snap.files) - len(touched),
+                        "files_added": len(adds), "skipped": False}
+            # lost the race: valid iff no candidate file was removed
+            newer = self.snapshot()
+            if any(p not in newer.files for p in touched):
+                raise ConflictError(
+                    "concurrent commit removed a candidate file")
+            # plain appends interleaved — recompute against new snapshot
+        raise ConflictError("merge retries exhausted")
+
+    def delete_where(self, key_between: tuple) -> dict:
+        """DELETE WHERE key BETWEEN lo AND hi — same copy-on-write path:
+        files fully inside the range are dropped with no data pass at
+        all; straddling files are rewritten minus matching rows."""
+        lo, hi = key_between
+        snap = self.snapshot()
+        key = snap.key_col
+        drop_whole = [p for p, s in snap.files.items()
+                      if s["min_key"] >= lo and s["max_key"] <= hi]
+        straddle = [p for p, s in snap.files.items()
+                    if p not in drop_whole
+                    and s["max_key"] >= lo and s["min_key"] <= hi]
+        actions = [{"commit": {"op": "DELETE",
+                               "files_dropped": len(drop_whole),
+                               "files_rewritten": len(straddle)}},
+                   *[{"remove": {"path": p}} for p in drop_whole]]
+        if straddle:
+            kept = (self.spark.read
+                    .parquet(*[self._abs(p) for p in straddle])
+                    .filter(~F.col(key).between(lo, hi)))
+            adds = self._write_data(kept, key, len(straddle))
+            actions += [{"remove": {"path": p}} for p in straddle]
+            actions += adds
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConflictError("concurrent commit during delete")
+        self._maybe_checkpoint(self.snapshot(snap.version + 1))
+        return {"version": snap.version + 1,
+                "files_dropped": len(drop_whole),
+                "files_rewritten": len(straddle)}
+
+    # ------------------------------------------------------- maintenance
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Delete data files unreachable from the newest `retain_last`
+        versions, then truncate the log behind a fresh checkpoint at
+        the horizon.  Pure manifest + directory work — no data pass.
+        HEAD is never affected; time travel below the horizon is
+        forfeited (the lakehouse VACUUM contract)."""
+        versions = self._versions()
+        keep = versions[-retain_last:]
+        reachable: set[str] = set()
+        for v in keep:
+            reachable.update(self.snapshot(v).files)
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            subdir = os.path.join(data_root, sub)
+            for fname in os.listdir(subdir):
+                rel = os.path.join("data", sub, fname)
+                if rel not in reachable:
+                    os.unlink(os.path.join(subdir, fname))
+                    removed += 1
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+        horizon = keep[0]
+        self._write_checkpoint(self.snapshot(horizon))
+        for v in versions:
+            if v < horizon:
+                os.unlink(os.path.join(self.log_dir, _vname(v)))
+        for c in self._checkpoints():
+            if c < horizon:
+                os.unlink(os.path.join(self.log_dir, _ckpt_name(c)))
+        return {"data_files_removed": removed, "horizon": horizon,
+                "versions_retained": len(keep)}

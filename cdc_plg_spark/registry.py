@@ -73,6 +73,10 @@ _QUERY_MODULES = (
     "cdc_plg_spark.operators.joins",
     "cdc_plg_spark.operators.aggregates",
     "cdc_plg_spark.operators.windows",
+    # round-5 additions register LAST: new queries enter the driver's
+    # never-checked bucket, and the 30 queries already waiting there
+    # must keep their budget priority (VERDICT r4 task 1)
+    "cdc_plg_spark.operators.lakehouse",
 )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,196 @@
+"""Format-invariant tests for the TxLog lakehouse table format.
+
+The registered lakehouse_* queries hash-verify table CONTENT against
+DuckDB; these tests pin the format-level guarantees a content oracle
+cannot see: atomic commit under racing writers, file-stats pruning
+proportionality, epoch idempotence (exactly-once), conflict detection,
+checkpoint-replay equivalence, and vacuum hygiene.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import (
+    CHECKPOINT_EVERY, ConflictError, TxLogTable, _ckpt_name,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def make_table(spark, path, n=1000, n_files=8):
+    df = spark.range(0, n).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"))
+    return TxLogTable.create(spark, path, df, "user_id", n_files=n_files)
+
+
+def src(spark, rows):
+    """rows = [(key, value, op), ...]"""
+    return spark.createDataFrame(rows, "user_id long, value long, op string")
+
+
+def test_create_read_roundtrip(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"))
+    assert t.read().count() == 1000
+    snap = t.snapshot()
+    assert snap.version == 0
+    assert len(snap.files) == 8
+    assert sum(s["rows"] for s in snap.files.values()) == 1000
+    # range clustering: files carry disjoint, ordered key ranges
+    ranges = sorted((s["min_key"], s["max_key"]) for s in snap.files.values())
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_merge_prunes_files(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"))
+    # a narrow-range delta must not rewrite the whole table
+    delta = src(spark, [(100, -1, "U"), (101, -1, "U"), (105, 0, "D")])
+    m = t.merge(delta, op_col="op")
+    assert m["files_scanned"] == 1          # all three keys in one file
+    assert m["files_pruned"] == 7
+    head = t.read()
+    assert head.count() == 999
+    assert head.filter(F.col("user_id") == 100).head()["value"] == -1
+    assert head.filter(F.col("user_id") == 105).count() == 0
+
+
+def test_merge_insert_outside_all_ranges(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"))
+    m = t.merge(src(spark, [(5000, 7, "I")]), op_col="op")
+    assert m["files_scanned"] == 0          # pure insert: no rewrite at all
+    assert t.read().count() == 1001
+    assert t.read(key_between=(5000, 5000)).count() == 1
+
+
+def test_read_key_between_prunes_manifest(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"))
+    pruned = t.read(key_between=(0, 10))
+    assert pruned.count() == 11
+    # manifest-level pruning: the scan lists 1 of the 8 files
+    files_scanned = {r[0] for r in
+                     pruned.select(F.input_file_name()).distinct().collect()}
+    assert len(files_scanned) == 1
+
+
+def test_time_travel_and_history(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    t.merge(src(spark, [(1, 0, "D")]), op_col="op")
+    assert t.read(version=0).filter("user_id = 1").head()["value"] == 2
+    assert t.read(version=1).filter("user_id = 1").head()["value"] == -1
+    assert t.read(version=2).filter("user_id = 1").count() == 0
+    assert [h["op"] for h in t.history()] == ["CREATE", "MERGE", "MERGE"]
+
+
+def test_epoch_idempotence(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    delta = src(spark, [(1, -1, "U")])
+    r1 = t.merge(delta, op_col="op", txn=("app", 3))
+    r2 = t.merge(delta, op_col="op", txn=("app", 3))   # replayed epoch
+    r3 = t.merge(delta, op_col="op", txn=("app", 2))   # stale epoch
+    assert not r1["skipped"] and r2["skipped"] and r3["skipped"]
+    assert t.snapshot().version == r1["version"]       # exactly one commit
+    r4 = t.append(delta.drop("op"), txn=("app", 3))    # cross-op replay
+    assert r4["skipped"]
+
+
+def test_concurrent_appends_all_land(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
+    extra = spark.createDataFrame(
+        [(10_000, 1)], "user_id long, value long")
+
+    def do_append(i):
+        return TxLogTable(spark, t.path).append(
+            extra.withColumn("user_id", F.col("user_id") + i), n_files=1)
+
+    with ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(do_append, range(4)))
+    versions = sorted(r["version"] for r in results)
+    assert versions == [1, 2, 3, 4]         # every writer won a distinct slot
+    assert t.read().count() == 14
+
+
+def test_merge_conflict_detected(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    # simulate a racing writer removing a candidate file between this
+    # writer's snapshot and its commit: pre-claim the version slot with
+    # a remove of the file the merge wants to rewrite
+    snap = t.snapshot()
+    victim = next(p for p, s in snap.files.items() if s["min_key"] <= 1)
+    assert t._try_commit(1, [{"commit": {"op": "DELETE"}},
+                             {"remove": {"path": victim}}])
+    delta = src(spark, [(1, -1, "U")])
+    # merge computed against v0 would rewrite `victim`; it must either
+    # retry cleanly against v1 or raise ConflictError — never commit a
+    # stale rewrite silently.  Here the file is gone, so retry works.
+    m = t.merge(delta, op_col="op")
+    assert m["version"] == 2
+    assert t.read().filter("user_id = 1").head()["value"] == -1
+
+
+def test_checkpoint_replay_equivalence(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=1)
+    for i in range(CHECKPOINT_EVERY + 2):
+        t.merge(src(spark, [(i, -100 - i, "U")]), op_col="op")
+    ckpts = t._checkpoints()
+    assert ckpts, "a checkpoint should have been written"
+    # replay THROUGH the checkpoint must equal replay from scratch
+    via_ckpt = t.snapshot()
+    os.unlink(os.path.join(t.log_dir, _ckpt_name(ckpts[-1])))
+    from_scratch = t.snapshot()
+    assert via_ckpt.files == from_scratch.files
+    assert via_ckpt.txns == from_scratch.txns
+
+
+def test_vacuum_removes_unreachable_keeps_head(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=200, n_files=4)
+    for i in range(3):
+        t.merge(src(spark, [(i, -1, "U")]), op_col="op")
+    before = t.read().orderBy("user_id").collect()
+    vm = t.vacuum(retain_last=2)
+    assert vm["data_files_removed"] > 0
+    assert t.read().orderBy("user_id").collect() == before
+    with pytest.raises(ValueError):
+        t.read(version=0)
+    # orphan audit: disk == union of retained versions' manifests
+    reachable = set()
+    for v in t._versions():
+        reachable.update(t.snapshot(v).files)
+    on_disk = {os.path.join("data", sub, f)
+               for sub in os.listdir(os.path.join(t.path, "data"))
+               for f in os.listdir(os.path.join(t.path, "data", sub))
+               if f.endswith(".parquet")}
+    assert on_disk == reachable
+
+
+def test_delete_where_whole_file_drop_no_data_pass(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"))
+    snap = t.snapshot()
+    # pick one whole file's exact range: dropping it needs no rewrite
+    p, s = sorted(snap.files.items(), key=lambda kv: kv[1]["min_key"])[0]
+    dm = t.delete_where((s["min_key"], s["max_key"]))
+    assert dm["files_dropped"] == 1
+    assert dm["files_rewritten"] == 0
+    assert t.read().count() == 1000 - s["rows"]
+
+
+def test_commit_files_are_valid_jsonl(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
+    for v in t._versions():
+        with open(os.path.join(t.log_dir, f"{v:020d}.json")) as f:
+            actions = [json.loads(line) for line in f]
+        assert any("commit" in a for a in actions)
