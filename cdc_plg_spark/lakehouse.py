@@ -310,7 +310,8 @@ class TxLogTable:
         return sorted(r["_file"] for r in hits)
 
     def merge(self, source: DataFrame, op_col: str | None = None,
-              txn: tuple[str, int] | None = None) -> dict:
+              txn: tuple[str, int] | None = None,
+              order_by: tuple[str, ...] | None = None) -> dict:
         """MERGE INTO this table USING source ON key.
 
         Row semantics (the reference's sink apply contract,
@@ -318,6 +319,15 @@ class TxLogTable:
         key; any other source row upserts it; target keys absent from
         the source pass through untouched.  Source must be compacted to
         one row per key (latest op wins) by the caller.
+
+        `order_by` makes matched-row resolution last-writer-wins by
+        that column tuple instead of source-always-wins: a source row
+        (including a delete) only applies if its tuple is >= the target
+        row's — so re-merging stale batches is harmless and batch
+        ORDER no longer matters for upserts/updates.  Known limit
+        (documented, standard for tombstone-free formats): a stale
+        update arriving AFTER the delete that superseded it finds no
+        target row to lose against and re-inserts.
 
         Copy-on-write at file granularity: only files whose stats admit
         a source key are read and rewritten; inserts that land outside
@@ -348,12 +358,16 @@ class TxLogTable:
             t_ = target.withColumn("_t", F.lit(1)).alias("t")
             s_ = s.withColumn("_s", F.lit(1)).alias("s")
             joined = t_.join(s_, on=key, how="full_outer")
+            s_wins = F.col("s._s").isNotNull()
+            if order_by is not None:
+                s_wins = s_wins & (
+                    F.col("t._t").isNull()
+                    | (F.struct(*[F.col(f"s.{c}") for c in order_by])
+                       >= F.struct(*[F.col(f"t.{c}") for c in order_by])))
             merged = (joined
-                      .filter(F.col("s._s").isNull()
-                              | (F.col("_op") != "D"))
+                      .filter(~(s_wins & (F.col("_op") == "D")))
                       .select(F.col(key), *[
-                          F.when(F.col("s._s").isNotNull(),
-                                 F.col(f"s.{c}"))
+                          F.when(s_wins, F.col(f"s.{c}"))
                            .otherwise(F.col(f"t.{c}")).alias(c)
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
@@ -411,7 +425,83 @@ class TxLogTable:
                 "files_dropped": len(drop_whole),
                 "files_rewritten": len(straddle)}
 
+    # ------------------------------------------------------------- reads+
+
+    def table_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Change data feed: the NET row-level I/U/D delta between two
+        snapshots — the reference's own product (an ordered change
+        stream, README.md:17) served back OUT of the table format.
+
+        Cost is O(changed files), never O(table): only files that
+        differ between the two manifests are read; rows rewritten
+        unchanged (by compaction or a co-located merge) cancel in the
+        key-level diff.  Net semantics: a key inserted then deleted
+        within the range yields nothing; an update overwritten by a
+        later update yields one 'U' with the final image.  'I'/'U'
+        carry the after-image, 'D' the before-image."""
+        a = self.snapshot(from_version)
+        b = self.snapshot(to_version)
+        key = b.key_col
+        removed = sorted(set(a.files) - set(b.files))
+        added = sorted(set(b.files) - set(a.files))
+        old = (self.spark.read.parquet(*[self._abs(p) for p in removed])
+               if removed else self._empty_df(b))
+        new = (self.spark.read.parquet(*[self._abs(p) for p in added])
+               if added else self._empty_df(b))
+        cols = [f.name for f in
+                StructType.fromJson(json.loads(b.schema_json)).fields]
+        o = old.withColumn("_o", F.lit(1)).alias("o")
+        n = new.withColumn("_n", F.lit(1)).alias("n")
+        j = o.join(n, on=key, how="full_outer")
+        differs = F.lit(False)
+        for c in cols:
+            if c != key:
+                differs = differs | ~F.col(f"o.{c}").eqNullSafe(
+                    F.col(f"n.{c}"))
+        change = (F.when(F.col("o._o").isNull(), "I")
+                   .when(F.col("n._n").isNull(), "D")
+                   .when(differs, "U"))
+        return (j.withColumn("_change_type", change)
+                 .filter(F.col("_change_type").isNotNull())
+                 .select(F.col("_change_type").alias("change_type"),
+                         F.col(key), *[
+                             F.when(F.col("_change_type") == "D",
+                                    F.col(f"o.{c}"))
+                              .otherwise(F.col(f"n.{c}")).alias(c)
+                             for c in cols if c != key]))
+
     # ------------------------------------------------------- maintenance
+
+    def optimize(self, small_bytes: int = 32 << 20,
+                 target_files: int | None = None) -> dict:
+        """OPTIMIZE: bin-pack small files into range-clustered big ones
+        — the compaction a streaming merge sink needs, since every
+        epoch's copy-on-write commit can emit small files.  Content is
+        untouched (a pure layout transaction — table_changes across an
+        optimize commit is empty); only files under `small_bytes` are
+        rewritten, so steady-state re-optimization cost tracks the
+        small-file backlog, not table size."""
+        snap = self.snapshot()
+        small = sorted(p for p, s in snap.files.items()
+                       if s["bytes"] < small_bytes)
+        if len(small) < 2:
+            return {"version": snap.version, "files_compacted": 0,
+                    "skipped": True}
+        total = sum(snap.files[p]["bytes"] for p in small)
+        n_out = target_files or max(1, total // max(small_bytes, 1) + 1)
+        df = self.spark.read.parquet(*[self._abs(p) for p in small])
+        adds = self._write_data(df, snap.key_col, n_out)
+        actions = [{"commit": {"op": "OPTIMIZE",
+                               "files_compacted": len(small),
+                               "files_out": len(adds)}},
+                   *[{"remove": {"path": p}} for p in small],
+                   *adds]
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConflictError("concurrent commit during optimize")
+        self._maybe_checkpoint(self.snapshot(snap.version + 1))
+        return {"version": snap.version + 1,
+                "files_compacted": len(small), "files_out": len(adds),
+                "skipped": False}
 
     def vacuum(self, retain_last: int = 2) -> dict:
         """Delete data files unreachable from the newest `retain_last`

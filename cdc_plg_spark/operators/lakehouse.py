@@ -120,6 +120,60 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_change_data_feed",
+    oracle=f"""
+    WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),
+    delta AS ({_ORACLE_STATE.format(where=f"WHERE ts >= TIMESTAMP '{SPLIT_TS}'")}),
+    pre AS (SELECT user_id, event_id, ts, value FROM snap WHERE op <> 'D'),
+    post AS (
+        SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+               COALESCE(d.event_id, s.event_id) AS event_id,
+               COALESCE(d.ts, s.ts) AS ts,
+               COALESCE(d.value, s.value) AS value
+        FROM pre s FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        WHERE d.op IS NULL OR d.op <> 'D')
+    SELECT CASE WHEN p.user_id IS NULL THEN 'I'
+                WHEN q.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           COALESCE(q.user_id, p.user_id) AS user_id,
+           CASE WHEN q.user_id IS NULL THEN p.event_id
+                ELSE q.event_id END AS event_id,
+           epoch_us(CASE WHEN q.user_id IS NULL THEN p.ts
+                         ELSE q.ts END) AS ts_us,
+           ROUND(CASE WHEN q.user_id IS NULL THEN p.value
+                      ELSE q.value END, 4) AS value
+    FROM pre p FULL OUTER JOIN post q ON p.user_id = q.user_id
+    WHERE p.user_id IS NULL OR q.user_id IS NULL
+       OR p.event_id IS DISTINCT FROM q.event_id
+       OR p.ts IS DISTINCT FROM q.ts
+       OR p.value IS DISTINCT FROM q.value
+    """,
+    tags=("lakehouse", "cdc"),
+)
+def lakehouse_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve CDC back OUT of the table format: MERGE a delta commit,
+    then read the net I/U/D feed between the two versions via
+    manifest-level file diffing (cost O(changed files), rows rewritten
+    unchanged cancel in the key diff).  The reference's product IS an
+    ordered change stream (README.md:17); a warehouse sink that can
+    also emit one makes the table a CDC relay node, not a terminus.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    snap = _apply_latest(ev.filter(F.col("ts") < SPLIT_TS))
+    delta = _with_op(_latest_per_user(
+        ev.filter(F.col("ts") >= SPLIT_TS))).select(
+        "user_id", "event_id", "ts", "value", "op")
+    d = tempfile.mkdtemp(prefix="lh_cdf_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), snap,
+                          "user_id", n_files=8)
+    t.merge(delta, op_col="op")
+    return t.table_changes(0, 1).select(
+        "change_type", "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 4).alias("value"))
+
+
+@register(
     "lakehouse_time_travel_diff",
     oracle="".join(
         ("UNION ALL" if i else "")
@@ -289,8 +343,13 @@ def stream_sink_lakehouse_merge(spark: SparkSession,
                     [], "user_id bigint, event_id bigint, "
                         "ts timestamp, value double"),
                 "user_id", n_files=1)
+        # order_by makes the apply last-writer-wins by event time, so
+        # correctness does not hinge on the mtime-ordered file listing
+        # (stale-update-after-delete is the one shape only batch ORDER
+        # fixes; the resolved-ts windows exclude it by construction)
         holder["t"].merge(delta, op_col="op",
-                          txn=("lh_sink", int(epoch_id)))
+                          txn=("lh_sink", int(epoch_id)),
+                          order_by=("ts", "event_id"))
 
     stream = (spark.readStream
               .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "

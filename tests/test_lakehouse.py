@@ -187,6 +187,71 @@ def test_delete_where_whole_file_drop_no_data_pass(spark, tdir):
     assert t.read().count() == 1000 - s["rows"]
 
 
+def test_optimize_compacts_without_content_change(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=400, n_files=1)
+    # fragment the table: each out-of-range insert lands as its own
+    # small file (the streaming-sink steady state this compacts)
+    for i in range(4):
+        t.merge(src(spark, [(1000 + i * 100, -1, "I")]), op_col="op")
+    before = t.read().orderBy("user_id").collect()
+    n_before = len(t.snapshot().files)
+    v_before = t.snapshot().version
+    m = t.optimize(target_files=1)
+    assert not m["skipped"]
+    assert len(t.snapshot().files) < n_before
+    assert t.read().orderBy("user_id").collect() == before
+    # a pure layout transaction: the change feed across it is empty
+    assert t.table_changes(v_before, m["version"]).count() == 0
+
+
+def test_table_changes_net_iud(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    t.merge(src(spark, [(5, -1, "U"), (7, 0, "D"), (500, 9, "I")]),
+            op_col="op")
+    rows = {(r["change_type"], r["user_id"]): r["value"]
+            for r in t.table_changes(0, 1).collect()}
+    assert rows == {("U", 5): -1, ("D", 7): 14, ("I", 500): 9}
+    # net semantics across a longer range: insert then delete cancels
+    t.merge(src(spark, [(500, 0, "D")]), op_col="op")
+    net = {(r["change_type"], r["user_id"])
+           for r in t.table_changes(0, 2).collect()}
+    assert ("I", 500) not in net and ("D", 500) not in net
+    assert ("U", 5) in net and ("D", 7) in net
+
+
+def test_merge_order_by_is_batch_order_independent(spark, tdir):
+    batches = [
+        [(1, 10, "U", 100), (2, 20, "U", 100)],
+        [(1, 11, "U", 200), (3, 0, "D", 200)],
+        [(2, 22, "U", 50)],                       # stale: loses to ts=100
+    ]
+
+    def final_state(order):
+        d = tempfile.mkdtemp(prefix="txlog_ord_")
+        base = spark.createDataFrame(
+            [(1, 0, 0), (2, 0, 0), (3, 0, 0)],
+            "user_id long, value long, ts long")
+        t = TxLogTable.create(spark, os.path.join(d, "t"), base,
+                              "user_id", n_files=1)
+        for i in order:
+            delta = spark.createDataFrame(
+                [(k, v, ts, o) for k, v, o, ts in batches[i]],
+                "user_id long, value long, ts long, op string")
+            t.merge(delta, op_col="op", order_by=("ts",))
+        out = tuple(sorted((r["user_id"], r["value"], r["ts"])
+                           for r in t.read().collect()))
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    import itertools
+    states = {final_state(list(p)) for p in itertools.permutations(range(3))}
+    assert len(states) == 1                     # every order converges
+    final = dict((k, (v, ts)) for k, v, ts in next(iter(states)))
+    assert final[1] == (11, 200)                # newest update wins
+    assert final[2] == (20, 100)                # stale batch lost
+    assert 3 not in final                       # delete applied
+
+
 def test_commit_files_are_valid_jsonl(spark, tdir):
     t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
     t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
