@@ -232,6 +232,18 @@ class TxLogTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         return self.spark.createDataFrame([], schema)
 
+    def _read_files(self, snap: Snapshot, rel_paths) -> DataFrame:
+        """Scan data files under the snapshot's pinned schema.  The
+        explicit schema (a) skips footer merging and (b) projects
+        columns added by a later additive DDL as NULL for files
+        written before the evolution — the mergeSchema contract
+        without paying for it at read time."""
+        paths = [self._abs(p) for p in sorted(rel_paths)]
+        if not paths:
+            return self._empty_df(snap)
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def read(self, version: int | None = None,
              key_between: tuple | None = None) -> DataFrame:
         """Snapshot read; `key_between=(lo, hi)` prunes files by their
@@ -247,7 +259,7 @@ class TxLogTable:
                      if s["max_key"] >= lo and s["min_key"] <= hi}
         if not files:
             return self._empty_df(snap)
-        df = self.spark.read.parquet(*[self._abs(p) for p in sorted(files)])
+        df = self._read_files(snap, files)
         if key_between is not None:
             lo, hi = key_between
             key = snap.key_col
@@ -343,18 +355,36 @@ class TxLogTable:
                 return {"version": snap.version, "skipped": True}
             key = snap.key_col
             touched = self._candidate_files(snap, source, key)
-            cols = [f.name for f in
-                    StructType.fromJson(json.loads(snap.schema_json)).fields]
-            if touched:
-                target = self.spark.read.parquet(
-                    *[self._abs(p) for p in touched])
-            else:
-                target = self._empty_df(snap)
             s = source
             if op_col is None:
                 s = s.withColumn("_op", F.lit("U"))
             else:
                 s = s.withColumn("_op", F.col(op_col)).drop(op_col)
+            # additive schema evolution: source columns the table lacks
+            # widen the schema in this commit (the RFC's EmitDDLEvent
+            # applied at the format layer, README.md:57,:63); files
+            # written before the DDL project the new columns as NULL
+            table_fields = StructType.fromJson(
+                json.loads(snap.schema_json)).fields
+            table_names = [f_.name for f_ in table_fields]
+            new_fields = [f_ for f_ in s.schema.fields
+                          if f_.name not in (*table_names, "_op")]
+            schema_json = snap.schema_json
+            if new_fields:
+                widened = StructType(table_fields + new_fields)
+                schema_json = widened.json()
+                snap = Snapshot(snap.version, snap.files, snap.txns,
+                                schema_json, snap.key_col)
+            cols = [f_.name for f_ in
+                    StructType.fromJson(json.loads(schema_json)).fields]
+            missing = [c for c in cols if c not in s.columns]
+            if missing:
+                raise ValueError(
+                    f"merge source must carry every table column; "
+                    f"missing {missing} (a row that wins replaces the "
+                    f"whole row — partial updates would null columns "
+                    f"silently)")
+            target = self._read_files(snap, touched)
             t_ = target.withColumn("_t", F.lit(1)).alias("t")
             s_ = s.withColumn("_s", F.lit(1)).alias("s")
             joined = t_.join(s_, on=key, how="full_outer")
@@ -377,6 +407,9 @@ class TxLogTable:
                                    "files_pruned":
                                        len(snap.files) - len(touched),
                                    "files_rewritten": len(touched)}},
+                       *([{"meta": {"schema": schema_json,
+                                    "key_col": key}}] if new_fields
+                         else []),
                        *[{"remove": {"path": p}} for p in touched],
                        *adds]
             if txn is not None:
@@ -412,8 +445,7 @@ class TxLogTable:
                                "files_rewritten": len(straddle)}},
                    *[{"remove": {"path": p}} for p in drop_whole]]
         if straddle:
-            kept = (self.spark.read
-                    .parquet(*[self._abs(p) for p in straddle])
+            kept = (self._read_files(snap, straddle)
                     .filter(~F.col(key).between(lo, hi)))
             adds = self._write_data(kept, key, len(straddle))
             actions += [{"remove": {"path": p}} for p in straddle]
@@ -444,10 +476,8 @@ class TxLogTable:
         key = b.key_col
         removed = sorted(set(a.files) - set(b.files))
         added = sorted(set(b.files) - set(a.files))
-        old = (self.spark.read.parquet(*[self._abs(p) for p in removed])
-               if removed else self._empty_df(b))
-        new = (self.spark.read.parquet(*[self._abs(p) for p in added])
-               if added else self._empty_df(b))
+        old = self._read_files(b, removed)
+        new = self._read_files(b, added)
         cols = [f.name for f in
                 StructType.fromJson(json.loads(b.schema_json)).fields]
         o = old.withColumn("_o", F.lit(1)).alias("o")
@@ -489,7 +519,7 @@ class TxLogTable:
                     "skipped": True}
         total = sum(snap.files[p]["bytes"] for p in small)
         n_out = target_files or max(1, total // max(small_bytes, 1) + 1)
-        df = self.spark.read.parquet(*[self._abs(p) for p in small])
+        df = self._read_files(snap, small)
         adds = self._write_data(df, snap.key_col, n_out)
         actions = [{"commit": {"op": "OPTIMIZE",
                                "files_compacted": len(small),

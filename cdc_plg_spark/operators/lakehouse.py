@@ -272,6 +272,54 @@ def lakehouse_delete_vacuum_audit(spark: SparkSession,
 
 
 @register(
+    "lakehouse_schema_evolution",
+    oracle=f"""
+    WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),
+    delta AS (
+        SELECT d.*, e.event_type FROM
+        ({_ORACLE_STATE.format(where=f"WHERE ts >= TIMESTAMP '{SPLIT_TS}'")}) d
+        JOIN events e ON d.event_id = e.event_id)
+    SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+           COALESCE(d.event_id, s.event_id) AS event_id,
+           epoch_us(COALESCE(d.ts, s.ts)) AS ts_us,
+           ROUND(COALESCE(d.value, s.value), 4) AS value,
+           CASE WHEN d.user_id IS NOT NULL THEN d.event_type END
+               AS event_type
+    FROM (SELECT * FROM snap WHERE op <> 'D') s
+    FULL OUTER JOIN delta d ON s.user_id = d.user_id
+    WHERE d.op IS NULL OR d.op <> 'D'
+    """,
+    tags=("lakehouse", "cdc", "ddl"),
+)
+def lakehouse_schema_evolution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Additive DDL applied at the table-format layer: the table is
+    created WITHOUT `event_type`; the CDC delta arrives carrying it
+    (the RFC's interleaved EmitDDLEvent + row events, README.md:57,
+    :63), and the MERGE commit widens the schema transactionally.
+    Rows from files written before the DDL project the new column as
+    NULL under the pinned snapshot schema — no rewrite of old data,
+    no restart — while time travel to v0 still returns the ORIGINAL
+    narrow schema, because each snapshot pins the schema its commit
+    declared.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    snap = _apply_latest(ev.filter(F.col("ts") < SPLIT_TS))
+    delta = _with_op(_latest_per_user(
+        ev.filter(F.col("ts") >= SPLIT_TS))).select(
+        "user_id", "event_id", "ts", "value", "event_type", "op")
+    d = tempfile.mkdtemp(prefix="lh_ddl_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), snap,
+                          "user_id", n_files=8)
+    t.merge(delta, op_col="op")
+    assert len(t.read(version=0).columns) == 4  # v0 keeps narrow schema
+    return t.read().select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 4).alias("value"), "event_type")
+
+
+@register(
     "stream_sink_lakehouse_merge",
     oracle=f"""
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,

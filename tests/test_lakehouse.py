@@ -252,6 +252,34 @@ def test_merge_order_by_is_batch_order_independent(spark, tdir):
     assert 3 not in final                       # delete applied
 
 
+def test_additive_schema_evolution(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    delta = spark.createDataFrame(
+        [(5, -1, "tagged", "U"), (500, 9, "fresh", "I")],
+        "user_id long, value long, tag string, op string")
+    t.merge(delta, op_col="op")
+    head = t.read()
+    assert head.columns == ["user_id", "value", "tag"]
+    got = {r["user_id"]: r["tag"] for r in
+           head.filter(F.col("user_id").isin(5, 500, 80)).collect()}
+    assert got[5] == "tagged" and got[500] == "fresh"
+    assert got[80] is None                   # pre-DDL file projects NULL
+    # time travel keeps the narrow pre-DDL schema
+    assert t.read(version=0).columns == ["user_id", "value"]
+    # the change feed spans the evolution: rewritten-but-identical rows
+    # (tag NULL on both sides, eqNullSafe) cancel; only real changes show
+    changes = {(r["change_type"], r["user_id"])
+               for r in t.table_changes(0, 1).collect()}
+    assert changes == {("U", 5), ("I", 500)}
+
+
+def test_merge_source_missing_column_is_an_error(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
+    partial = spark.createDataFrame([(1, "U")], "user_id long, op string")
+    with pytest.raises(ValueError, match="every table column"):
+        t.merge(partial, op_col="op")
+
+
 def test_commit_files_are_valid_jsonl(spark, tdir):
     t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
     t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
