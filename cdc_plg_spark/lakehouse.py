@@ -90,16 +90,20 @@ class TxLogTable:
     # ---------------------------------------------------------------- log
 
     def _versions(self) -> list[int]:
+        # name-pattern filter matters: a concurrent writer's .tmp-* file
+        # may be visible in the listing mid-publish
         if not os.path.isdir(self.log_dir):
             return []
-        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-                      if f.endswith(".json") and not f.endswith(".checkpoint.json"))
+        return sorted(int(f[:_PAD]) for f in os.listdir(self.log_dir)
+                      if f[:_PAD].isdigit() and f.endswith(".json")
+                      and not f.endswith(".checkpoint.json"))
 
     def _checkpoints(self) -> list[int]:
         if not os.path.isdir(self.log_dir):
             return []
-        return sorted(int(f.split(".")[0]) for f in os.listdir(self.log_dir)
-                      if f.endswith(".checkpoint.json"))
+        return sorted(int(f[:_PAD]) for f in os.listdir(self.log_dir)
+                      if f[:_PAD].isdigit()
+                      and f.endswith(".checkpoint.json"))
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         versions = self._versions()
@@ -499,6 +503,29 @@ class TxLogTable:
                                     F.col(f"o.{c}"))
                               .otherwise(F.col(f"n.{c}")).alias(c)
                              for c in cols if c != key]))
+
+    def table_changes_per_commit(self, from_version: int,
+                                 to_version: int) -> DataFrame:
+        """The CDC-relay read: the change feed at PER-COMMIT
+        granularity — one I/U/D batch per version step, tagged with
+        `_commit_version`, in commit order.  This is the shape a
+        downstream replica replays (the reference's ordered change
+        stream, README.md:17, served back out of the table), whereas
+        `table_changes` nets the whole range into one delta.  Cost is
+        the sum of changed-file diffs per step; untouched files are
+        never read at any step."""
+        out = None
+        for v in range(from_version, to_version):
+            step = self.table_changes(v, v + 1).withColumn(
+                "_commit_version", F.lit(v + 1))
+            # allowMissingColumns: steps straddling an additive schema
+            # evolution have different widths; older steps project the
+            # post-DDL columns as NULL
+            out = (step if out is None
+                   else out.unionByName(step, allowMissingColumns=True))
+        if out is None:
+            raise ValueError("empty version range")
+        return out
 
     # ------------------------------------------------------- maintenance
 

@@ -271,6 +271,72 @@ def lakehouse_delete_vacuum_audit(spark: SparkSession,
         F.lit(len(t._versions())).cast("long").alias("versions_retained"))
 
 
+def _cdf_interval_sql(version: int, lo_cut: str, hi_cut: str) -> str:
+    """Oracle for one per-commit change batch: state diff between two
+    resolved-ts cuts (sequential merges equal the global apply at each
+    cut — the equivalence lakehouse_time_travel_diff pins)."""
+    pre_state = _ORACLE_STATE.format(
+        where=f"WHERE ts < TIMESTAMP '{lo_cut}'")
+    post_state = _ORACLE_STATE.format(
+        where=f"WHERE ts < TIMESTAMP '{hi_cut}'")
+    return f"""
+    SELECT CAST({version} AS INT) AS commit_version,
+           CASE WHEN p.user_id IS NULL THEN 'I'
+                WHEN q.user_id IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           COALESCE(q.user_id, p.user_id) AS user_id,
+           CASE WHEN q.user_id IS NULL THEN p.event_id
+                ELSE q.event_id END AS event_id,
+           epoch_us(CASE WHEN q.user_id IS NULL THEN p.ts
+                         ELSE q.ts END) AS ts_us,
+           ROUND(CASE WHEN q.user_id IS NULL THEN p.value
+                      ELSE q.value END, 4) AS value
+    FROM (SELECT user_id, event_id, ts, value
+          FROM ({pre_state}) WHERE op <> 'D') p
+    FULL OUTER JOIN
+         (SELECT user_id, event_id, ts, value
+          FROM ({post_state}) WHERE op <> 'D') q
+      ON p.user_id = q.user_id
+    WHERE p.user_id IS NULL OR q.user_id IS NULL
+       OR p.event_id IS DISTINCT FROM q.event_id
+       OR p.ts IS DISTINCT FROM q.ts
+       OR p.value IS DISTINCT FROM q.value
+    """
+
+
+@register(
+    "lakehouse_change_stream",
+    oracle=" UNION ALL ".join(
+        _cdf_interval_sql(i + 1, lo, hi)
+        for i, (lo, hi) in enumerate(zip(_CUTS[:-1], _CUTS[1:]))),
+    tags=("lakehouse", "cdc"),
+)
+def lakehouse_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a CDC relay: three weekly merge commits, then the
+    per-commit change stream (one ordered I/U/D batch per version,
+    tagged with its commit) — what a downstream replica replays to
+    follow the table.  Each step diffs only that commit's changed
+    files; the oracle recomputes every batch as a state diff between
+    consecutive resolved-ts cuts.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    d = tempfile.mkdtemp(prefix="lh_stream_")
+    t = TxLogTable.create(
+        spark, os.path.join(d, "t"),
+        _apply_latest(ev.filter(F.col("ts") < _CUTS[0])),
+        "user_id", n_files=8)
+    for lo, hi in zip(_CUTS[:-1], _CUTS[1:]):
+        delta = _with_op(_latest_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))).select(
+            "user_id", "event_id", "ts", "value", "op")
+        t.merge(delta, op_col="op")
+    return t.table_changes_per_commit(0, 2).select(
+        F.col("_commit_version").alias("commit_version"),
+        "change_type", "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 4).alias("value"))
+
+
 @register(
     "lakehouse_schema_evolution",
     oracle=f"""

@@ -280,6 +280,76 @@ def test_merge_source_missing_column_is_an_error(spark, tdir):
         t.merge(partial, op_col="op")
 
 
+def test_change_stream_per_commit(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    t.merge(src(spark, [(5, -1, "U"), (500, 9, "I")]), op_col="op")
+    t.merge(src(spark, [(500, 0, "D"), (6, -2, "U")]), op_col="op")
+    rows = {(r["_commit_version"], r["change_type"], r["user_id"])
+            for r in t.table_changes_per_commit(0, 2).collect()}
+    # per-commit granularity: the insert AND its later delete both show,
+    # in their own commits — net table_changes(0, 2) would cancel them
+    assert rows == {(1, "U", 5), (1, "I", 500),
+                    (2, "D", 500), (2, "U", 6)}
+
+
+def test_concurrent_merge_soak_snapshot_isolation(spark, tdir):
+    """Racing writers + a polling reader: every commit lands exactly
+    once, the reader only ever observes fully-committed versions
+    (counts are multiples of the insert batch size and never go
+    backwards), and the final state is the union of all writers."""
+    import threading
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    n_writers, n_steps, batch = 4, 4, 5
+    errors: list = []
+
+    def writer(w):
+        try:
+            tw = TxLogTable(spark, t.path)
+            for i in range(n_steps):
+                base = 10_000 + w * 1000 + i * 10
+                rows = [(base + j, w, "I") for j in range(batch)]
+                for _ in range(10):
+                    try:
+                        tw.merge(src(spark, rows), op_col="op")
+                        break
+                    except Exception as e:         # ConflictError retry
+                        if "Conflict" not in type(e).__name__:
+                            raise
+                else:
+                    raise RuntimeError("writer starved")
+        except Exception as e:
+            errors.append(e)
+
+    observed: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            tr = TxLogTable(spark, t.path)
+            while not stop.is_set():
+                observed.append(tr.read().count())
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    rt.join()
+    assert not errors, errors[:3]
+    assert t.read().count() == 100 + n_writers * n_steps * batch
+    assert t.snapshot().version == n_writers * n_steps
+    # snapshot isolation: no torn reads, no time travel backwards
+    assert all(c % batch == 0 for c in observed), observed
+    assert observed == sorted(observed), observed
+
+
 def test_commit_files_are_valid_jsonl(spark, tdir):
     t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
     t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
