@@ -48,6 +48,12 @@ SCALE_QUERIES = (
     "sim_ann_lsh",              # plane/bucket math at corpus scale
     "sim_ann_ivf_checked",      # full IVF dataflow, deterministic cells
     "sample_domain_quota",      # deterministic hash-order quota
+    "lakehouse_merge_upsert",   # table-format MERGE round trip (file
+    #                             pruning must stay selective as the
+    #                             table grows, not degenerate to full
+    #                             rewrites)
+    "lakehouse_change_data_feed",   # manifest-diff CDF at corpus scale
+    "stream_sink_lakehouse_merge",  # multi-epoch idempotent merge sink
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
