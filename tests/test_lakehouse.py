@@ -350,6 +350,67 @@ def test_concurrent_merge_soak_snapshot_isolation(spark, tdir):
     assert observed == sorted(observed), observed
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_op_sequences_match_dict_model(spark, tdir, seed):
+    """Model-based check: a random interleaving of MERGE / DELETE /
+    OPTIMIZE / VACUUM must keep the table equal to a trivial dict
+    model after every step, and every still-reachable historical
+    version equal to the model state recorded when it committed."""
+    import random
+
+    rng = random.Random(seed)
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=4)
+    model = {k: k * 2 for k in range(40)}
+    history = {0: dict(model)}          # version -> model state
+    horizon = 0
+
+    def check_head():
+        got = {r["user_id"]: r["value"] for r in t.read().collect()}
+        assert got == model
+
+    for step in range(12):
+        kind = rng.choices(("merge", "delete", "optimize", "vacuum"),
+                           weights=(6, 2, 1, 1))[0]
+        if kind == "merge":
+            keys = rng.sample(range(80), rng.randint(1, 6))
+            rows, ops = [], {}
+            for k in keys:
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                rows.append((k, v, op))
+                ops[k] = (op, v)
+            m = t.merge(src(spark, rows), op_col="op")
+            for k, (op, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            history[m["version"]] = dict(model)
+        elif kind == "delete":
+            lo = rng.randint(0, 70)
+            hi = lo + rng.randint(0, 20)
+            dm = t.delete_where((lo, hi))
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = dict(model)
+        elif kind == "optimize":
+            m = t.optimize(target_files=2)
+            if not m["skipped"]:
+                history[m["version"]] = dict(model)
+        else:
+            vm = t.vacuum(retain_last=3)
+            horizon = vm["horizon"]
+        check_head()
+
+    # every surviving version must replay to its recorded model state
+    for v in t._versions():
+        if v in history and v >= horizon:
+            got = {r["user_id"]: r["value"]
+                   for r in t.read(version=v).collect()}
+            assert got == history[v], f"version {v} diverged"
+
+
 def test_commit_files_are_valid_jsonl(spark, tdir):
     t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
     t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
