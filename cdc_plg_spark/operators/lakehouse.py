@@ -338,6 +338,49 @@ def lakehouse_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_source_lakehouse_changes",
+    oracle=" UNION ALL ".join(
+        _cdf_interval_sql(i + 1, lo, hi)
+        for i, (lo, hi) in enumerate(zip(_CUTS[:-1], _CUTS[1:]))),
+    tags=("lakehouse", "cdc", "streaming"),
+)
+def stream_source_lakehouse_changes(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The table as a streaming SOURCE: tail the TxLog commit log with
+    a user-authored Python DataSource (format("txlog_changes"),
+    sources/txlog_stream.py) — offsets are commit versions in Spark's
+    offset log, the driver plans one InputPartition per commit from
+    manifest diffs alone, and executors compute each commit's I/U/D
+    rows by diffing its removed-vs-added files with pyarrow.  The
+    availableNow replay must hash-match the same per-commit oracle as
+    the batch feed (lakehouse_change_stream): stream → table → stream,
+    the reference's ordered change stream (README.md:17) both in and
+    out.
+    """
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+    from cdc_plg_spark.streaming.core import run_to_table
+
+    spark.dataSource.register(TxLogChangesSource)
+    ev = load_table(spark, "events", sf_dir)
+    d = tempfile.mkdtemp(prefix="lh_src_")
+    t = TxLogTable.create(
+        spark, os.path.join(d, "t"),
+        _apply_latest(ev.filter(F.col("ts") < _CUTS[0])),
+        "user_id", n_files=8)
+    for lo, hi in zip(_CUTS[:-1], _CUTS[1:]):
+        delta = _with_op(_latest_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))).select(
+            "user_id", "event_id", "ts", "value", "op")
+        t.merge(delta, op_col="op")
+    st = (spark.readStream.format("txlog_changes")
+          .option("path", t.path).load())
+    return run_to_table(st).select(
+        "commit_version", "change_type", "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 4).alias("value"))
+
+
+@register(
     "lakehouse_schema_evolution",
     oracle=f"""
     WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),

@@ -1,0 +1,183 @@
+"""Streaming SOURCE over the TxLog table format — tail the commit log.
+
+`format("txlog_changes")` turns a TxLog table (cdc_plg_spark.lakehouse)
+into an unbounded stream of row-level I/U/D change events, one batch
+element per commit: the reference's product — an ordered change stream
+(/root/reference/README.md:17) — served back OUT of the warehouse so a
+table can be a CDC relay, not a terminus.  Together with the
+foreachBatch merge sink (stream_sink_lakehouse_merge) this closes the
+loop: stream → table → stream.
+
+Scale shape:
+- Offsets are commit versions (a dict `{"version": N}` in Spark's
+  offset log), so checkpoint recovery is exact replay of whole commits
+  — the resume-from-checkpoint-ts contract (README.md:65,:119).
+- The driver does manifest work only: per new commit it diffs the two
+  snapshots' file lists (pure JSON replay, no data pass) and emits ONE
+  InputPartition per commit carrying the removed/added file lists.
+- Executors do all data work: each partition diffs its commit's
+  removed-vs-added files with pyarrow/pandas (Arrow batch reads, key-
+  level outer merge, null-safe column compare) and yields the net
+  I/U/D rows for that commit.  Rows rewritten unchanged cancel, so a
+  stats-pruned merge commit streams only its real changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition,
+)
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+
+def _log_versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(int(f[:20]) for f in os.listdir(log_dir)
+                  if f[:20].isdigit() and f.endswith(".json")
+                  and not f.endswith(".checkpoint.json"))
+
+
+def _snapshot(table_path: str, version: int):
+    """Manifest replay with stdlib only — safe on driver AND executor
+    (TxLogTable.snapshot needs no SparkSession, but importing the class
+    here keeps one replay implementation)."""
+    from cdc_plg_spark.lakehouse import TxLogTable
+
+    return TxLogTable(None, table_path).snapshot(version)
+
+
+class CommitPartition(InputPartition):
+    def __init__(self, table_path: str, version: int,
+                 removed: list[str], added: list[str],
+                 schema_json: str, key_col: str) -> None:
+        self.table_path = table_path
+        self.version = version
+        self.removed = removed
+        self.added = added
+        self.schema_json = schema_json
+        self.key_col = key_col
+
+
+class TxLogChangesSource(DataSource):
+    """format("txlog_changes"), option path=<table dir>."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_changes"
+
+    def schema(self) -> StructType:
+        snap = _snapshot(self.options["path"],
+                         _log_versions(os.path.join(
+                             self.options["path"], "_txlog"))[-1])
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
+        return StructType(
+            [StructField("commit_version", IntegerType(), False),
+             StructField("change_type", StringType(), False),
+             *table_schema.fields])
+
+    def streamReader(self, schema) -> "TxLogChangesReader":
+        return TxLogChangesReader(self.options["path"])
+
+
+class TxLogChangesReader(DataSourceStreamReader):
+    def __init__(self, table_path: str) -> None:
+        self.table_path = os.path.abspath(table_path)
+        self.log_dir = os.path.join(self.table_path, "_txlog")
+
+    # ---- driver side: offsets + manifest diff --------------------------
+
+    def initialOffset(self) -> dict:
+        # start at the table's FIRST log entry: version 0 (CREATE) is
+        # the base image, so the first emitted batch is commit 1
+        versions = _log_versions(self.log_dir)
+        if not versions:
+            raise ValueError(f"not a TxLog table: {self.table_path}")
+        return {"version": versions[0]}
+
+    def latestOffset(self) -> dict:
+        return {"version": _log_versions(self.log_dir)[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            a = _snapshot(self.table_path, v - 1)
+            b = _snapshot(self.table_path, v)
+            out.append(CommitPartition(
+                self.table_path, v,
+                sorted(set(a.files) - set(b.files)),
+                sorted(set(b.files) - set(a.files)),
+                b.schema_json, b.key_col))
+        # Spark requires >= 1 partition per planned batch
+        return out or [CommitPartition(self.table_path, -1, [], [],
+                                       _snapshot(self.table_path,
+                                                 start["version"]
+                                                 ).schema_json, "")]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # ---- executor side: per-commit file diff ---------------------------
+
+    def read(self, partition: CommitPartition):
+        if partition.version < 0:
+            return
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import StructType as _St
+
+        fields = _St.fromJson(json.loads(partition.schema_json)).fields
+        cols = [f.name for f in fields]
+        key = partition.key_col
+        data_cols = [c for c in cols if c != key]
+
+        def load(rel_paths) -> "pd.DataFrame":
+            frames = [pq.read_table(
+                os.path.join(partition.table_path, p)).to_pandas()
+                for p in rel_paths]
+            if not frames:
+                return pd.DataFrame(columns=cols)
+            df = pd.concat(frames, ignore_index=True)
+            for c in cols:            # pre-DDL files lack new columns
+                if c not in df.columns:
+                    df[c] = None
+            return df[cols]
+
+        old, new = load(partition.removed), load(partition.added)
+        m = old.merge(new, on=key, how="outer",
+                      suffixes=("_o", "_n"), indicator=True)
+
+        def differs(row) -> bool:
+            for c in data_cols:
+                a, b = row[f"{c}_o"], row[f"{c}_n"]
+                if pd.isna(a) and pd.isna(b):
+                    continue
+                if pd.isna(a) or pd.isna(b) or a != b:
+                    return True
+            return False
+
+        def py(v):
+            if pd.isna(v):
+                return None
+            if hasattr(v, "to_pydatetime"):
+                return v.to_pydatetime()
+            if hasattr(v, "item"):
+                return v.item()
+            return v
+
+        for _, row in m.iterrows():
+            if row["_merge"] == "right_only":
+                ct, side = "I", "_n"
+            elif row["_merge"] == "left_only":
+                ct, side = "D", "_o"
+            elif differs(row):
+                ct, side = "U", "_n"
+            else:
+                continue
+            yield (partition.version, ct,
+                   *[py(row[key]) if c == key else py(row[f"{c}{side}"])
+                     for c in cols])

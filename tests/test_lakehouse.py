@@ -411,6 +411,42 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
             assert got == history[v], f"version {v} diverged"
 
 
+def test_stream_source_resumes_at_committed_version(spark, tdir):
+    """Tailing the commit log across restarts: a checkpointed
+    availableNow run consumes commits 1..2; a commit made AFTER it
+    must be the only thing the resumed run emits (offset = version,
+    replayed exactly — README.md:65's checkpoint-ts resume)."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=1)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    t.merge(src(spark, [(2, -2, "U")]), op_col="op")
+
+    out = os.path.join(tdir, "out")
+    ckpt = os.path.join(tdir, "ckpt")
+
+    def run_once():
+        q = (spark.readStream.format("txlog_changes")
+             .option("path", t.path).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert {r["commit_version"] for r in first.collect()} == {1, 2}
+
+    t.merge(src(spark, [(3, -3, "U"), (1, 0, "D")]), op_col="op")
+    run_once()
+    second = spark.read.parquet(out)
+    assert second.count() == first.count() + 2      # only commit 3's rows
+    newly = second.filter(F.col("commit_version") == 3)
+    got = {(r["change_type"], r["user_id"]) for r in newly.collect()}
+    assert got == {("U", 3), ("D", 1)}
+
+
 def test_commit_files_are_valid_jsonl(spark, tdir):
     t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
     t.merge(src(spark, [(1, -1, "U")]), op_col="op", txn=("a", 0))
