@@ -381,6 +381,74 @@ def stream_source_lakehouse_changes(spark: SparkSession,
 
 
 @register(
+    "lakehouse_replication",
+    oracle=f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           ROUND(value, 4) AS value
+    FROM ({_ORACLE_STATE.format(where="")})
+    WHERE op <> 'D'
+    """,
+    tags=("lakehouse", "cdc", "streaming"),
+)
+def lakehouse_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table replication, the reference's end-to-end use case
+    (README.md:15,:17) inside one engine: bootstrap a replica from the
+    primary's v0 snapshot (initial image load), then TAIL the
+    primary's commit log as a stream and apply each change batch to
+    the replica with an epoch-idempotent MERGE.  The replica's final
+    content is oracle-checked against the global apply over all
+    events — primary state, change transport, and replica apply must
+    all be exact for the hash to match.
+
+    Per foreachBatch batch: multiple commits may fold into one
+    micro-batch, so changes compact to the LATEST commit's op per key
+    before the merge (sequential-apply equivalence).
+    """
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    spark.dataSource.register(TxLogChangesSource)
+    ev = load_table(spark, "events", sf_dir)
+    d = tempfile.mkdtemp(prefix="lh_repl_")
+    primary = TxLogTable.create(
+        spark, os.path.join(d, "primary"),
+        _apply_latest(ev.filter(F.col("ts") < _CUTS[0])),
+        "user_id", n_files=8)
+    for lo, hi in zip(_CUTS[:-1], _CUTS[1:]):
+        delta = _with_op(_latest_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))).select(
+            "user_id", "event_id", "ts", "value", "op")
+        primary.merge(delta, op_col="op")
+
+    replica = TxLogTable.create(
+        spark, os.path.join(d, "replica"),
+        primary.read(version=0), "user_id", n_files=8)
+
+    def apply_changes(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("commit_version"))
+        latest = (batch_df
+                  .withColumn("_r", F.row_number().over(w))
+                  .filter(F.col("_r") == 1)
+                  .select("user_id", "event_id", "ts", "value",
+                          F.col("change_type").alias("op")))
+        replica.merge(latest, op_col="op",
+                      txn=("replica", int(epoch_id)))
+
+    stream = (spark.readStream.format("txlog_changes")
+              .option("path", primary.path).load())
+    ckpt = tempfile.mkdtemp(prefix="lh_repl_ckpt_")
+    try:
+        run_foreach_batch(stream, apply_changes, ckpt)
+    finally:
+        import shutil as _sh
+        _sh.rmtree(ckpt, ignore_errors=True)
+    return _out(replica.read())
+
+
+@register(
     "lakehouse_schema_evolution",
     oracle=f"""
     WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),

@@ -151,33 +151,41 @@ class TxLogChangesReader(DataSourceStreamReader):
         m = old.merge(new, on=key, how="outer",
                       suffixes=("_o", "_n"), indicator=True)
 
-        def differs(row) -> bool:
-            for c in data_cols:
-                a, b = row[f"{c}_o"], row[f"{c}_n"]
-                if pd.isna(a) and pd.isna(b):
-                    continue
-                if pd.isna(a) or pd.isna(b) or a != b:
-                    return True
-            return False
+        # vectorized classification — no per-row Python: a commit's
+        # change batch can be large, so the diff stays columnar all the
+        # way and is handed to Spark as ONE Arrow batch
+        import numpy as np
+        import pyarrow as pa
 
-        def py(v):
-            if pd.isna(v):
-                return None
-            if hasattr(v, "to_pydatetime"):
-                return v.to_pydatetime()
-            if hasattr(v, "item"):
-                return v.item()
-            return v
-
-        for _, row in m.iterrows():
-            if row["_merge"] == "right_only":
-                ct, side = "I", "_n"
-            elif row["_merge"] == "left_only":
-                ct, side = "D", "_o"
-            elif differs(row):
-                ct, side = "U", "_n"
-            else:
-                continue
-            yield (partition.version, ct,
-                   *[py(row[key]) if c == key else py(row[f"{c}{side}"])
-                     for c in cols])
+        is_i = (m["_merge"] == "right_only").to_numpy()
+        is_d = (m["_merge"] == "left_only").to_numpy()
+        differs = np.zeros(len(m), dtype=bool)
+        for c in data_cols:
+            a, b = m[f"{c}_o"], m[f"{c}_n"]
+            differs |= ~((a.isna() & b.isna())
+                         | (a == b).fillna(False)).to_numpy()
+        keep = is_i | is_d | differs
+        mk = m.loc[keep]
+        is_d, is_i = is_d[keep], is_i[keep]
+        out = pd.DataFrame(index=mk.index)
+        out["commit_version"] = np.int32(partition.version)
+        out["change_type"] = np.where(is_i, "I", np.where(is_d, "D", "U"))
+        out[key] = mk[key]
+        for c in data_cols:             # before-image for D, after else
+            out[c] = mk[f"{c}_n"].where(~is_d, mk[f"{c}_o"])
+        # outer-merge NaNs promote ints to float64; restore nullable
+        # ints so the Arrow batch matches the declared Spark schema
+        _pd_int = {"long": "Int64", "integer": "Int32",
+                   "short": "Int16", "byte": "Int8"}
+        for f in fields:
+            tn = f.dataType.typeName()
+            if tn in _pd_int:
+                out[f.name] = out[f.name].astype(_pd_int[tn])
+            elif tn == "timestamp":
+                # Spark rejects Arrow ns timestamps; pin to µs UTC
+                col = pd.to_datetime(out[f.name])
+                if col.dt.tz is None:
+                    col = col.dt.tz_localize("UTC")
+                out[f.name] = col.astype("datetime64[us, UTC]")
+        yield pa.RecordBatch.from_pandas(
+            out.reset_index(drop=True), preserve_index=False)
