@@ -463,7 +463,8 @@ class TxLogTable:
 
     # ------------------------------------------------------------- reads+
 
-    def table_changes(self, from_version: int, to_version: int) -> DataFrame:
+    def table_changes(self, from_version: int, to_version: int,
+                      full_images: bool = False) -> DataFrame:
         """Change data feed: the NET row-level I/U/D delta between two
         snapshots — the reference's own product (an ordered change
         stream, README.md:17) served back OUT of the table format.
@@ -474,7 +475,15 @@ class TxLogTable:
         key-level diff.  Net semantics: a key inserted then deleted
         within the range yields nothing; an update overwritten by a
         later update yields one 'U' with the final image.  'I'/'U'
-        carry the after-image, 'D' the before-image."""
+        carry the after-image, 'D' the before-image.
+
+        `full_images=True` switches to the four-row-kind CDF shape
+        (the public Delta CDF contract): an update emits BOTH images
+        as `U_pre` (before) and `U_post` (after) rows.  That is what
+        downstream *incremental computation* needs — maintaining an
+        aggregate requires retracting the before-image, not just
+        adding the after-image.  Same single diff join; the update
+        branch just explodes into two rows."""
         a = self.snapshot(from_version)
         b = self.snapshot(to_version)
         key = b.key_col
@@ -495,14 +504,32 @@ class TxLogTable:
         change = (F.when(F.col("o._o").isNull(), "I")
                    .when(F.col("n._n").isNull(), "D")
                    .when(differs, "U"))
-        return (j.withColumn("_change_type", change)
-                 .filter(F.col("_change_type").isNotNull())
-                 .select(F.col("_change_type").alias("change_type"),
-                         F.col(key), *[
-                             F.when(F.col("_change_type") == "D",
-                                    F.col(f"o.{c}"))
-                              .otherwise(F.col(f"n.{c}")).alias(c)
-                             for c in cols if c != key]))
+        j = (j.withColumn("_change_type", change)
+              .filter(F.col("_change_type").isNotNull()))
+        if not full_images:
+            return j.select(F.col("_change_type").alias("change_type"),
+                            F.col(key), *[
+                                F.when(F.col("_change_type") == "D",
+                                       F.col(f"o.{c}"))
+                                 .otherwise(F.col(f"n.{c}")).alias(c)
+                                for c in cols if c != key])
+        # explode each diff row into its CDF image rows: I → post image,
+        # D → pre image, U → both; one array+explode, still one scan
+        img = F.when(
+            F.col("_change_type") == "U",
+            F.array(F.lit("U_pre"), F.lit("U_post"))).otherwise(
+            F.array(F.col("_change_type")))
+        pre = F.col("change_type").isin("D", "U_pre")
+        return (j.select(F.col(key), "_change_type",
+                         F.explode(img).alias("change_type"),
+                         *[F.col(f"o.{c}").alias(f"_o_{c}") for c in cols
+                           if c != key],
+                         *[F.col(f"n.{c}").alias(f"_n_{c}") for c in cols
+                           if c != key])
+                 .select("change_type", F.col(key), *[
+                     F.when(pre, F.col(f"_o_{c}"))
+                      .otherwise(F.col(f"_n_{c}")).alias(c)
+                     for c in cols if c != key]))
 
     def table_changes_per_commit(self, from_version: int,
                                  to_version: int) -> DataFrame:

@@ -454,3 +454,52 @@ def test_commit_files_are_valid_jsonl(spark, tdir):
         with open(os.path.join(t.log_dir, f"{v:020d}.json")) as f:
             actions = [json.loads(line) for line in f]
         assert any("commit" in a for a in actions)
+
+
+def test_table_changes_full_images(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100)
+    t.merge(src(spark, [(5, -5, "U"), (150, 150, "I"), (7, 0, "D")]),
+            op_col="op")
+    ch = {(r["change_type"], r["user_id"]): r["value"]
+          for r in t.table_changes(0, 1, full_images=True).collect()}
+    # update emits BOTH images; I keeps after, D keeps before
+    assert ch[("U_pre", 5)] == 10 and ch[("U_post", 5)] == -5
+    assert ch[("I", 150)] == 150
+    assert ch[("D", 7)] == 14
+    assert ("U", 5) not in ch
+    # net feed and full-image feed describe the same key set
+    net = {r["user_id"] for r in t.table_changes(0, 1).collect()}
+    assert {k for _, k in ch} == net
+
+
+def test_incremental_mv_matches_recompute_across_ops(spark, tdir):
+    """MV maintained purely from signed full-image deltas equals a
+    fresh recompute at every version — including across a DELETE and
+    an OPTIMIZE (whose rewritten-unchanged rows must cancel)."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=400)
+
+    def recompute(df):
+        return df.groupBy(F.pmod("user_id", F.lit(8)).alias("g")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+
+    mv = {r["g"]: (r["n"], r["s"]) for r in recompute(t.read(0)).collect()}
+    t.merge(src(spark, [(3, 999, "U"), (500, 1, "I"), (8, 0, "D")]),
+            op_col="op")
+    t.delete_where((100, 199))
+    t.optimize(small_bytes=1 << 30)   # pure layout commit: empty delta
+    t.merge(src(spark, [(500, 2, "U"), (100, 7, "I")]), op_col="op")
+    head = t.snapshot().version
+    for v in range(1, head + 1):
+        sign = F.when(F.col("change_type").isin("I", "U_post"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        delta = (t.table_changes(v - 1, v, full_images=True)
+                  .groupBy(F.pmod("user_id", F.lit(8)).alias("g"))
+                  .agg(F.sum(sign).alias("n"),
+                       F.sum(sign * F.col("value")).alias("s")))
+        for r in delta.collect():
+            n, s = mv.get(r["g"], (0, 0))
+            mv[r["g"]] = (n + r["n"], s + r["s"])
+        mv = {g: v_ for g, v_ in mv.items() if v_[0] > 0}
+        expect = {r["g"]: (r["n"], r["s"])
+                  for r in recompute(t.read(v)).collect()}
+        assert mv == expect, f"drift at version {v}"
