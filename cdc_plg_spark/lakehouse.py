@@ -133,9 +133,10 @@ class TxLogTable:
                     action = json.loads(line)
                     if "add" in action:
                         a = action["add"]
-                        snap.files[a["path"]] = {k: a[k] for k in
-                                                 ("rows", "bytes",
-                                                  "min_key", "max_key")}
+                        snap.files[a["path"]] = {
+                            **{k: a[k] for k in ("rows", "bytes",
+                                                 "min_key", "max_key")},
+                            "cols": a.get("cols", {})}
                     elif "remove" in action:
                         snap.files.pop(action["remove"]["path"], None)
                     elif "txn" in action:
@@ -209,12 +210,25 @@ class TxLogTable:
         df.write.mode("overwrite").parquet(out_dir)
         if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
             return []  # zero-row write (e.g. MERGE deleted every row)
-        # one distributed pass computes every file's stats
+        # one distributed pass computes every file's stats — the key's
+        # min/max PLUS per-column min/max for every JSON-representable
+        # column (Delta-style data skipping: a later read with a
+        # predicate on ANY such column prunes at the manifest, no
+        # footer reads).  Non-JSON types (timestamps, nested) simply
+        # get no stats → never pruned, always correct.
         scan = self.spark.read.parquet(out_dir)
+        stat_cols = [f_.name for f_ in scan.schema.fields
+                     if f_.name != key_col
+                     and f_.dataType.typeName() in
+                     ("long", "integer", "short", "byte", "double",
+                      "float", "string", "boolean")]
         rows = (scan.groupBy(F.input_file_name().alias("f"))
                     .agg(F.count(F.lit(1)).alias("rows"),
                          F.min(key_col).alias("min_key"),
-                         F.max(key_col).alias("max_key"))
+                         F.max(key_col).alias("max_key"),
+                         *[x for c in stat_cols for x in
+                           (F.min(c).alias(f"_mn_{c}"),
+                            F.max(c).alias(f"_mx_{c}"))])
                     .collect())  # manifest-sized: one row per new file
         adds = []
         for r in rows:
@@ -226,6 +240,9 @@ class TxLogTable:
                 "bytes": os.path.getsize(os.path.join(self.path, rel)),
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
+                "cols": {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                         for c in stat_cols
+                         if r[f"_mn_{c}"] is not None},
             }})
         return adds
 
@@ -249,10 +266,20 @@ class TxLogTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self, version: int | None = None,
-             key_between: tuple | None = None) -> DataFrame:
+             key_between: tuple | None = None,
+             where_between: tuple | None = None) -> DataFrame:
         """Snapshot read; `key_between=(lo, hi)` prunes files by their
-        min/max stats before Spark ever lists them — manifest-level
-        partition pruning, no footer reads for skipped files."""
+        key min/max stats before Spark ever lists them — manifest-level
+        partition pruning, no footer reads for skipped files.
+
+        `where_between=(col, lo, hi)` is the same skip on a NON-key
+        column via the per-column stats every add-action carries
+        (Delta-style data skipping).  A file lacking stats for `col`
+        (pre-upgrade commit, non-JSON type, all-NULL file) is
+        conservatively kept; the residual filter keeps the result
+        exact either way.  NULL semantics: `between` never matches
+        NULL, and min/max stats ignore NULLs, so skipping a file whose
+        stats exclude the range can never drop a matching row."""
         snap = self.snapshot(version)
         if snap.version < 0 or snap.schema_json is None:
             raise ValueError(f"not a TxLog table: {self.path}")
@@ -261,13 +288,21 @@ class TxLogTable:
             lo, hi = key_between
             files = {p: s for p, s in files.items()
                      if s["max_key"] >= lo and s["min_key"] <= hi}
+        if where_between is not None:
+            col, lo, hi = where_between
+            def _keep(s: dict) -> bool:
+                rng = s.get("cols", {}).get(col)
+                return rng is None or (rng[1] >= lo and rng[0] <= hi)
+            files = {p: s for p, s in files.items() if _keep(s)}
         if not files:
             return self._empty_df(snap)
         df = self._read_files(snap, files)
         if key_between is not None:
             lo, hi = key_between
-            key = snap.key_col
-            df = df.filter(F.col(key).between(lo, hi))
+            df = df.filter(F.col(snap.key_col).between(lo, hi))
+        if where_between is not None:
+            col, lo, hi = where_between
+            df = df.filter(F.col(col).between(lo, hi))
         return df
 
     # ------------------------------------------------------------ writes

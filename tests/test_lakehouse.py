@@ -503,3 +503,30 @@ def test_incremental_mv_matches_recompute_across_ops(spark, tdir):
         expect = {r["g"]: (r["n"], r["s"])
                   for r in recompute(t.read(v)).collect()}
         assert mv == expect, f"drift at version {v}"
+
+
+def test_data_skipping_on_nonkey_column(spark, tdir):
+    """Per-column stats prune files on NON-key predicates (Delta-style
+    data skipping): value is clustered with the key here, so a narrow
+    value range must scan a small fraction of files, and the result
+    must equal the unpruned filter — including NULL rows, which stats
+    ignore and BETWEEN never matches."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 97 == 0, None)
+         .otherwise(F.col("id") * 2).alias("value"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=8)
+    pruned = t.read(where_between=("value", 100, 140))
+    assert len(pruned.inputFiles()) <= 2  # of 8
+    expect = sorted(r["user_id"] for r in
+                    t.read().filter(F.col("value").between(100, 140))
+                     .collect())
+    assert sorted(r["user_id"] for r in pruned.collect()) == expect
+    # stats survive merge rewrites and the checkpoint round trip
+    t.merge(src(spark, [(50, 9999, "U")]), op_col="op")
+    snap = t.snapshot()
+    assert all("cols" in s for s in snap.files.values())
+    hit = t.read(where_between=("value", 9999, 9999))
+    assert [r["user_id"] for r in hit.collect()] == [50]
+    assert len(hit.inputFiles()) <= 2
