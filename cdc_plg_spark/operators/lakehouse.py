@@ -666,3 +666,87 @@ def lakehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in measures])
                 .filter(F.col("n_keys") > 0))
     return mv
+
+
+@register(
+    "stream_incremental_mv",
+    oracle=f"""
+    SELECT CAST(user_id % 16 AS BIGINT) AS grp, {_MV_MEASURES}
+    FROM ({_ORACLE_STATE.format(where="")})
+    WHERE op <> 'D'
+    GROUP BY 1
+    """,
+    tags=("lakehouse", "cdc", "streaming", "mv"),
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance: the MV lives in its own
+    TxLog table and stays current by tailing the primary's commit log
+    with `format("txlog_changes")` in fullImages mode — continuous
+    incremental view maintenance, the always-fresh warehouse the
+    reference's change streams exist to feed (README.md:15,:22).
+
+    Per micro-batch (which may fold several commits — signed deltas
+    are associative, so folding is safe, unlike replication's
+    latest-wins compaction): group the I/U_pre/U_post/D rows into
+    signed deltas, join against the current MV (group-cardinality
+    sized, the MV contract), and MERGE the new totals back with an
+    epoch txn — exactly-once on top of at-least-once replay.  Groups
+    whose key count hits zero are deleted.  The final MV is
+    hash-checked against a direct recompute over the global apply.
+    """
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    spark.dataSource.register(TxLogChangesSource)
+    ev = load_table(spark, "events", sf_dir)
+    d = tempfile.mkdtemp(prefix="lh_smv_")
+    primary = TxLogTable.create(
+        spark, os.path.join(d, "primary"),
+        _apply_latest(ev.filter(F.col("ts") < _CUTS[0])),
+        "user_id", n_files=8)
+    for lo, hi in zip(_CUTS[:-1], _CUTS[1:]):
+        delta = _with_op(_latest_per_user(
+            ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)))).select(
+            "user_id", "event_id", "ts", "value", "op")
+        primary.merge(delta, op_col="op")
+
+    grp = F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("grp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    measures = ["n_keys", "id_sum", "cents_sum"]
+    mv = TxLogTable.create(
+        spark, os.path.join(d, "mv"),
+        primary.read(version=0).groupBy(grp).agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum(cents).alias("cents_sum")),
+        "grp", n_files=1)
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sign = F.when(F.col("change_type").isin("I", "U_post"), F.lit(1)) \
+                .otherwise(F.lit(-1))
+        delta = (batch_df.groupBy(grp)
+                 .agg(F.sum(sign).alias("n_keys"),
+                      F.sum(sign * F.col("event_id")).alias("id_sum"),
+                      F.sum(sign * cents).alias("cents_sum")))
+        new = (mv.read().alias("m")
+               .join(delta.alias("d"), on="grp", how="full_outer")
+               .select(F.col("grp"), *[
+                   (F.coalesce(F.col(f"m.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
+                   for c in measures])
+               .withColumn("op", F.when(F.col("n_keys") <= 0, "D")
+                                  .otherwise("U")))
+        mv.merge(new, op_col="op", txn=("smv", int(epoch_id)))
+
+    stream = (spark.readStream.format("txlog_changes")
+              .option("path", primary.path)
+              .option("fullImages", "true").load())
+    ckpt = tempfile.mkdtemp(prefix="lh_smv_ckpt_")
+    try:
+        run_foreach_batch(stream, refresh, ckpt)
+    finally:
+        import shutil as _sh
+        _sh.rmtree(ckpt, ignore_errors=True)
+    return mv.read()

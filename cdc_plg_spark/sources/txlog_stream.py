@@ -53,13 +53,15 @@ def _snapshot(table_path: str, version: int):
 class CommitPartition(InputPartition):
     def __init__(self, table_path: str, version: int,
                  removed: list[str], added: list[str],
-                 schema_json: str, key_col: str) -> None:
+                 schema_json: str, key_col: str,
+                 full_images: bool = False) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
         self.added = added
         self.schema_json = schema_json
         self.key_col = key_col
+        self.full_images = full_images
 
 
 class TxLogChangesSource(DataSource):
@@ -80,13 +82,19 @@ class TxLogChangesSource(DataSource):
              *table_schema.fields])
 
     def streamReader(self, schema) -> "TxLogChangesReader":
-        return TxLogChangesReader(self.options["path"])
+        # option fullImages=true: updates emit BOTH images as
+        # U_pre/U_post rows (the 4-row-kind Delta-CDF shape) so a
+        # downstream incremental computation can retract before-images
+        return TxLogChangesReader(
+            self.options["path"],
+            self.options.get("fullImages", "false").lower() == "true")
 
 
 class TxLogChangesReader(DataSourceStreamReader):
-    def __init__(self, table_path: str) -> None:
+    def __init__(self, table_path: str, full_images: bool = False) -> None:
         self.table_path = os.path.abspath(table_path)
         self.log_dir = os.path.join(self.table_path, "_txlog")
+        self.full_images = full_images
 
     # ---- driver side: offsets + manifest diff --------------------------
 
@@ -110,7 +118,7 @@ class TxLogChangesReader(DataSourceStreamReader):
                 self.table_path, v,
                 sorted(set(a.files) - set(b.files)),
                 sorted(set(b.files) - set(a.files)),
-                b.schema_json, b.key_col))
+                b.schema_json, b.key_col, self.full_images))
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
                                        _snapshot(self.table_path,
@@ -167,12 +175,25 @@ class TxLogChangesReader(DataSourceStreamReader):
         keep = is_i | is_d | differs
         mk = m.loc[keep]
         is_d, is_i = is_d[keep], is_i[keep]
+        u_label = "U_post" if partition.full_images else "U"
         out = pd.DataFrame(index=mk.index)
         out["commit_version"] = np.int32(partition.version)
-        out["change_type"] = np.where(is_i, "I", np.where(is_d, "D", "U"))
+        out["change_type"] = np.where(is_i, "I",
+                                      np.where(is_d, "D", u_label))
         out[key] = mk[key]
         for c in data_cols:             # before-image for D, after else
             out[c] = mk[f"{c}_n"].where(~is_d, mk[f"{c}_o"])
+        if partition.full_images:
+            # updates additionally emit their before-image as U_pre
+            is_u = ~(is_d | is_i)
+            mu = mk.loc[is_u]
+            pre = pd.DataFrame(index=mu.index)
+            pre["commit_version"] = np.int32(partition.version)
+            pre["change_type"] = "U_pre"
+            pre[key] = mu[key]
+            for c in data_cols:
+                pre[c] = mu[f"{c}_o"]
+            out = pd.concat([out, pre], ignore_index=True)
         # outer-merge NaNs promote ints to float64; restore nullable
         # ints so the Arrow batch matches the declared Spark schema
         _pd_int = {"long": "Int64", "integer": "Int32",
