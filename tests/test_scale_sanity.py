@@ -54,6 +54,10 @@ SCALE_QUERIES = (
     #                             rewrites)
     "lakehouse_change_data_feed",   # manifest-diff CDF at corpus scale
     "stream_sink_lakehouse_merge",  # multi-epoch idempotent merge sink
+    "lakehouse_incremental_mv",     # signed-delta fold must stay exact
+    #                                 as delta size grows
+    "stream_incremental_mv",        # continuous fold via commit-log
+    #                                 stream (micro-batch commit folding)
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
