@@ -35,6 +35,14 @@ public Delta protocol does it:
 - **Time travel / vacuum**: `read(version=N)` replays to N;
   `vacuum(retain_last=k)` deletes data files unreachable from the
   last k versions and truncates the log behind a new checkpoint.
+- **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
+  appends a `dv` action listing the deleted keys per straddling file
+  instead of rewriting it — no parquet written; readers anti-join the
+  DV, the change feed reports DV growth as deletes, and OPTIMIZE
+  materializes vectors away.  COW keeps reads scan-only; DV makes a
+  wide-grazing delete O(log entry) — the reader pays until the next
+  compaction.  (Keys are table-unique, so a key list is an exact DV;
+  a positional bitmap is the same contract, denser.)
 
 Driver-side state is manifest-sized only (one dict entry per live
 file — the same scale class as Delta's log replay on the driver);
@@ -139,6 +147,15 @@ class TxLogTable:
                             "cols": a.get("cols", {})}
                     elif "remove" in action:
                         snap.files.pop(action["remove"]["path"], None)
+                    elif "dv" in action:
+                        # merge-on-read delete: the file stays, its
+                        # deletion vector grows; a later remove of the
+                        # file drops the DV with it
+                        d_ = action["dv"]
+                        ent = snap.files.get(d_["path"])
+                        if ent is not None:
+                            ent["dv"] = sorted(
+                                set(ent.get("dv", ())) | set(d_["keys"]))
                     elif "txn" in action:
                         t = action["txn"]
                         prev = snap.txns.get(t["app"], -1)
@@ -265,6 +282,30 @@ class TxLogTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _key_df(self, snap: Snapshot, keys) -> DataFrame:
+        """Tiny DataFrame of key values typed like the table key."""
+        kf = [f_ for f_ in StructType.fromJson(
+            json.loads(snap.schema_json)).fields
+            if f_.name == snap.key_col]
+        return self.spark.createDataFrame([(k,) for k in keys],
+                                          StructType(kf))
+
+    def _read_files_live(self, snap: Snapshot, rel_paths) -> DataFrame:
+        """`_read_files` minus each file's deletion vector: the
+        merge-on-read half of the format.  Keys are globally unique
+        across live files, so one broadcast anti-join on the pooled DV
+        keys of the selected files is exact.  DV size is bounded by
+        the deleted-rows backlog (OPTIMIZE materializes DVs away), the
+        same scale class as the manifest."""
+        rel_paths = list(rel_paths)
+        df = self._read_files(snap, rel_paths)
+        dv = sorted({k for p in rel_paths
+                     for k in snap.files.get(p, {}).get("dv", ())})
+        if not dv:
+            return df
+        return df.join(F.broadcast(self._key_df(snap, dv)),
+                       on=snap.key_col, how="left_anti")
+
     def read(self, version: int | None = None,
              key_between: tuple | None = None,
              where_between: tuple | None = None) -> DataFrame:
@@ -296,7 +337,7 @@ class TxLogTable:
             files = {p: s for p, s in files.items() if _keep(s)}
         if not files:
             return self._empty_df(snap)
-        df = self._read_files(snap, files)
+        df = self._read_files_live(snap, files)
         if key_between is not None:
             lo, hi = key_between
             df = df.filter(F.col(snap.key_col).between(lo, hi))
@@ -423,7 +464,7 @@ class TxLogTable:
                     f"missing {missing} (a row that wins replaces the "
                     f"whole row — partial updates would null columns "
                     f"silently)")
-            target = self._read_files(snap, touched)
+            target = self._read_files_live(snap, touched)
             t_ = target.withColumn("_t", F.lit(1)).alias("t")
             s_ = s.withColumn("_s", F.lit(1)).alias("s")
             joined = t_.join(s_, on=key, how="full_outer")
@@ -460,17 +501,36 @@ class TxLogTable:
                         "files_pruned": len(snap.files) - len(touched),
                         "files_added": len(adds), "skipped": False}
             # lost the race: valid iff no candidate file was removed
+            # AND no candidate file's deletion vector grew (our rewrite
+            # read the old DV state — re-committing would resurrect
+            # concurrently dv-deleted rows)
             newer = self.snapshot()
-            if any(p not in newer.files for p in touched):
+            if any(p not in newer.files
+                   or newer.files[p].get("dv", [])
+                   != snap.files[p].get("dv", [])
+                   for p in touched):
                 raise ConflictError(
-                    "concurrent commit removed a candidate file")
+                    "concurrent commit removed or dv-deleted from a "
+                    "candidate file")
             # plain appends interleaved — recompute against new snapshot
         raise ConflictError("merge retries exhausted")
 
-    def delete_where(self, key_between: tuple) -> dict:
-        """DELETE WHERE key BETWEEN lo AND hi — same copy-on-write path:
-        files fully inside the range are dropped with no data pass at
-        all; straddling files are rewritten minus matching rows."""
+    def delete_where(self, key_between: tuple, mode: str = "cow") -> dict:
+        """DELETE WHERE key BETWEEN lo AND hi.
+
+        Files fully inside the range are dropped with no data pass at
+        all in either mode.  Straddling files:
+
+        - `mode="cow"` (copy-on-write): rewrite them minus matching
+          rows — readers stay scan-only, the delete pays the write.
+        - `mode="dv"` (merge-on-read): append each straddler's matching
+          keys to its DELETION VECTOR — no parquet is written at all
+          (one read-only job enumerates the keys), readers anti-join
+          the DV until OPTIMIZE materializes it away.  This is the
+          100 TB shape for a delete that grazes many files: COW would
+          rewrite every grazed file; DV writes one log entry.  The DV
+          here is a key list (keys are table-unique); a positional
+          bitmap is the same contract with a denser encoding."""
         lo, hi = key_between
         snap = self.snapshot()
         key = snap.key_col
@@ -479,12 +539,26 @@ class TxLogTable:
         straddle = [p for p, s in snap.files.items()
                     if p not in drop_whole
                     and s["max_key"] >= lo and s["min_key"] <= hi]
-        actions = [{"commit": {"op": "DELETE",
+        actions = [{"commit": {"op": "DELETE", "mode": mode,
                                "files_dropped": len(drop_whole),
-                               "files_rewritten": len(straddle)}},
+                               "files_rewritten":
+                                   0 if mode == "dv" else len(straddle)}},
                    *[{"remove": {"path": p}} for p in drop_whole]]
-        if straddle:
-            kept = (self._read_files(snap, straddle)
+        if straddle and mode == "dv":
+            # one read-only job: which LIVE keys per straddler match
+            hit = (self._read_files_live(snap, straddle)
+                   .filter(F.col(key).between(lo, hi))
+                   .select(F.input_file_name().alias("_f"), key)
+                   .collect())   # DV-sized, the deleted-rows backlog
+            by_file: dict[str, list] = {}
+            for r in hit:
+                rel = os.path.relpath(r["_f"].removeprefix("file://"),
+                                      self.path)
+                by_file.setdefault(rel, []).append(r[key])
+            actions += [{"dv": {"path": p, "keys": sorted(ks)}}
+                        for p, ks in sorted(by_file.items())]
+        elif straddle:
+            kept = (self._read_files_live(snap, straddle)
                     .filter(~F.col(key).between(lo, hi)))
             adds = self._write_data(kept, key, len(straddle))
             actions += [{"remove": {"path": p}} for p in straddle]
@@ -494,7 +568,7 @@ class TxLogTable:
         self._maybe_checkpoint(self.snapshot(snap.version + 1))
         return {"version": snap.version + 1,
                 "files_dropped": len(drop_whole),
-                "files_rewritten": len(straddle)}
+                "files_rewritten": 0 if mode == "dv" else len(straddle)}
 
     # ------------------------------------------------------------- reads+
 
@@ -524,8 +598,35 @@ class TxLogTable:
         key = b.key_col
         removed = sorted(set(a.files) - set(b.files))
         added = sorted(set(b.files) - set(a.files))
+        # deletion-vector awareness: (1) rows already dv-deleted at `a`
+        # were never live in the range — anti-join them off the old
+        # side; (2) a DV that GREW on a surviving file is a delete this
+        # range must report (the file set alone doesn't change on a
+        # dv-mode delete) — semi-join those keys' before-images onto
+        # the old side; (3) rows dv-deleted at `b` in an added file are
+        # not live at `b` — anti-join them off the new side.
         old = self._read_files(b, removed)
+        dv_a = sorted({k for p in removed
+                       for k in a.files[p].get("dv", ())})
+        if dv_a:
+            old = old.join(F.broadcast(self._key_df(b, dv_a)),
+                           on=key, how="left_anti")
+        grown = {p: sorted(set(b.files[p].get("dv", ()))
+                           - set(a.files[p].get("dv", ())))
+                 for p in set(a.files) & set(b.files)}
+        grown = {p: ks for p, ks in grown.items() if ks}
+        if grown:
+            pool = sorted({k for ks in grown.values() for k in ks})
+            dvd = (self._read_files(b, sorted(grown))
+                   .join(F.broadcast(self._key_df(b, pool)),
+                         on=key, how="left_semi"))
+            old = old.unionByName(dvd)
         new = self._read_files(b, added)
+        dv_b = sorted({k for p in added
+                       for k in b.files[p].get("dv", ())})
+        if dv_b:
+            new = new.join(F.broadcast(self._key_df(b, dv_b)),
+                           on=key, how="left_anti")
         cols = [f.name for f in
                 StructType.fromJson(json.loads(b.schema_json)).fields]
         o = old.withColumn("_o", F.lit(1)).alias("o")
@@ -602,13 +703,14 @@ class TxLogTable:
         small-file backlog, not table size."""
         snap = self.snapshot()
         small = sorted(p for p, s in snap.files.items()
-                       if s["bytes"] < small_bytes)
-        if len(small) < 2:
+                       if s["bytes"] < small_bytes or s.get("dv"))
+        has_dv = any(snap.files[p].get("dv") for p in small)
+        if len(small) < 2 and not has_dv:
             return {"version": snap.version, "files_compacted": 0,
                     "skipped": True}
         total = sum(snap.files[p]["bytes"] for p in small)
         n_out = target_files or max(1, total // max(small_bytes, 1) + 1)
-        df = self._read_files(snap, small)
+        df = self._read_files_live(snap, small)
         adds = self._write_data(df, snap.key_col, n_out)
         actions = [{"commit": {"op": "OPTIMIZE",
                                "files_compacted": len(small),

@@ -54,7 +54,11 @@ class CommitPartition(InputPartition):
     def __init__(self, table_path: str, version: int,
                  removed: list[str], added: list[str],
                  schema_json: str, key_col: str,
-                 full_images: bool = False) -> None:
+                 full_images: bool = False,
+                 dv_old: list | None = None,
+                 dv_new: list | None = None,
+                 dv_grown: list | None = None,
+                 grown_files: list[str] | None = None) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
@@ -62,6 +66,16 @@ class CommitPartition(InputPartition):
         self.schema_json = schema_json
         self.key_col = key_col
         self.full_images = full_images
+        # deletion-vector context for this commit step:
+        # dv_old — keys already dv-deleted at v-1 in `removed` files
+        #          (never live in this step; drop from the old side)
+        # dv_new — keys dv-deleted at v in `added` files (not live)
+        # dv_grown / grown_files — keys whose DV grew on surviving
+        #          files this commit (= the dv-mode deletes to emit)
+        self.dv_old = dv_old or []
+        self.dv_new = dv_new or []
+        self.dv_grown = dv_grown or []
+        self.grown_files = grown_files or []
 
 
 class TxLogChangesSource(DataSource):
@@ -114,11 +128,22 @@ class TxLogChangesReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             a = _snapshot(self.table_path, v - 1)
             b = _snapshot(self.table_path, v)
+            removed = sorted(set(a.files) - set(b.files))
+            added = sorted(set(b.files) - set(a.files))
+            grown = {p: sorted(set(b.files[p].get("dv", ()))
+                               - set(a.files[p].get("dv", ())))
+                     for p in set(a.files) & set(b.files)}
+            grown = {p: ks for p, ks in grown.items() if ks}
             out.append(CommitPartition(
-                self.table_path, v,
-                sorted(set(a.files) - set(b.files)),
-                sorted(set(b.files) - set(a.files)),
-                b.schema_json, b.key_col, self.full_images))
+                self.table_path, v, removed, added,
+                b.schema_json, b.key_col, self.full_images,
+                dv_old=sorted({k for p in removed
+                               for k in a.files[p].get("dv", ())}),
+                dv_new=sorted({k for p in added
+                               for k in b.files[p].get("dv", ())}),
+                dv_grown=sorted({k for ks in grown.values()
+                                 for k in ks}),
+                grown_files=sorted(grown)))
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
                                        _snapshot(self.table_path,
@@ -156,6 +181,19 @@ class TxLogChangesReader(DataSourceStreamReader):
             return df[cols]
 
         old, new = load(partition.removed), load(partition.added)
+        # deletion-vector context (mirrors TxLogTable.table_changes):
+        # drop rows never live at v-1 from the old side, add grown-DV
+        # before-images (dv-mode deletes change no files), drop rows
+        # not live at v from the new side
+        if partition.dv_old:
+            old = old[~old[key].isin(partition.dv_old)]
+        if partition.dv_grown:
+            g = load(partition.grown_files)
+            old = pd.concat(
+                [old, g[g[key].isin(partition.dv_grown)]],
+                ignore_index=True)
+        if partition.dv_new:
+            new = new[~new[key].isin(partition.dv_new)]
         m = old.merge(new, on=key, how="outer",
                       suffixes=("_o", "_n"), indicator=True)
 

@@ -369,8 +369,9 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
         assert got == model
 
     for step in range(12):
-        kind = rng.choices(("merge", "delete", "optimize", "vacuum"),
-                           weights=(6, 2, 1, 1))[0]
+        kind = rng.choices(("merge", "delete", "delete_dv",
+                            "optimize", "vacuum"),
+                           weights=(6, 1, 2, 1, 1))[0]
         if kind == "merge":
             keys = rng.sample(range(80), rng.randint(1, 6))
             rows, ops = [], {}
@@ -386,10 +387,11 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
                 else:
                     model[k] = v
             history[m["version"]] = dict(model)
-        elif kind == "delete":
+        elif kind in ("delete", "delete_dv"):
             lo = rng.randint(0, 70)
             hi = lo + rng.randint(0, 20)
-            dm = t.delete_where((lo, hi))
+            dm = t.delete_where(
+                (lo, hi), mode="dv" if kind == "delete_dv" else "cow")
             for k in list(model):
                 if lo <= k <= hi:
                     del model[k]
@@ -530,3 +532,63 @@ def test_data_skipping_on_nonkey_column(spark, tdir):
     hit = t.read(where_between=("value", 9999, 9999))
     assert [r["user_id"] for r in hit.collect()] == [50]
     assert len(hit.inputFiles()) <= 2
+
+
+def test_delete_dv_merge_on_read(spark, tdir):
+    """dv-mode delete writes NO parquet: straddling files keep their
+    bytes, readers anti-join the deletion vector, the change feed
+    reports the deletes, time travel still sees the rows, and
+    OPTIMIZE materializes the DV away without changing content."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=400, n_files=4)
+
+    def parquet_count():
+        n = 0
+        for sub in os.listdir(os.path.join(t.path, "data")):
+            n += sum(1 for f in os.listdir(
+                os.path.join(t.path, "data", sub))
+                if f.endswith(".parquet"))
+        return n
+
+    before = parquet_count()
+    m = t.delete_where((90, 110), mode="dv")   # straddles a boundary
+    assert m["files_rewritten"] == 0
+    assert parquet_count() == before           # zero data written
+    got = sorted(r["user_id"] for r in t.read().collect())
+    assert got == [k for k in range(400) if not 90 <= k <= 110]
+    # the DV delete IS visible in the change feed (no file changed)
+    ch = {(r["change_type"], r["user_id"])
+          for r in t.table_changes(0, m["version"]).collect()}
+    assert ch == {("D", k) for k in range(90, 111)}
+    # time travel to the pre-delete version still sees the rows
+    assert t.read(version=0).count() == 400
+    # merge back one dv-deleted key: it re-inserts
+    t.merge(src(spark, [(100, 1, "U")]), op_col="op")
+    assert t.read().filter(F.col("user_id") == 100).count() == 1
+    # OPTIMIZE materializes DVs: content identical, vectors gone
+    head = t.read().orderBy("user_id").collect()
+    om = t.optimize(small_bytes=1)   # nothing is "small" — only DVs
+    assert not om["skipped"]
+    assert t.read().orderBy("user_id").collect() == head
+    assert not any(s.get("dv") for s in t.snapshot().files.values())
+    # ...and the optimize commit nets to an empty change feed
+    assert t.table_changes(om["version"] - 1, om["version"]).count() == 0
+
+
+def test_stream_source_emits_dv_deletes(spark, tdir):
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_table(spark, os.path.join(tdir, "t"), n=200, n_files=2)
+    t.delete_where((40, 60), mode="dv")
+    t.merge(src(spark, [(41, 5, "I"), (199, -1, "U")]), op_col="op")
+    # availableNow replay into memory sink
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).load()
+         .writeStream.format("memory").queryName("dvfeed")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["commit_version"], r["change_type"], r["user_id"])
+           for r in spark.sql("SELECT * FROM dvfeed").collect()}
+    expect = {(1, "D", k) for k in range(40, 61)}
+    expect |= {(2, "I", 41), (2, "U", 199)}
+    assert got == expect
