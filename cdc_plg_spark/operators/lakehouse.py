@@ -750,3 +750,54 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _sh
         _sh.rmtree(ckpt, ignore_errors=True)
     return mv.read()
+
+
+@register(
+    "lakehouse_delete_dv",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS key_checksum,
+           CAST(0 AS BIGINT) AS files_rewritten,
+           CAST(0 AS BIGINT) AS parquet_files_written,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ({_ORACLE_STATE.format(where="")})
+            WHERE op <> 'D' AND user_id BETWEEN 200 AND 599)
+               AS n_feed_deletes
+    FROM ({_ORACLE_STATE.format(where="")})
+    WHERE op <> 'D' AND user_id NOT BETWEEN 200 AND 599
+    """,
+    tags=("lakehouse", "maintenance"),
+)
+def lakehouse_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: the straddling files
+    are NOT rewritten (`files_rewritten` and the measured
+    `parquet_files_written` disk delta are both hash-checked as 0 —
+    whole-contained files drop at file granularity, which writes
+    nothing either), yet readers see the post-delete content and the
+    change feed reports every deleted key (`n_feed_deletes`).  This is
+    the 100 TB delete shape: a predicate grazing thousands of files
+    costs one log entry, not thousands of rewrites; OPTIMIZE
+    materializes the vectors on its own schedule.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    d = tempfile.mkdtemp(prefix="lh_dv_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"),
+                          _apply_latest(ev), "user_id", n_files=8)
+
+    def parquet_count() -> int:
+        root = os.path.join(t.path, "data")
+        return sum(1 for sub in os.listdir(root)
+                   for f_ in os.listdir(os.path.join(root, sub))
+                   if f_.endswith(".parquet"))
+
+    before = parquet_count()
+    m = t.delete_where((200, 599), mode="dv")
+    feed_deletes = (t.table_changes(m["version"] - 1, m["version"])
+                    .filter(F.col("change_type") == "D").count())
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("key_checksum"),
+        F.lit(m["files_rewritten"]).cast("long").alias("files_rewritten"),
+        F.lit(max(0, parquet_count() - before)).cast("long")
+         .alias("parquet_files_written"),
+        F.lit(feed_deletes).cast("long").alias("n_feed_deletes"))
