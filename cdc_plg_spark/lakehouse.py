@@ -210,20 +210,29 @@ class TxLogTable:
     # --------------------------------------------------------------- data
 
     def _write_data(self, df: DataFrame, key_col: str,
-                    n_files: int | None = None) -> list[dict]:
+                    n_files: int | None = None,
+                    cluster_expr=None) -> list[dict]:
         """Write df as parquet under data/<writeid>; return add-actions.
 
         The writer range-partitions on the key so files carry disjoint
         key ranges — that clustering is what makes the min/max stats
         selective for later MERGE pruning (same reason Delta users
-        OPTIMIZE ZORDER before heavy MERGE workloads)."""
+        OPTIMIZE ZORDER before heavy MERGE workloads).  An explicit
+        `cluster_expr` (e.g. a z-value) overrides the key as the
+        range-partitioning dimension."""
         write_id = uuid.uuid4().hex
         rel_dir = os.path.join("data", write_id)
         out_dir = os.path.join(self.path, rel_dir)
-        if n_files and n_files > 0:
-            df = df.repartitionByRange(n_files, F.col(key_col))
+        part_col = (cluster_expr if cluster_expr is not None
+                    else F.col(key_col))
+        if cluster_expr is not None:
+            df = (df.withColumn("_cluster", cluster_expr)
+                    .repartitionByRange(n_files or 8, F.col("_cluster"))
+                    .sortWithinPartitions("_cluster").drop("_cluster"))
+        elif n_files and n_files > 0:
+            df = df.repartitionByRange(n_files, part_col)
         else:
-            df = df.repartitionByRange(F.col(key_col))
+            df = df.repartitionByRange(part_col)
         df.write.mode("overwrite").parquet(out_dir)
         if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
             return []  # zero-row write (e.g. MERGE deleted every row)
@@ -693,17 +702,31 @@ class TxLogTable:
     # ------------------------------------------------------- maintenance
 
     def optimize(self, small_bytes: int = 32 << 20,
-                 target_files: int | None = None) -> dict:
+                 target_files: int | None = None,
+                 zorder_by: tuple[str, str] | None = None) -> dict:
         """OPTIMIZE: bin-pack small files into range-clustered big ones
         — the compaction a streaming merge sink needs, since every
         epoch's copy-on-write commit can emit small files.  Content is
         untouched (a pure layout transaction — table_changes across an
-        optimize commit is empty); only files under `small_bytes` are
-        rewritten, so steady-state re-optimization cost tracks the
-        small-file backlog, not table size."""
+        optimize commit is empty); only files under `small_bytes` (or
+        carrying a deletion vector) are rewritten, so steady-state
+        re-optimization cost tracks the small-file backlog, not table
+        size.
+
+        `zorder_by=(colA, colB)` rewrites ALL live files clustered on
+        the Morton interleave of the two columns' normalized bits —
+        OPTIMIZE ZORDER.  Files become tight in BOTH dimensions, so
+        the per-column stats (`read(where_between=...)`) prune scans
+        filtered on either column at ~sqrt cost instead of a full
+        scan; the trade is that key ranges widen, so MERGE pruning
+        loosens until the next plain OPTIMIZE.  A full-layout rebuild
+        — schedule it like any lakehouse ZORDER job."""
         snap = self.snapshot()
-        small = sorted(p for p, s in snap.files.items()
-                       if s["bytes"] < small_bytes or s.get("dv"))
+        if zorder_by is not None:
+            small = sorted(snap.files)
+        else:
+            small = sorted(p for p, s in snap.files.items()
+                           if s["bytes"] < small_bytes or s.get("dv"))
         has_dv = any(snap.files[p].get("dv") for p in small)
         if len(small) < 2 and not has_dv:
             return {"version": snap.version, "files_compacted": 0,
@@ -711,8 +734,33 @@ class TxLogTable:
         total = sum(snap.files[p]["bytes"] for p in small)
         n_out = target_files or max(1, total // max(small_bytes, 1) + 1)
         df = self._read_files_live(snap, small)
-        adds = self._write_data(df, snap.key_col, n_out)
+        cluster = None
+        if zorder_by is not None:
+            from cdc_plg_spark.operators.maintenance import _Z_BITS
+            ca, cb = zorder_by
+            hi = (1 << _Z_BITS) - 1
+            b = df.agg(F.min(ca).alias("_alo"), F.max(ca).alias("_ahi"),
+                       F.min(cb).alias("_blo"), F.max(cb).alias("_bhi")
+                       ).collect()[0]   # 1 row: normalization bounds
+
+            def norm(c, lo, h_):
+                span = float((h_ - lo) + 1) if h_ is not None else 1.0
+                return (F.floor(hi * (F.col(c) - F.lit(lo)) / F.lit(span))
+                        .cast("long"))
+
+            nx = norm(ca, b["_alo"], b["_ahi"])
+            ny = norm(cb, b["_blo"], b["_bhi"])
+            cluster = F.lit(0)   # Morton interleave, pure Column algebra
+            for i in range(_Z_BITS):
+                cluster = (cluster
+                           + F.shiftleft(F.shiftright(nx, i)
+                                          .bitwiseAND(F.lit(1)), 2 * i)
+                           + F.shiftleft(F.shiftright(ny, i)
+                                          .bitwiseAND(F.lit(1)),
+                                         2 * i + 1))
+        adds = self._write_data(df, snap.key_col, n_out, cluster)
         actions = [{"commit": {"op": "OPTIMIZE",
+                               "zorder_by": list(zorder_by or ()),
                                "files_compacted": len(small),
                                "files_out": len(adds)}},
                    *[{"remove": {"path": p}} for p in small],

@@ -592,3 +592,29 @@ def test_stream_source_emits_dv_deletes(spark, tdir):
     expect = {(1, "D", k) for k in range(40, 61)}
     expect |= {(2, "I", 41), (2, "U", 199)}
     assert got == expect
+
+
+def test_optimize_zorder_improves_nonkey_skipping(spark, tdir):
+    """OPTIMIZE ZORDER: after rewriting files clustered on the Morton
+    interleave of (key, value), a narrow predicate on the NON-key
+    column prunes most files via the per-column stats, where the
+    key-range layout scanned nearly all of them.  Content unchanged."""
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("user_id"),
+        ((F.col("id") * 2654435761) % 4096).alias("value"))  # decorrelate
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=16)
+    pre_files = len(t.read(where_between=("value", 0, 255))
+                    .inputFiles())
+    assert pre_files >= 12        # value scattered across key ranges
+    before = t.read().orderBy("user_id").collect()
+    m = t.optimize(zorder_by=("user_id", "value"), target_files=16)
+    assert not m["skipped"]
+    assert t.read().orderBy("user_id").collect() == before
+    assert t.table_changes(m["version"] - 1, m["version"]).count() == 0
+    post = t.read(where_between=("value", 0, 255))
+    assert len(post.inputFiles()) <= 8    # ~sqrt skipping, with slack
+    expect = sorted(r["user_id"] for r in
+                    t.read().filter(F.col("value").between(0, 255))
+                    .collect())
+    assert sorted(r["user_id"] for r in post.collect()) == expect
