@@ -618,3 +618,64 @@ def test_optimize_zorder_improves_nonkey_skipping(spark, tdir):
                     t.read().filter(F.col("value").between(0, 255))
                     .collect())
     assert sorted(r["user_id"] for r in post.collect()) == expect
+
+
+def test_concurrent_dv_deletes_race_merges(spark, tdir):
+    """DV deletes and merges racing over the SAME file (disjoint keys)
+    must serialize through the conflict rules: a merge that read a
+    candidate file before its DV grew may not commit (it would
+    resurrect the deleted rows), and a lost-race dv delete must retry
+    against the new snapshot.  Key-disjoint workloads make the final
+    state deterministic, so any lost update / resurrected row shows."""
+    import threading
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=1000, n_files=4)
+    errors: list = []
+
+    def retrying(fn):
+        for _ in range(25):
+            try:
+                return fn()
+            except ConflictError:
+                continue
+        raise RuntimeError("starved")
+
+    def updater(w):    # keys [w*60, w*60+29] over 3 steps — file 1
+        try:
+            tw = TxLogTable(spark, t.path)
+            for i in range(3):
+                rows = [(w * 60 + i * 10 + j, -1, "U")
+                        for j in range(10)]
+                retrying(lambda: tw.merge(src(spark, rows), op_col="op"))
+        except Exception as e:
+            errors.append(e)
+
+    def deleter(d):    # ranges inside [150, 249] — same file 1
+        try:
+            tw = TxLogTable(spark, t.path)
+            for i in range(3):
+                lo = 150 + d * 50 + i * 10
+                retrying(lambda: tw.delete_where((lo, lo + 9),
+                                                 mode="dv"))
+        except Exception as e:
+            errors.append(e)
+
+    threads = ([threading.Thread(target=updater, args=(w,))
+                for w in range(2)]
+               + [threading.Thread(target=deleter, args=(d,))
+                  for d in range(2)])
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors[:3]
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert len(got) == 1000 - 60
+    for w in range(2):
+        for i in range(3):
+            for j in range(10):
+                assert got[w * 60 + i * 10 + j] == -1   # no lost update
+    for d in range(2):
+        for i in range(3):
+            lo = 150 + d * 50 + i * 10
+            assert all(k not in got for k in range(lo, lo + 10))
