@@ -79,6 +79,41 @@ class Snapshot:
     key_col: str | None = None
 
 
+def _footer_stats(path: str, cols: list[str]):
+    """Per-column (min, max) + row count from parquet FOOTER metadata.
+
+    A column is reported only when EVERY row group carries usable
+    min/max statistics with a JSON-safe value type; anything else
+    (all-NULL group, unreliable float ordering, non-incrementable
+    truncated max — all surfaced as has_min_max=False, or a bytes
+    physical type) drops the column, which downstream consumers treat
+    as "never prune" — conservative, never wrong."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lo: dict = {}
+    hi: dict = {}
+    dead: set = set()
+    want = set(cols)
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            name = rg.column(c_i).path_in_schema
+            if name not in want or name in dead:
+                continue
+            st = rg.column(c_i).statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, (bool, int, float, str))
+                    or not isinstance(st.max, (bool, int, float, str))):
+                dead.add(name)
+                lo.pop(name, None)
+                hi.pop(name, None)
+                continue
+            lo[name] = st.min if name not in lo else min(lo[name], st.min)
+            hi[name] = st.max if name not in hi else max(hi[name], st.max)
+    return lo, hi, md.num_rows
+
+
 def _vname(v: int) -> str:
     return f"{v:0{_PAD}d}.json"
 
@@ -234,32 +269,63 @@ class TxLogTable:
         else:
             df = df.repartitionByRange(part_col)
         df.write.mode("overwrite").parquet(out_dir)
-        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        files = sorted(f for f in os.listdir(out_dir)
+                       if f.endswith(".parquet"))
+        if not files:
             return []  # zero-row write (e.g. MERGE deleted every row)
-        # one distributed pass computes every file's stats — the key's
+        # stats come from the parquet FOOTERS the write just produced —
+        # metadata-only, no second data pass over what was written (at
+        # 100 TB a stats re-scan would double every write).  The key's
         # min/max PLUS per-column min/max for every JSON-representable
         # column (Delta-style data skipping: a later read with a
-        # predicate on ANY such column prunes at the manifest, no
-        # footer reads).  Non-JSON types (timestamps, nested) simply
-        # get no stats → never pruned, always correct.
+        # predicate on ANY such column prunes at the manifest).  Every
+        # consumer is containment-based, so footer stats that parquet
+        # widened by truncation stay correct; a column with no usable
+        # stats is simply omitted → never pruned.  Types parquet can't
+        # JSON-round-trip (timestamps, nested) are excluded the same
+        # way.  Footer reads happen on the driver here (ms each,
+        # manifest-sized count); on a real cluster the same loop
+        # distributes trivially.
+        stat_types = ("long", "integer", "short", "byte", "double",
+                      "float", "string", "boolean")
+        stat_cols = [f_.name for f_ in df.schema.fields
+                     if f_.dataType.typeName() in stat_types]
+        adds = []
+        for fname in files:
+            rel = os.path.join(rel_dir, fname)
+            lo, hi, n_rows = _footer_stats(
+                os.path.join(self.path, rel), stat_cols)
+            if key_col not in lo:
+                return self._write_stats_fallback(
+                    out_dir, rel_dir, key_col, stat_cols)
+            adds.append({"add": {
+                "path": rel,
+                "rows": n_rows,
+                "bytes": os.path.getsize(os.path.join(self.path, rel)),
+                "min_key": lo[key_col],
+                "max_key": hi[key_col],
+                "cols": {c: [lo[c], hi[c]] for c in stat_cols
+                         if c != key_col and c in lo},
+            }})
+        return adds
+
+    def _write_stats_fallback(self, out_dir: str, rel_dir: str,
+                              key_col: str,
+                              stat_cols: list[str]) -> list[dict]:
+        """Distributed stats scan — only taken when a footer lacks key
+        statistics (foreign writer, stats disabled)."""
         scan = self.spark.read.parquet(out_dir)
-        stat_cols = [f_.name for f_ in scan.schema.fields
-                     if f_.name != key_col
-                     and f_.dataType.typeName() in
-                     ("long", "integer", "short", "byte", "double",
-                      "float", "string", "boolean")]
         rows = (scan.groupBy(F.input_file_name().alias("f"))
                     .agg(F.count(F.lit(1)).alias("rows"),
                          F.min(key_col).alias("min_key"),
                          F.max(key_col).alias("max_key"),
-                         *[x for c in stat_cols for x in
-                           (F.min(c).alias(f"_mn_{c}"),
-                            F.max(c).alias(f"_mx_{c}"))])
+                         *[x for c in stat_cols if c != key_col
+                           for x in (F.min(c).alias(f"_mn_{c}"),
+                                     F.max(c).alias(f"_mx_{c}"))])
                     .collect())  # manifest-sized: one row per new file
         adds = []
         for r in rows:
-            fname = os.path.basename(r["f"])
-            rel = os.path.join(rel_dir, fname)
+            rel = os.path.join(rel_dir, os.path.basename(r["f"]))
             adds.append({"add": {
                 "path": rel,
                 "rows": r["rows"],
@@ -268,7 +334,7 @@ class TxLogTable:
                 "max_key": r["max_key"],
                 "cols": {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
                          for c in stat_cols
-                         if r[f"_mn_{c}"] is not None},
+                         if c != key_col and r[f"_mn_{c}"] is not None},
             }})
         return adds
 
