@@ -838,25 +838,38 @@ class TxLogTable:
                 "files_compacted": len(small), "files_out": len(adds),
                 "skipped": False}
 
-    def vacuum(self, retain_last: int = 2) -> dict:
+    def vacuum(self, retain_last: int = 2,
+               min_age_s: float = 3600.0) -> dict:
         """Delete data files unreachable from the newest `retain_last`
         versions, then truncate the log behind a fresh checkpoint at
         the horizon.  Pure manifest + directory work — no data pass.
         HEAD is never affected; time travel below the horizon is
-        forfeited (the lakehouse VACUUM contract)."""
+        forfeited (the lakehouse VACUUM contract).
+
+        `min_age_s` protects IN-FLIGHT writers: data lands on disk
+        BEFORE the commit that references it, so a concurrent writer's
+        fresh files look exactly like orphans until its commit
+        publishes.  Files younger than the threshold are never
+        deleted (the public Delta VACUUM retention-period rule —
+        default there is 7 days; pass 0 only when no writer can be
+        mid-commit, e.g. tests)."""
+        import time
+
         versions = self._versions()
         keep = versions[-retain_last:]
         reachable: set[str] = set()
         for v in keep:
             reachable.update(self.snapshot(v).files)
         removed = 0
+        cutoff = time.time() - min_age_s
         data_root = os.path.join(self.path, "data")
         for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
             subdir = os.path.join(data_root, sub)
             for fname in os.listdir(subdir):
                 rel = os.path.join("data", sub, fname)
-                if rel not in reachable:
-                    os.unlink(os.path.join(subdir, fname))
+                full = os.path.join(subdir, fname)
+                if rel not in reachable and os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
                     removed += 1
             if not os.listdir(subdir):
                 os.rmdir(subdir)

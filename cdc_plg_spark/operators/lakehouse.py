@@ -250,7 +250,9 @@ def lakehouse_delete_vacuum_audit(spark: SparkSession,
                           _apply_latest(ev), "user_id", n_files=8)
     t.delete_where((100, 399))
     t.delete_where((400, 499))  # third version, so vacuum has work
-    t.vacuum(retain_last=2)     # drops v0 → deletes its orphaned files
+    # min_age_s=0: the fixture build is single-writer, no in-flight
+    # commits to protect — production default is 1h
+    t.vacuum(retain_last=2, min_age_s=0)  # drops v0's orphaned files
     # zero-orphan audit: the data dir must hold exactly the union of
     # files reachable from the RETAINED versions (older versions may
     # still reference rewritten-away files within the horizon)

@@ -160,7 +160,7 @@ def test_vacuum_removes_unreachable_keeps_head(spark, tdir):
     for i in range(3):
         t.merge(src(spark, [(i, -1, "U")]), op_col="op")
     before = t.read().orderBy("user_id").collect()
-    vm = t.vacuum(retain_last=2)
+    vm = t.vacuum(retain_last=2, min_age_s=0)
     assert vm["data_files_removed"] > 0
     assert t.read().orderBy("user_id").collect() == before
     with pytest.raises(ValueError):
@@ -401,7 +401,7 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
             if not m["skipped"]:
                 history[m["version"]] = dict(model)
         else:
-            vm = t.vacuum(retain_last=3)
+            vm = t.vacuum(retain_last=3, min_age_s=0)
             horizon = vm["horizon"]
         check_head()
 
@@ -679,3 +679,26 @@ def test_concurrent_dv_deletes_race_merges(spark, tdir):
         for i in range(3):
             lo = 150 + d * 50 + i * 10
             assert all(k not in got for k in range(lo, lo + 10))
+
+
+def test_vacuum_retention_protects_inflight_writes(spark, tdir):
+    """A concurrent writer's data lands BEFORE its commit references
+    it; default vacuum must treat young unreachable files as possibly
+    in-flight and leave them, so the writer's later commit stays
+    valid.  min_age_s=0 removes them (the test/maintenance opt-out)."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    # simulate a mid-commit writer: parquet on disk, commit not yet
+    # published — exactly what a pre-commit _write_data leaves behind
+    orphan_dir = os.path.join(t.path, "data", "inflight")
+    os.makedirs(orphan_dir)
+    spark.range(1).write.mode("overwrite").parquet(orphan_dir)
+    n_orphans = sum(1 for f in os.listdir(orphan_dir)
+                    if f.endswith(".parquet"))
+    assert n_orphans > 0
+    vm = t.vacuum(retain_last=1)          # default 1h retention
+    assert all(os.path.exists(os.path.join(orphan_dir, f))
+               for f in os.listdir(orphan_dir))
+    vm0 = t.vacuum(retain_last=1, min_age_s=0)
+    assert not os.path.isdir(orphan_dir)  # now collected
+    assert vm0["data_files_removed"] >= n_orphans
