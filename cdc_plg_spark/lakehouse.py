@@ -442,8 +442,24 @@ class TxLogTable:
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
+        # same schema contract as merge: every table column must be
+        # present (a missing one would silently read back as NULL
+        # under the pinned snapshot schema); extra columns widen the
+        # schema additively in this commit
+        table_fields = StructType.fromJson(
+            json.loads(snap.schema_json)).fields
+        missing = [f_.name for f_ in table_fields
+                   if f_.name not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append source missing table columns {missing}")
+        new_fields = [f_ for f_ in df.schema.fields
+                      if f_.name not in {tf.name for tf in table_fields}]
+        meta = ([{"meta": {"schema": StructType(
+            table_fields + new_fields).json(),
+            "key_col": snap.key_col}}] if new_fields else [])
         adds = self._write_data(df, snap.key_col, n_files)
-        actions = [{"commit": {"op": "APPEND"}}, *adds]
+        actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
         if txn is not None:
             actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
         version = snap.version + 1

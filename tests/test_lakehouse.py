@@ -702,3 +702,18 @@ def test_vacuum_retention_protects_inflight_writes(spark, tdir):
     vm0 = t.vacuum(retain_last=1, min_age_s=0)
     assert not os.path.isdir(orphan_dir)  # now collected
     assert vm0["data_files_removed"] >= n_orphans
+
+
+def test_append_schema_contract(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=20, n_files=1)
+    # missing column → loud error, not silent NULLs
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.append(spark.createDataFrame([(99,)], "user_id long"))
+    # extra column → additive widening, old rows project NULL
+    wide = spark.createDataFrame([(100, 5, "x")],
+                                 "user_id long, value long, tag string")
+    t.append(wide, n_files=1)
+    got = t.read()
+    assert got.filter("user_id = 100").head()["tag"] == "x"
+    assert got.filter("user_id = 0").head()["tag"] is None
+    assert got.count() == 21
