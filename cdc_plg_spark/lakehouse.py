@@ -429,6 +429,12 @@ class TxLogTable:
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
+        kt = df.schema[key_col].dataType.typeName()
+        if kt not in ("long", "integer", "short", "byte", "string"):
+            raise ValueError(
+                f"key column {key_col!r} has type {kt}; the commit log "
+                f"stores key stats as JSON, so keys must be integral "
+                f"or string (wrap a timestamp key as unix micros)")
         adds = t._write_data(df, key_col, n_files)
         actions = [{"commit": {"op": "CREATE"}},
                    {"meta": {"schema": df.schema.json(), "key_col": key_col}},

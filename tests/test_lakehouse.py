@@ -717,3 +717,36 @@ def test_append_schema_contract(spark, tdir):
     assert got.filter("user_id = 100").head()["tag"] == "x"
     assert got.filter("user_id = 0").head()["tag"] is None
     assert got.count() == 21
+
+
+def test_string_keyed_table_full_lifecycle(spark, tdir):
+    """The format is key-type generic for JSON-orderable keys: string
+    keys exercise footer stats, range clustering, stats pruning, DV
+    deletes, and the change feed the same as integer keys."""
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(200)],
+        "doc_id string, score long")
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "doc_id", n_files=4)
+    assert t.read().count() == 200
+    m = t.merge(spark.createDataFrame(
+        [("doc-0005", -1, "U"), ("doc-9999", 1, "I"),
+         ("doc-0007", 0, "D")],
+        "doc_id string, score long, op string"), op_col="op")
+    assert m["files_pruned"] >= 2      # string stats prune files
+    got = {r["doc_id"]: r["score"] for r in t.read().collect()}
+    assert got["doc-0005"] == -1 and got["doc-9999"] == 1
+    assert "doc-0007" not in got and len(got) == 200
+    t.delete_where(("doc-0010", "doc-0019"), mode="dv")
+    assert t.read().count() == 190
+    ch = {r["doc_id"] for r in
+          t.table_changes(m["version"], m["version"] + 1).collect()}
+    assert ch == {f"doc-{i:04d}" for i in range(10, 20)}
+
+
+def test_timestamp_key_rejected_loudly(spark, tdir):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1)], "k string, v long"
+    ).select(F.col("k").cast("timestamp").alias("k"), "v")
+    with pytest.raises(ValueError, match="unix micros"):
+        TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k")
