@@ -101,14 +101,27 @@ class TxLogChangesSource(DataSource):
         # downstream incremental computation can retract before-images
         return TxLogChangesReader(
             self.options["path"],
-            self.options.get("fullImages", "false").lower() == "true")
+            self.options.get("fullImages", "false").lower() == "true",
+            pinned_schema=schema)
 
 
 class TxLogChangesReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, full_images: bool = False) -> None:
+    def __init__(self, table_path: str, full_images: bool = False,
+                 pinned_schema=None) -> None:
         self.table_path = os.path.abspath(table_path)
         self.log_dir = os.path.join(self.table_path, "_txlog")
         self.full_images = full_images
+        # the schema Spark pinned when the stream STARTED: commits
+        # that widen the table mid-stream must project down to it (a
+        # streaming DataFrame's schema is immutable — the honest
+        # Spark limit; restart the stream to pick up new columns).
+        # Strip the two feed columns; keep only table fields.
+        self.pinned_json = None
+        if pinned_schema is not None:
+            table_fields = [f for f in pinned_schema.fields
+                            if f.name not in ("commit_version",
+                                              "change_type")]
+            self.pinned_json = StructType(table_fields).json()
 
     # ---- driver side: offsets + manifest diff --------------------------
 
@@ -136,7 +149,8 @@ class TxLogChangesReader(DataSourceStreamReader):
             grown = {p: ks for p, ks in grown.items() if ks}
             out.append(CommitPartition(
                 self.table_path, v, removed, added,
-                b.schema_json, b.key_col, self.full_images,
+                self.pinned_json or b.schema_json,
+                b.key_col, self.full_images,
                 dv_old=sorted({k for p in removed
                                for k in a.files[p].get("dv", ())}),
                 dv_new=sorted({k for p in added

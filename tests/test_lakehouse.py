@@ -750,3 +750,29 @@ def test_timestamp_key_rejected_loudly(spark, tdir):
     ).select(F.col("k").cast("timestamp").alias("k"), "v")
     with pytest.raises(ValueError, match="unix micros"):
         TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k")
+
+
+def test_stream_projects_midstream_widening_to_pinned_schema(spark, tdir):
+    """A commit that widens the table AFTER the stream's schema was
+    pinned must not break the stream: its change batches project down
+    to the pinned columns (streaming schemas are immutable in Spark —
+    restart to see new columns; the registry DDL flow covers that)."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=1)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    stream = (spark.readStream.format("txlog_changes")
+              .option("path", t.path).load())     # pins (user_id, value)
+    wide = spark.createDataFrame([(2, -2, "x", "U")],
+                                 "user_id long, value long, "
+                                 "tag string, op string")
+    t.merge(wide, op_col="op")                    # widens mid-stream
+    q = (stream.writeStream.format("memory").queryName("pinned")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM pinned").collect()
+    assert set(rows[0].asDict()) == {"commit_version", "change_type",
+                                     "user_id", "value"}
+    got = {(r["commit_version"], r["user_id"]): r["value"] for r in rows}
+    assert got[(1, 1)] == -1 and got[(2, 2)] == -2
