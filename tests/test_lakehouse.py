@@ -776,3 +776,37 @@ def test_stream_projects_midstream_widening_to_pinned_schema(spark, tdir):
                                      "user_id", "value"}
     got = {(r["commit_version"], r["user_id"]): r["value"] for r in rows}
     assert got[(1, 1)] == -1 and got[(2, 2)] == -2
+
+
+def test_footer_stats_equal_scan_stats(spark, tdir):
+    """The footer-metadata stats path must report the same bounds the
+    distributed-scan fallback computes, including NULL handling and
+    string ordering — the fast path may be wider only when parquet
+    truncates (not at these sizes), never narrower."""
+    df = spark.createDataFrame(
+        [(i,
+          None if i % 7 == 0 else (i * 37) % 101,
+          f"s{(i * 13) % 50:03d}",
+          float(i) / 3.0)
+         for i in range(300)],
+        "user_id long, a long, b string, c double")
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=3)
+    snap = t.snapshot()
+    fb = {a["add"]["path"]: a["add"]
+          for a in t._write_stats_fallback(
+              os.path.join(t.path, os.path.dirname(
+                  next(iter(snap.files)))),
+              os.path.dirname(next(iter(snap.files))),
+              "user_id", ["user_id", "a", "b", "c"])}
+    assert set(fb) == set(snap.files)
+    for p, s in snap.files.items():
+        r = fb[p]
+        assert (s["rows"], s["min_key"], s["max_key"]) == \
+            (r["rows"], r["min_key"], r["max_key"])
+        for c in ("a", "b", "c"):
+            if c in s["cols"] and c in r["cols"]:
+                assert s["cols"][c] == r["cols"][c], (p, c)
+            # footer path may conservatively omit a column the scan
+            # kept (all-NULL row group) — but never the reverse with
+            # a narrower range
