@@ -203,10 +203,17 @@ class TxLogTable:
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
         """Publish `actions` as `version`. False = lost the race."""
+        import time
+
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             for a in actions:
+                if "commit" in a and "ts" not in a["commit"]:
+                    # wall-clock commit time: powers TIMESTAMP AS OF
+                    # (informational — version order, not ts order, is
+                    # the serialization authority)
+                    a = {"commit": {**a["commit"], "ts": time.time()}}
                 f.write(json.dumps(a, sort_keys=True) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -231,6 +238,26 @@ class TxLogTable:
                        "schema": snap.schema_json,
                        "key_col": snap.key_col}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
+
+    def version_at(self, ts: float) -> int:
+        """Newest version whose commit time is <= ts — the resolution
+        step of `TIMESTAMP AS OF` time travel.  Commit times come from
+        the commit action (wall clock at publish; pre-upgrade commits
+        fall back to the log file's mtime).  Versions are the
+        serialization authority; ts is a convenience index."""
+        best = None
+        for h in self.history():
+            t_ = h.get("ts")
+            if t_ is None:
+                t_ = os.path.getmtime(
+                    os.path.join(self.log_dir, _vname(h["version"])))
+            if t_ <= ts:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before ts={ts} "
+                f"(earliest retained version may have been vacuumed)")
+        return best
 
     def history(self) -> list[dict]:
         out = []
@@ -383,10 +410,13 @@ class TxLogTable:
 
     def read(self, version: int | None = None,
              key_between: tuple | None = None,
-             where_between: tuple | None = None) -> DataFrame:
+             where_between: tuple | None = None,
+             as_of: float | None = None) -> DataFrame:
         """Snapshot read; `key_between=(lo, hi)` prunes files by their
         key min/max stats before Spark ever lists them — manifest-level
         partition pruning, no footer reads for skipped files.
+        `as_of=<unix seconds>` is TIMESTAMP AS OF time travel
+        (resolved to a version via the commit log's wall-clock times).
 
         `where_between=(col, lo, hi)` is the same skip on a NON-key
         column via the per-column stats every add-action carries
@@ -396,6 +426,10 @@ class TxLogTable:
         exact either way.  NULL semantics: `between` never matches
         NULL, and min/max stats ignore NULLs, so skipping a file whose
         stats exclude the range can never drop a matching row."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
         snap = self.snapshot(version)
         if snap.version < 0 or snap.schema_json is None:
             raise ValueError(f"not a TxLog table: {self.path}")

@@ -810,3 +810,22 @@ def test_footer_stats_equal_scan_stats(spark, tdir):
             # footer path may conservatively omit a column the scan
             # kept (all-NULL row group) — but never the reverse with
             # a narrower range
+
+
+def test_timestamp_as_of_time_travel(spark, tdir):
+    import time
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=30, n_files=1)
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    assert t.version_at(between) == 0
+    assert t.version_at(time.time()) == 1
+    assert t.read(as_of=between).filter("user_id = 1").head()["value"] == 2
+    assert t.read(as_of=time.time()).filter("user_id = 1") \
+            .head()["value"] == -1
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at(between - 100)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of=between)
