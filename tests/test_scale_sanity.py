@@ -58,6 +58,8 @@ SCALE_QUERIES = (
     #                                 as delta size grows
     "stream_incremental_mv",        # continuous fold via commit-log
     #                                 stream (micro-batch commit folding)
+    "lakehouse_delete_dv",          # DV delete must stay zero-write as
+    #                                 file counts grow
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
