@@ -239,6 +239,25 @@ class TxLogTable:
                        "key_col": snap.key_col}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: manifest-derived table facts — no data
+        pass.  `num_rows` nets out deletion-vector rows (file row
+        counts are physical)."""
+        snap = self.snapshot()
+        dv_rows = sum(len(s.get("dv", ())) for s in snap.files.values())
+        return {
+            "path": self.path,
+            "version": snap.version,
+            "key_col": snap.key_col,
+            "num_files": len(snap.files),
+            "size_bytes": sum(s["bytes"] for s in snap.files.values()),
+            "num_rows": sum(s["rows"] for s in snap.files.values())
+                        - dv_rows,
+            "dv_rows_pending_compaction": dv_rows,
+            "num_checkpoints": len(self._checkpoints()),
+            "schema": snap.schema_json,
+        }
+
     def version_at(self, ts: float) -> int:
         """Newest version whose commit time is <= ts — the resolution
         step of `TIMESTAMP AS OF` time travel.  Commit times come from

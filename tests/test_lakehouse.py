@@ -829,3 +829,14 @@ def test_timestamp_as_of_time_travel(spark, tdir):
         t.version_at(between - 100)
     with pytest.raises(ValueError, match="not both"):
         t.read(version=0, as_of=between)
+
+
+def test_detail_reports_manifest_facts(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    t.delete_where((0, 9), mode="dv")
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] == 2
+    assert d["key_col"] == "user_id"
+    assert d["num_rows"] == 90 == t.read().count()
+    assert d["dv_rows_pending_compaction"] == 10
+    assert d["size_bytes"] > 0
