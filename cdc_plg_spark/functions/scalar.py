@@ -378,7 +378,13 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_regex",
     oracle="""
     SELECT doc_id,
-           array_to_string(regexp_extract_all(text, '[a-z]+a'), ',') AS a_words,
+           -- DuckDB's array_to_string returns NULL for an EMPTY list
+           -- (Spark's array_join returns ''); zero-match docs first
+           -- appear at sf0.1, so align explicitly
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
+                    regexp_extract_all(text, '[a-z]+a'), ','), '') END
+               AS a_words,
            CAST(len(regexp_extract_all(text, '[a-z]+a')) AS BIGINT) AS n_a,
            regexp_matches(text, '[0-9]') AS has_digit
     FROM documents

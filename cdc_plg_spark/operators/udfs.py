@@ -73,13 +73,17 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_agg",
     oracle="""
     SELECT event_type, ROUND(exp(AVG(ln(value))), 6) AS geo_mean
-    FROM events GROUP BY event_type
+    FROM events WHERE value > 0 GROUP BY event_type
     """,
 )
 def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate as a pandas UDAF (Series→scalar): geometric
     mean per group. Spark runs it per shuffle-partition group with
-    Arrow transfer — the custom-aggregate plugin shape."""
+    Arrow transfer — the custom-aggregate plugin shape.
+
+    Geometric mean is defined over positive support: both sides
+    filter value > 0 explicitly (sf0.1 contains value = 0 rows, where
+    ln() errors in DuckDB and numpy drifts to exp(-inf))."""
 
     @pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
@@ -88,7 +92,8 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: Spark forbids mixing group-aggregate pandas UDFs with
     # built-in aggregates in one agg() — keep the UDAF alone.
     ev = load_table(spark, "events", sf_dir)
-    return (ev.groupBy("event_type")
+    return (ev.filter(F.col("value") > 0)
+              .groupBy("event_type")
               .agg(geo_mean("value").alias("geo_mean")))
 
 

@@ -60,6 +60,11 @@ SCALE_QUERIES = (
     #                                 stream (micro-batch commit folding)
     "lakehouse_delete_dv",          # DV delete must stay zero-write as
     #                                 file counts grow
+    "fn_regex",                     # zero-match docs first appear at
+    #                                 sf0.1 (array_to_string(()) is
+    #                                 NULL in DuckDB, '' in Spark)
+    "udaf_pandas_agg",              # value=0 rows first appear at
+    #                                 sf0.1 (ln(0) domain)
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
