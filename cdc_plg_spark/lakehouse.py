@@ -665,7 +665,8 @@ class TxLogTable:
             # plain appends interleaved — recompute against new snapshot
         raise ConflictError("merge retries exhausted")
 
-    def delete_where(self, key_between: tuple, mode: str = "cow") -> dict:
+    def delete_where(self, key_between: tuple, mode: str = "cow",
+                     txn: tuple[str, int] | None = None) -> dict:
         """DELETE WHERE key BETWEEN lo AND hi.
 
         Files fully inside the range are dropped with no data pass at
@@ -683,6 +684,9 @@ class TxLogTable:
           bitmap is the same contract with a denser encoding."""
         lo, hi = key_between
         snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"version": snap.version, "skipped": True,
+                    "files_dropped": 0, "files_rewritten": 0}
         key = snap.key_col
         drop_whole = [p for p, s in snap.files.items()
                       if s["min_key"] >= lo and s["max_key"] <= hi]
@@ -713,10 +717,12 @@ class TxLogTable:
             adds = self._write_data(kept, key, len(straddle))
             actions += [{"remove": {"path": p}} for p in straddle]
             actions += adds
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
         if not self._try_commit(snap.version + 1, actions):
             raise ConflictError("concurrent commit during delete")
         self._maybe_checkpoint(self.snapshot(snap.version + 1))
-        return {"version": snap.version + 1,
+        return {"version": snap.version + 1, "skipped": False,
                 "files_dropped": len(drop_whole),
                 "files_rewritten": 0 if mode == "dv" else len(straddle)}
 
@@ -844,7 +850,8 @@ class TxLogTable:
 
     def optimize(self, small_bytes: int = 32 << 20,
                  target_files: int | None = None,
-                 zorder_by: tuple[str, str] | None = None) -> dict:
+                 zorder_by: tuple[str, str] | None = None,
+                 txn: tuple[str, int] | None = None) -> dict:
         """OPTIMIZE: bin-pack small files into range-clustered big ones
         — the compaction a streaming merge sink needs, since every
         epoch's copy-on-write commit can emit small files.  Content is
@@ -863,6 +870,9 @@ class TxLogTable:
         loosens until the next plain OPTIMIZE.  A full-layout rebuild
         — schedule it like any lakehouse ZORDER job."""
         snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"version": snap.version, "files_compacted": 0,
+                    "skipped": True}
         if zorder_by is not None:
             small = sorted(snap.files)
         else:
@@ -906,6 +916,8 @@ class TxLogTable:
                                "files_out": len(adds)}},
                    *[{"remove": {"path": p}} for p in small],
                    *adds]
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
         if not self._try_commit(snap.version + 1, actions):
             raise ConflictError("concurrent commit during optimize")
         self._maybe_checkpoint(self.snapshot(snap.version + 1))

@@ -577,6 +577,13 @@ def stream_sink_lakehouse_merge(spark: SparkSession,
         holder["t"].merge(delta, op_col="op",
                           txn=("lh_sink", int(epoch_id)),
                           order_by=("ts", "event_id"))
+        # auto-compaction: every epoch's copy-on-write commit can emit
+        # small files; fold the backlog every other epoch under its
+        # own epoch txn, so replayed epochs skip BOTH the merge and
+        # the compaction (content-neutral layout transaction)
+        if int(epoch_id) % 2 == 1:
+            holder["t"].optimize(small_bytes=8 << 20,
+                                 txn=("lh_sink_opt", int(epoch_id)))
 
     stream = (spark.readStream
               .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "

@@ -840,3 +840,18 @@ def test_detail_reports_manifest_facts(spark, tdir):
     assert d["num_rows"] == 90 == t.read().count()
     assert d["dv_rows_pending_compaction"] == 10
     assert d["size_bytes"] > 0
+
+
+def test_maintenance_txn_idempotence(spark, tdir):
+    """delete_where and optimize honor (app, epoch) txns like merge —
+    a scheduler replaying a maintenance epoch is a no-op."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=200, n_files=4)
+    d1 = t.delete_where((0, 24), mode="dv", txn=("maint", 1))
+    d2 = t.delete_where((25, 49), mode="dv", txn=("maint", 1))  # replay
+    assert not d1["skipped"] and d2["skipped"]
+    assert t.read().count() == 175                  # second delete skipped
+    o1 = t.optimize(small_bytes=1 << 30, txn=("compact", 1))
+    o2 = t.optimize(small_bytes=1 << 30, txn=("compact", 1))   # replay
+    assert not o1["skipped"] and o2["skipped"]
+    assert t.snapshot().version == o1["version"]
+    assert t.read().count() == 175
