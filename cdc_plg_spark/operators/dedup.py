@@ -82,24 +82,42 @@ def _minhash_signature() -> F.Column:
     p = 2^31 - 1 (Mersenne prime) — the standard MinHash construction;
     no RNG, fully deterministic. The mod is essential: without it the
     map is monotonic in h and every 'permutation' would pick the same
-    argmin shingle, collapsing the signature."""
-    # Keep h in [0, 2^31) and a,b < 2^31 so a*h + b < 2^62 — never
-    # overflows a long even under ANSI mode (the driver's session may
-    # have spark.sql.ansi.enabled=true; wraparound would throw there).
-    p = F.lit((1 << 31) - 1)
+    argmin shingle, collapsing the signature.
+
+    Shingle hashing stays JVM-side (xxhash64 in codegen); the k×|doc|
+    permutation/min sweep runs as ONE Arrow-batched numpy matrix op
+    per document instead of k interpreted higher-order `transform`
+    passes (HOF lambdas evaluate per element with no codegen — ~10×
+    wall on the sf0.1 corpus).  int64 arithmetic is identical on both
+    paths (h < 2^31, a,b < 2^31 ⇒ a*h+b < 2^62, no overflow), so the
+    signature values — and dedup_fuzzy_minhash_checked's DuckDB
+    oracle, which recomputes them in SQL — are bit-equal."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a_np = np.array([(_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1
+                     for j in range(_MINHASH_K)], dtype=np.int64)
+    b_np = np.array([(_HASH_B * (j + 1)) % (1 << 31)
+                     for j in range(_MINHASH_K)], dtype=np.int64)
+    p = (1 << 31) - 1
+
+    @pandas_udf("array<long>")
+    def sig_np(sh: pd.Series) -> pd.Series:
+        out = []
+        for h in sh:
+            hv = np.asarray(h, dtype=np.int64)
+            if hv.size == 0:
+                out.append(None)
+                continue
+            # (|doc| × k) universal hashes in one broadcast, min per k
+            out.append(((hv[:, None] * a_np + b_np) % p)
+                       .min(axis=0).tolist())
+        return pd.Series(out)
+
     sh = F.transform(_shingle_hashes(),
                      lambda h: F.pmod(h, F.lit(1 << 31)))
-
-    def perm(a: F.Column, b: F.Column):
-        # closure (not default-arg lambda: Spark counts lambda arity)
-        return lambda h: F.pmod(a * h + b, p)
-
-    perms = []
-    for j in range(_MINHASH_K):
-        a = F.lit((_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1)
-        b = F.lit((_HASH_B * (j + 1)) % (1 << 31))
-        perms.append(F.array_min(F.transform(sh, perm(a, b))))
-    return F.array(*perms)
+    return sig_np(sh)
 
 
 @register("dedup_fuzzy_minhash", tags=("lsh",))
@@ -121,21 +139,31 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     sig = (d.select("doc_id", _minhash_signature().alias("sig")))
 
+    # candidate generation stays NARROW: only (doc_id, band, hash)
+    # rides the 8x band explode and the bucket self-join shuffle; the
+    # k-long signatures are attached AFTER pair dedup, so signature
+    # bytes are shuffled once per surviving pair, not once per band
+    # per bucket row — at corpus scale the band shuffle is the
+    # dominant volume and this cuts it ~(1 + k/2)x
     bands = sig.select(
-        "doc_id", "sig",
+        "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
             lambda b: F.hash(F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS), b)))
         .alias("band_idx", "band_hash"))
 
-    left = bands.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"),
+    left = bands.select(F.col("doc_id").alias("doc1"),
                         "band_idx", "band_hash")
-    right = bands.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"),
+    right = bands.select(F.col("doc_id").alias("doc2"),
                          "band_idx", "band_hash")
-    pairs = (left.join(right, ["band_idx", "band_hash"])
-                 .filter(F.col("doc1") < F.col("doc2"))
-                 .select("doc1", "doc2", "sig1", "sig2")
-                 .dropDuplicates(["doc1", "doc2"]))
+    pair_ids = (left.join(right, ["band_idx", "band_hash"])
+                    .filter(F.col("doc1") < F.col("doc2"))
+                    .select("doc1", "doc2").distinct())
+    pairs = (pair_ids
+             .join(sig.select(F.col("doc_id").alias("doc1"),
+                              F.col("sig").alias("sig1")), "doc1")
+             .join(sig.select(F.col("doc_id").alias("doc2"),
+                              F.col("sig").alias("sig2")), "doc2"))
 
     est = (F.size(F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b),
                            lambda x: x))
@@ -575,19 +603,26 @@ def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(sl, 1),
             lambda acc, v: F.pmod(acc * 31 + v, p))
 
+    # narrow candidate generation (same shape as the production
+    # variant): only ids ride the band shuffle; signatures join back
+    # after pair dedup
     bands = sig.select(
-        "doc_id", "sig",
+        "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)), band_hash))
         .alias("band_idx", "band_hash"))
     left = bands.select(F.col("doc_id").alias("doc1"),
-                        F.col("sig").alias("sig1"), "band_idx", "band_hash")
+                        "band_idx", "band_hash")
     right = bands.select(F.col("doc_id").alias("doc2"),
-                         F.col("sig").alias("sig2"), "band_idx", "band_hash")
-    pairs = (left.join(right, ["band_idx", "band_hash"])
-             .filter(F.col("doc1") < F.col("doc2"))
-             .select("doc1", "doc2", "sig1", "sig2")
-             .dropDuplicates(["doc1", "doc2"]))
+                         "band_idx", "band_hash")
+    pair_ids = (left.join(right, ["band_idx", "band_hash"])
+                .filter(F.col("doc1") < F.col("doc2"))
+                .select("doc1", "doc2").distinct())
+    pairs = (pair_ids
+             .join(sig.select(F.col("doc_id").alias("doc1"),
+                              F.col("sig").alias("sig1")), "doc1")
+             .join(sig.select(F.col("doc_id").alias("doc2"),
+                              F.col("sig").alias("sig2")), "doc2"))
     n_match = F.size(F.filter(
         F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x))
     return (pairs.withColumn("n_match", n_match.cast("long"))
