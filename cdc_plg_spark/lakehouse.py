@@ -87,21 +87,35 @@ def _footer_stats(path: str, cols: list[str]):
     (all-NULL group, unreliable float ordering, non-incrementable
     truncated max — all surfaced as has_min_max=False, or a bytes
     physical type) drops the column, which downstream consumers treat
-    as "never prune" — conservative, never wrong."""
+    as "never prune" — conservative, never wrong.
+
+    Also returns per-column null counts (None when any row group lacks
+    has_null_count) so the write path can REJECT null keys: every
+    manifest consumer compares min_key/max_key with Python operators,
+    and a None stat from an all-NULL key file would TypeError at read/
+    merge time — fail at write instead."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     lo: dict = {}
     hi: dict = {}
+    nulls: dict = {}
     dead: set = set()
     want = set(cols)
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             name = rg.column(c_i).path_in_schema
-            if name not in want or name in dead:
+            if name not in want:
                 continue
             st = rg.column(c_i).statistics
+            if st is not None and st.has_null_count and \
+                    nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls[name] = None
+            if name in dead:
+                continue
             if (st is None or not st.has_min_max
                     or not isinstance(st.min, (bool, int, float, str))
                     or not isinstance(st.max, (bool, int, float, str))):
@@ -111,7 +125,7 @@ def _footer_stats(path: str, cols: list[str]):
                 continue
             lo[name] = st.min if name not in lo else min(lo[name], st.min)
             hi[name] = st.max if name not in hi else max(hi[name], st.max)
-    return lo, hi, md.num_rows
+    return lo, hi, md.num_rows, nulls
 
 
 def _vname(v: int) -> str:
@@ -339,9 +353,20 @@ class TxLogTable:
         adds = []
         for fname in files:
             rel = os.path.join(rel_dir, fname)
-            lo, hi, n_rows = _footer_stats(
+            lo, hi, n_rows, nulls = _footer_stats(
                 os.path.join(self.path, rel), stat_cols)
-            if key_col not in lo:
+            kn = nulls.get(key_col)
+            if kn is not None and kn > 0:
+                raise ValueError(
+                    f"NULL values in key column {key_col!r}: the "
+                    f"format's merge/DV/prune contracts all compare "
+                    f"keys (NULL never matches), so a NULL-keyed row "
+                    f"could never be updated or deleted — filter NULL "
+                    f"keys before writing")
+            if key_col not in lo or kn is None:
+                # no usable key footer stats (foreign writer / stats
+                # off) OR unknown null count — one distributed scan
+                # recomputes stats and re-checks key nullability
                 return self._write_stats_fallback(
                     out_dir, rel_dir, key_col, stat_cols)
             adds.append({"add": {
@@ -363,6 +388,7 @@ class TxLogTable:
         scan = self.spark.read.parquet(out_dir)
         rows = (scan.groupBy(F.input_file_name().alias("f"))
                     .agg(F.count(F.lit(1)).alias("rows"),
+                         F.count(key_col).alias("key_rows"),
                          F.min(key_col).alias("min_key"),
                          F.max(key_col).alias("max_key"),
                          *[x for c in stat_cols if c != key_col
@@ -371,6 +397,14 @@ class TxLogTable:
                     .collect())  # manifest-sized: one row per new file
         adds = []
         for r in rows:
+            if r["key_rows"] != r["rows"]:
+                # same contract as the footer path: a None min_key/
+                # max_key in the manifest would TypeError every later
+                # key comparison, and a NULL-keyed row can never be
+                # merged or deleted — reject at write time
+                raise ValueError(
+                    f"NULL values in key column {key_col!r}: filter "
+                    f"NULL keys before writing")
             rel = os.path.join(rel_dir, os.path.basename(r["f"]))
             adds.append({"add": {
                 "path": rel,
@@ -501,34 +535,42 @@ class TxLogTable:
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
-        # same schema contract as merge: every table column must be
-        # present (a missing one would silently read back as NULL
-        # under the pinned snapshot schema); extra columns widen the
-        # schema additively in this commit
-        table_fields = StructType.fromJson(
-            json.loads(snap.schema_json)).fields
-        missing = [f_.name for f_ in table_fields
-                   if f_.name not in df.columns]
-        if missing:
-            raise ValueError(
-                f"append source missing table columns {missing}")
-        new_fields = [f_ for f_ in df.schema.fields
-                      if f_.name not in {tf.name for tf in table_fields}]
-        meta = ([{"meta": {"schema": StructType(
-            table_fields + new_fields).json(),
-            "key_col": snap.key_col}}] if new_fields else [])
+        def _schema_meta(s: "Snapshot") -> list[dict]:
+            # same schema contract as merge: every table column must be
+            # present (a missing one would silently read back as NULL
+            # under the pinned snapshot schema); extra columns widen
+            # the schema additively in this commit
+            table_fields = StructType.fromJson(
+                json.loads(s.schema_json)).fields
+            missing = [f_.name for f_ in table_fields
+                       if f_.name not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"append source missing table columns {missing}")
+            new_fields = [f_ for f_ in df.schema.fields
+                          if f_.name not in {tf.name for tf in table_fields}]
+            return ([{"meta": {"schema": StructType(
+                table_fields + new_fields).json(),
+                "key_col": s.key_col}}] if new_fields else [])
+
+        meta = _schema_meta(snap)
         adds = self._write_data(df, snap.key_col, n_files)
-        actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
-        if txn is not None:
-            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
-        version = snap.version + 1
-        while not self._try_commit(version, actions):
-            # appends never conflict semantically; just take the next slot
-            # (but re-check txn idempotence under the new snapshot)
+        while True:
+            actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
+            version = snap.version + 1
+            if self._try_commit(version, actions):
+                break
+            # appends never conflict on data; take the next slot — but
+            # recompute BOTH txn idempotence and the schema-widening
+            # meta from the fresh snapshot: a concurrent commit may
+            # have widened the schema with different columns, and
+            # re-publishing our stale meta would silently drop them
             snap = self.snapshot()
             if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
                 return {"version": snap.version, "skipped": True}
-            version = snap.version + 1
+            meta = _schema_meta(snap)
         self._maybe_checkpoint(self.snapshot(version))
         return {"version": version, "files_added": len(adds),
                 "skipped": False}
@@ -879,7 +921,13 @@ class TxLogTable:
             small = sorted(p for p, s in snap.files.items()
                            if s["bytes"] < small_bytes or s.get("dv"))
         has_dv = any(snap.files[p].get("dv") for p in small)
-        if len(small) < 2 and not has_dv:
+        # an explicit ZORDER request always rewrites (a 1-file table
+        # can still need re-clustering); the small-file early-out only
+        # applies to plain bin-packing OPTIMIZE
+        if len(small) < 2 and not has_dv and zorder_by is None:
+            return {"version": snap.version, "files_compacted": 0,
+                    "skipped": True}
+        if not small:
             return {"version": snap.version, "files_compacted": 0,
                     "skipped": True}
         total = sum(snap.files[p]["bytes"] for p in small)

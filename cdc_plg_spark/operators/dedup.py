@@ -106,6 +106,12 @@ def _minhash_signature() -> F.Column:
     def sig_np(sh: pd.Series) -> pd.Series:
         out = []
         for h in sh:
+            if h is None:
+                # NULL text → NULL shingle array → NULL signature
+                # (same as the Column-based path; np.asarray(None)
+                # would raise)
+                out.append(None)
+                continue
             hv = np.asarray(h, dtype=np.int64)
             if hv.size == 0:
                 out.append(None)

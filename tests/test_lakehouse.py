@@ -855,3 +855,137 @@ def test_maintenance_txn_idempotence(spark, tdir):
     assert not o1["skipped"] and o2["skipped"]
     assert t.snapshot().version == o1["version"]
     assert t.read().count() == 175
+
+
+def test_append_retry_sees_concurrent_same_column_widening(spark, tdir):
+    """An append that loses the commit race to a concurrent commit that
+    widened the schema with the SAME column must retry cleanly: the
+    recomputed meta sees the column already present and publishes no
+    stale (narrower) schema over it."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=1)
+    real = t._try_commit
+    fired = {"done": False}
+
+    def racing(version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            other = TxLogTable(spark, t.path)
+            wide = spark.createDataFrame(
+                [(9001, 1, "x")], "user_id long, value long, tag string")
+            other.append(wide)          # takes our version slot + widens
+        return real(version, actions)
+
+    t._try_commit = racing
+    mine = spark.createDataFrame(
+        [(9002, 2, "y")], "user_id long, value long, tag string")
+    r = t.append(mine)
+    assert not r["skipped"] and fired["done"]
+    head = t.read()
+    assert set(head.columns) == {"user_id", "value", "tag"}
+    got = {x["user_id"]: x["tag"] for x in
+           head.filter("user_id >= 9000").collect()}
+    assert got == {9001: "x", 9002: "y"}
+
+
+def test_append_retry_rejects_divergent_concurrent_widening(spark, tdir):
+    """The ADVICE race: our append widens with column A while a
+    concurrent commit widens with column B.  Re-publishing our
+    pre-race meta would silently DROP column B from all later reads;
+    the retry must instead recompute against the fresh snapshot and
+    fail loudly (our source now misses a table column) — same contract
+    as merge.  The concurrent writer's column survives either way."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=1)
+    real = t._try_commit
+    fired = {"done": False}
+
+    def racing(version, actions):
+        if not fired["done"]:
+            fired["done"] = True
+            other = TxLogTable(spark, t.path)
+            wide = spark.createDataFrame(
+                [(9001, 1, "x")], "user_id long, value long, tag string")
+            other.append(wide)
+        return real(version, actions)
+
+    t._try_commit = racing
+    mine = spark.createDataFrame(
+        [(9002, 2, 7)], "user_id long, value long, extra long")
+    with pytest.raises(ValueError, match="missing table columns.*tag"):
+        t.append(mine)
+    # concurrent widening intact: tag in schema, values readable
+    head = t.read()
+    assert "tag" in head.columns
+    assert head.filter("user_id = 9001").head()["tag"] == "x"
+
+
+def test_null_key_rejected_at_write(spark, tdir):
+    """NULL keys would store min_key/max_key = None in the manifest and
+    TypeError every later key comparison (and a NULL-keyed row can
+    never be merged or deleted) — both stats paths reject at write."""
+    bad = spark.createDataFrame(
+        [(1, 10), (None, 20)], "user_id long, value long")
+    with pytest.raises(ValueError, match="NULL values in key column"):
+        TxLogTable.create(spark, os.path.join(tdir, "bad"), bad, "user_id")
+    # append path too
+    t = make_table(spark, os.path.join(tdir, "t"), n=10, n_files=1)
+    with pytest.raises(ValueError, match="NULL values in key column"):
+        t.append(bad)
+    # distributed-scan fallback path: same rejection
+    mdir = os.path.join(t.path, "data", "manual")
+    bad.write.mode("overwrite").parquet(mdir)
+    with pytest.raises(ValueError, match="NULL values in key column"):
+        t._write_stats_fallback(mdir, os.path.join("data", "manual"),
+                                "user_id", ["user_id", "value"])
+
+
+def test_optimize_zorder_single_file_not_skipped(spark, tdir):
+    """An explicit ZORDER request on a 1-file table must rewrite (the
+    small-file early-out is for plain bin-packing only)."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=1)
+    before = t.read().orderBy("user_id").collect()
+    r = t.optimize(zorder_by=("user_id", "value"))
+    assert not r["skipped"] and r["files_compacted"] == 1
+    assert t.read().orderBy("user_id").collect() == before
+
+
+@pytest.mark.parametrize("cdf_seed", [7, 23])
+def test_stream_matches_batch_cdf_over_random_ops(spark, tdir, cdf_seed):
+    """The executor-side per-commit diff in TxLogChangesReader.read()
+    hand-mirrors TxLogTable.table_changes semantics (DV old/new/grown,
+    null-safe compare, image shaping); this property check pins the two
+    implementations in lockstep over randomized MERGE / COW-delete /
+    DV-delete / OPTIMIZE sequences — a future format action handled in
+    one but not the other fails here, not silently in production."""
+    import random
+
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    rng = random.Random(cdf_seed)
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=4)
+    for _ in range(8):
+        kind = rng.choices(("merge", "delete", "delete_dv", "optimize"),
+                           weights=(5, 1, 2, 1))[0]
+        if kind == "merge":
+            keys = rng.sample(range(80), rng.randint(1, 6))
+            t.merge(src(spark, [(k, rng.randint(-99, 99), rng.choice("IUD"))
+                                for k in keys]), op_col="op")
+        elif kind in ("delete", "delete_dv"):
+            lo = rng.randint(0, 70)
+            t.delete_where((lo, lo + rng.randint(0, 15)),
+                           mode="dv" if kind == "delete_dv" else "cow")
+        else:
+            t.optimize(target_files=2)
+    head = t.snapshot().version
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).load()
+         .writeStream.format("memory").queryName(f"cdf_{cdf_seed}")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = sorted(
+        (r["commit_version"], r["change_type"], r["user_id"], r["value"])
+        for r in spark.sql(f"SELECT * FROM cdf_{cdf_seed}").collect())
+    batch = sorted(
+        (r["_commit_version"], r["change_type"], r["user_id"], r["value"])
+        for r in t.table_changes_per_commit(0, head).collect())
+    assert streamed == batch and len(streamed) > 0

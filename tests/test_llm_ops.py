@@ -211,3 +211,18 @@ def test_centroid_counts_cover_corpus(spark, sf_dir):
     per_label = pdf.groupby("label")["n"].nunique()
     assert (per_label == 1).all()
     assert pdf.groupby("label")["n"].first().sum() == n_vecs
+
+
+def test_minhash_signature_null_text(spark):
+    """NULL text must produce a NULL signature (latent crash guard:
+    np.asarray(None) raised TypeError in the numpy sweep — real
+    corpora carry NULL documents even though sf fixtures don't)."""
+    from cdc_plg_spark.operators.dedup import _MINHASH_K, _minhash_signature
+
+    df = spark.createDataFrame(
+        [("a", "hello world hello"), ("b", None)],
+        "doc_id string, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in
+            df.select("doc_id", _minhash_signature().alias("sig")).collect()}
+    assert sigs["b"] is None
+    assert len(sigs["a"]) == _MINHASH_K
