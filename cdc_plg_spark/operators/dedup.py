@@ -126,6 +126,58 @@ def _minhash_signature() -> F.Column:
     return sig_np(sh)
 
 
+_LSH_BUCKET_CAP = 1000   # docs per LSH bucket before the salted split
+
+
+def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Candidate (doc1, doc2) pairs from exploded band rows — with a
+    heavy-hitter guard, because the plain bucket self-join is the
+    dedup family's last scale-killer shape: a boilerplate-heavy corpus
+    (licence headers, templated pages) can put tens of thousands of
+    docs into ONE (band_idx, band_hash) bucket, and a hash join then
+    computes that whole |bucket|² compare in a single task.
+
+    Guard (exact, not lossy): a map-side-combined aggregate finds
+    buckets over `cap` — the heavy-hitter frame is broadcast-sized by
+    construction (a corpus holds at most |corpus|/cap such buckets per
+    band).  Rows of an oversized bucket get a deterministic salt
+    g ∈ [0, G), G = ceil(size/cap), and the self-join becomes the
+    triangle of (i, j) salt-pair tasks: a row salted g joins as left
+    in tasks (g, j≥g) and as right in tasks (i≤g, g), so every
+    unordered pair still meets (cross-salt pairs exactly once,
+    same-salt pairs twice, collapsed by the trailing distinct) while
+    per-task input drops to ~2·cap rows and per-task compare work to
+    ~cap².  Normal buckets take the same code path with G = 1 — one
+    task, zero replication.  The candidate SET is identical to the
+    unsalted join (tests/test_skew.py pins this), so the DuckDB oracle
+    of dedup_fuzzy_minhash_checked — a plain SQL self-join — still
+    value-matches.  Output volume is inherently quadratic in bucket
+    size (those pairs really are near-dups); what the guard bounds is
+    task time and memory, the thing that kills a 1000-executor job."""
+    big = (bands.groupBy("band_idx", "band_hash")
+           .agg(F.count(F.lit(1)).alias("_bsize"))
+           .filter(F.col("_bsize") > cap))
+    b2 = (bands.join(F.broadcast(big), ["band_idx", "band_hash"], "left")
+          .withColumn("_G", F.coalesce(
+              F.ceil(F.col("_bsize") / F.lit(cap)), F.lit(1)).cast("int"))
+          .withColumn("_s", F.pmod(F.xxhash64("doc_id"),
+                                   F.col("_G")).cast("int")))
+    left = b2.select(F.col("doc_id").alias("da"),
+                     "band_idx", "band_hash",
+                     F.col("_s").alias("_i"),
+                     F.explode(F.sequence("_s", F.col("_G") - 1))
+                      .alias("_j"))
+    right = b2.select(F.col("doc_id").alias("db"),
+                      "band_idx", "band_hash",
+                      F.explode(F.sequence(F.lit(0), "_s")).alias("_i"),
+                      F.col("_s").alias("_j"))
+    return (left.join(right, ["band_idx", "band_hash", "_i", "_j"])
+            .filter(F.col("da") != F.col("db"))
+            .select(F.least("da", "db").alias("doc1"),
+                    F.greatest("da", "db").alias("doc2"))
+            .distinct())
+
+
 @register("dedup_fuzzy_minhash", tags=("lsh",))
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
@@ -158,13 +210,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda b: F.hash(F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS), b)))
         .alias("band_idx", "band_hash"))
 
-    left = bands.select(F.col("doc_id").alias("doc1"),
-                        "band_idx", "band_hash")
-    right = bands.select(F.col("doc_id").alias("doc2"),
-                         "band_idx", "band_hash")
-    pair_ids = (left.join(right, ["band_idx", "band_hash"])
-                    .filter(F.col("doc1") < F.col("doc2"))
-                    .select("doc1", "doc2").distinct())
+    pair_ids = _lsh_pair_ids(bands)
     pairs = (pair_ids
              .join(sig.select(F.col("doc_id").alias("doc1"),
                               F.col("sig").alias("sig1")), "doc1")
@@ -617,13 +663,7 @@ def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)), band_hash))
         .alias("band_idx", "band_hash"))
-    left = bands.select(F.col("doc_id").alias("doc1"),
-                        "band_idx", "band_hash")
-    right = bands.select(F.col("doc_id").alias("doc2"),
-                         "band_idx", "band_hash")
-    pair_ids = (left.join(right, ["band_idx", "band_hash"])
-                .filter(F.col("doc1") < F.col("doc2"))
-                .select("doc1", "doc2").distinct())
+    pair_ids = _lsh_pair_ids(bands)
     pairs = (pair_ids
              .join(sig.select(F.col("doc_id").alias("doc1"),
                               F.col("sig").alias("sig1")), "doc1")
