@@ -71,7 +71,8 @@ class EventGenReader(DataSourceReader):
 def register_python_sources(spark) -> None:
     """Idempotently register the plugin source on a session (the RFC's
     'register plugin by name' step)."""
-    for src in (EventGenSource, EventGenStreamSource, JsonlSinkSource):
+    for src in (EventGenSource, EventGenStreamSource, JsonlSinkSource,
+                KafkaFileSinkSource):
         try:
             spark.dataSource.register(src)
         except Exception:
@@ -135,6 +136,40 @@ try:  # Spark 4 simple-stream API
             pass
 except ImportError:  # pragma: no cover - pre-4.0 Spark
     EventGenStreamReader = None  # type: ignore[assignment]
+
+
+class KafkaFileSinkSource(DataSource):
+    """format("cdc_kafka_sink") — the Kafka PRODUCER wire contract
+    (README.md:17,:21 — the RFC's partition-routing sink plugin),
+    file-backed because no broker exists in this container.  Input
+    rows are exactly the producer record triple `format("kafka")`
+    ships: (key STRING, value STRING, partition INT).  Each writer
+    task appends the records of each topic-partition it sees to a
+    private segment file IN ARRIVAL ORDER with a per-record sequence
+    number (the broker's per-partition append log); the driver-side
+    commit() publishes `_LEDGER.json` assigning each segment a
+    cumulative base offset per partition.  That preserves Kafka's
+    actual ordering guarantee — total order within a (producer task,
+    partition), arbitrary interleave across producers — and makes the
+    routing policy ROUND-TRIP-checkable: a reader can re-derive every
+    record's partition from its file, replay per-segment order from
+    seq, and reconcile against the ledger.  Swapping this for a real
+    broker is the one-line `.format("kafka")` change; everything with
+    engine semantics (routing, ordering, at-least-once commit) is
+    exercised here.  Option: path (broker log directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_kafka_sink"
+
+    def writer(self, schema, overwrite: bool) -> "KafkaFileWriter":
+        names = [f.name for f in schema]
+        for c in ("key", "value", "partition"):
+            if c not in names:
+                raise ValueError(
+                    f"cdc_kafka_sink needs (key, value, partition) "
+                    f"columns; got {names}")
+        return KafkaFileWriter(self.options["path"])
 
 
 class JsonlSinkSource(DataSource):
@@ -206,5 +241,79 @@ try:
                     _os.remove(_os.path.join(self.path, m.filename))
                 except OSError:
                     pass
+    @dataclass
+    class _Segments(WriterCommitMessage):
+        # [(partition, filename, n_records), ...] for one writer task
+        segments: list
+
+    class KafkaFileWriter(DataSourceWriter):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            tid = _uuid.uuid4().hex
+            handles: dict = {}
+            counts: dict = {}
+            for row in iterator:
+                p = int(row["partition"])
+                if p not in handles:
+                    fname = f"segment-p{p:05d}-{tid}.jsonl"
+                    handles[p] = (fname, open(
+                        _os.path.join(self.path, fname), "w"))
+                    counts[p] = 0
+                f = handles[p][1]
+                f.write(_json.dumps({"seq": counts[p], "key": row["key"],
+                                     "value": row["value"]}) + "\n")
+                counts[p] += 1
+            for p, (_, f) in handles.items():
+                f.close()
+            return _Segments(segments=[(p, fname, counts[p])
+                                       for p, (fname, _) in
+                                       sorted(handles.items())])
+
+        def commit(self, messages) -> None:
+            import json as _json
+            import os as _os
+
+            # the broker's per-partition append-log index: segments
+            # ordered (deterministically, by filename — cross-producer
+            # arrival order is arbitrary, exactly Kafka's contract)
+            # with cumulative base offsets; only committed tasks'
+            # segments are ever manifested (at-least-once upgrade to
+            # exactly-once on read, README.md:119)
+            per: dict = {}
+            for m in messages:
+                if m is None:
+                    continue
+                for p, fname, n in m.segments:
+                    per.setdefault(p, []).append((fname, n))
+            ledger: dict = {}
+            for p, segs in sorted(per.items()):
+                base, out = 0, []
+                for fname, n in sorted(segs):
+                    out.append({"file": fname, "base_offset": base,
+                                "n": n})
+                    base += n
+                ledger[str(p)] = out
+            with open(_os.path.join(self.path, "_LEDGER.json"), "w") as f:
+                _json.dump(ledger, f)
+
+        def abort(self, messages) -> None:
+            import os as _os
+
+            for m in messages:
+                if m is None:
+                    continue
+                for _, fname, _n in m.segments:
+                    try:
+                        _os.remove(_os.path.join(self.path, fname))
+                    except OSError:
+                        pass
 except ImportError:  # pragma: no cover - pre-4.0 Spark
     JsonlWriter = None  # type: ignore[assignment]
+    KafkaFileWriter = None  # type: ignore[assignment]

@@ -13,11 +13,14 @@ checkpoint broadcast. Spark-native mapping:
 - Object-store sink (README.md:23) → partitioned parquet write.
 - The generic plugin sink (README.md:59-68,:73) → foreachBatch.
 
-No Kafka broker or JDBC server exists in this container, so those two
-sinks produce their exact wire payloads (routing key + serialized
-value; batched INSERT statements) as DataFrames — the network write is
-a one-line `.format("kafka")` / `.jdbc(url)` swap, and the payload
-construction is the part with engine semantics to verify.
+No Kafka broker exists in this container, so `sink_kafka` round-trips
+its routed (key, value, partition) records through a FILE-BACKED
+broker (pysource.KafkaFileSinkSource: per-partition append-log
+segments + offset ledger) and re-derives routing/ordering/integrity
+from what landed on disk — the network hop is the one-line
+`.format("kafka")` swap.  `sink_jdbc_batch` likewise computes its
+batched-INSERT wire payload, with the REAL write proven against
+embedded Derby by `sink_jdbc_roundtrip`.
 
 Scale notes: sinks write partitioned-by-(table/date) layouts so the
 object store gets partition pruning on read-back; the Kafka key is the
@@ -141,31 +144,87 @@ def source_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_kafka",
     oracle="""
-    SELECT CAST(user_id % 16 AS VARCHAR) AS key,
-           COUNT(*) AS n_events,
-           COUNT(DISTINCT user_id) AS n_users
+    SELECT CAST(CAST(concat('0x', substring(md5(CAST(user_id % 16 AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 8 AS INT)
+               AS partition,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT CAST(user_id % 16 AS VARCHAR)) AS n_keys,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           CAST(0 AS BIGINT) AS order_violations
     FROM events
     GROUP BY 1
     """,
 )
 def sink_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kafka sink payload with custom partition routing (README.md:17,
-    :21 — the RFC's partition-dispatch plugin): the routing policy IS
-    the key column (user_id bucketed to 16 partitions, keeping each
-    user's events ordered within a partition — the RFC's ordering
-    guarantee). Produces the exact (key, value) pairs
-    `.format("kafka")` would ship; aggregated per key so the oracle
-    checks the routing distribution."""
+    """Kafka sink with custom partition routing (README.md:17,:21 —
+    the RFC's partition-dispatch plugin), ROUND-TRIP-verified against
+    a file-backed broker (sources/pysource.py KafkaFileSinkSource; no
+    broker exists in the container, so the per-partition append-log
+    contract is realized on files and the network hop stays the
+    one-line `.format("kafka")` swap).
+
+    Routing policy: key = user_id bucket (16 keys), partition =
+    md5-hash(key) % 8 — the md5-prefix integer hash DuckDB can
+    reproduce, standing in for Kafka's murmur2(keyBytes) % n.  The
+    producer sorts each partition's records by event_id (per-producer
+    send order), writes (key, value, partition) through the sink, and
+    the query READS THE BROKER LOG BACK: partition re-derived from
+    each segment file's name (what actually landed, not what was
+    sent), payload integrity via the event_id checksum parsed out of
+    the JSON value, and per-segment producer order replayed from the
+    seq numbers — `order_violations` counts records whose event_id
+    regressed within a segment, and the oracle pins it to ZERO.  A
+    sink that dropped, duplicated, misrouted or reordered records
+    hash-mismatches.  Scale: routing/sort is one shuffle on the
+    partition id; segment files are task-local appends."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from cdc_plg_spark.sources.pysource import register_python_sources
+
+    register_python_sources(spark)
+    broker = _tf.mkdtemp(prefix="cdc_kafka_broker_")
     ev = load_table(spark, "events", sf_dir)
-    payload = ev.select(
-        (F.col("user_id") % 16).cast("string").alias("key"),
-        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value"),
-        "user_id")
-    # in production:  payload.select("key","value").write.format("kafka")
-    #                        .option("kafka.bootstrap.servers", ...).save()
-    return (payload.groupBy("key")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.countDistinct("user_id").alias("n_users")))
+    key = (F.col("user_id") % 16).cast("string")
+    part = F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+                  .cast("long"), F.lit(8)).cast("int")
+    records = (ev.select(key.alias("key"),
+                         F.to_json(F.struct("event_id", "user_id",
+                                            "event_type")).alias("value"),
+                         part.alias("partition"),
+                         "event_id")
+               .repartition(8, "partition")
+               .sortWithinPartitions("partition", "event_id")
+               .select("key", "value", "partition"))
+    (records.write.format("cdc_kafka_sink")
+     .option("path", broker).mode("append").save())
+
+    # read back ONLY ledger-committed segments (the broker's index):
+    # an aborted producer task's segment can never leak into the feed
+    import json as _json
+
+    with open(os.path.join(broker, "_LEDGER.json")) as fh:
+        ledger = _json.load(fh)
+    seg_files = [os.path.join(broker, seg["file"])
+                 for segs in ledger.values() for seg in segs]
+    back = (spark.read.schema("seq BIGINT, key STRING, value STRING")
+            .json(seg_files)
+            .withColumn("_file", F.element_at(
+                F.split(F.input_file_name(), "/"), -1))
+            .withColumn("partition", F.regexp_extract(
+                "_file", r"segment-p(\d+)-", 1).cast("int"))
+            .withColumn("ev", F.from_json(
+                "value", "event_id BIGINT, user_id BIGINT, "
+                         "event_type STRING")))
+    w = Window.partitionBy("_file").orderBy("seq")
+    regressed = (F.lag(F.col("ev.event_id")).over(w)
+                 > F.col("ev.event_id")).cast("long")
+    return (back.withColumn("viol", F.coalesce(regressed, F.lit(0)))
+            .groupBy("partition")
+            .agg(F.count(F.lit(1)).alias("n_records"),
+                 F.countDistinct("key").alias("n_keys"),
+                 F.sum("ev.event_id").alias("id_checksum"),
+                 F.sum("viol").alias("order_violations")))
 
 
 @register(
