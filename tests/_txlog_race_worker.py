@@ -1,0 +1,63 @@
+"""Subprocess worker for the multi-process TxLog writer race soak
+(tests/test_lakehouse.py::test_multiprocess_writer_race).
+
+Each worker is a SEPARATE OS process with its own JVM/SparkSession —
+a true concurrent writer, not a thread sharing the parent's context —
+hammering one shared table with MERGE (retried on ConflictError, as
+the merge contract instructs callers), one OPTIMIZE and one VACUUM.
+argv: table_path worker_id iters
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    path, wid, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from pyspark.sql import SparkSession
+
+    from cdc_plg_spark.lakehouse import ConflictError, TxLogTable
+
+    spark = (SparkSession.builder.master("local[2]")
+             .appName(f"txlog-race-worker-{wid}")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    try:
+        t = TxLogTable(spark, path)
+        lo = 1000 + wid * 100
+        for i in range(iters):
+            src = spark.createDataFrame(
+                [(lo + k, wid * 10000 + i) for k in range(20)],
+                "user_id long, value long")
+            for _attempt in range(200):
+                try:
+                    t.merge(src)
+                    break
+                except ConflictError:
+                    continue
+            else:
+                print(f"worker {wid}: merge {i} never committed",
+                      file=sys.stderr)
+                return 2
+            if i == iters // 2:
+                try:
+                    # force a real compaction commit into the race
+                    t.optimize(small_bytes=1 << 30)
+                except ConflictError:
+                    pass        # lost to a concurrent commit — fine
+        try:
+            # retention age protects the other workers' in-flight files
+            t.vacuum(retain_last=2, min_age_s=3600)
+        except ConflictError:
+            pass
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
