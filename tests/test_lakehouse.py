@@ -1038,3 +1038,29 @@ def test_multiprocess_writer_race(spark, tdir):
     # no dangling manifest entries: every live file exists on disk
     for rel in t.snapshot().files:
         assert os.path.exists(os.path.join(path, rel)), rel
+
+
+def test_zorder_measured_file_skipping_sf01(spark):
+    """Exact measured skip counts at sf0.1 (the query's oracle pins
+    only coarse booleans): the same where_between point-band predicate
+    must scan all 16 key-ranged files before ZORDER and at most 8
+    after, with identical row content both times."""
+    from cdc_plg_spark.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.1").select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="zorder_sf01_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev,
+                          "event_id", n_files=16)
+    mx = ev.agg(F.max("user_id")).head()[0]
+    pred = ("user_id", mx * 20 // 100, mx * 25 // 100)
+    before_df = t.read(where_between=pred)
+    rows_before = sorted(r["event_id"] for r in before_df.collect())
+    files_before = len(before_df.inputFiles())
+    assert files_before == 16                       # key layout: no skip
+    t.optimize(zorder_by=("event_id", "user_id"), target_files=16)
+    after_df = t.read(where_between=pred)
+    files_after = len(after_df.inputFiles())
+    assert files_after <= 8, files_after            # >= half skipped
+    assert sorted(r["event_id"] for r in after_df.collect()) == rows_before
+    print(f"zorder skip: {files_before} -> {files_after} files")
