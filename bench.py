@@ -69,6 +69,18 @@ BENCH_QUERIES = [
     "join_asof_nearest",            # two-direction window carry
 ]
 
+# Lakehouse write-path transactions, tracked in their OWN section (not
+# the headline wall): each run eagerly builds a TxLog table and commits
+# a real MERGE / MV refresh, so they measure format overhead vs raw
+# parquet (the DuckDB twin computes the same RESULT from the raw files
+# with zero format work) — a number to watch round-over-round, not a
+# read-workload query.
+LAKEHOUSE_QUERIES = [
+    "lakehouse_merge_upsert",    # COW MERGE txn: build, merge, read back
+    "lakehouse_incremental_mv",  # change-feed-maintained materialized view
+]
+N_LAKE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_LAKE_RUNS", "3"))
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -191,6 +203,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # lakehouse write-path section (separate from the headline wall)
+    lake_names = [n for n in LAKEHOUSE_QUERIES if n in entries]
+    lake: dict[str, float] = {}
+    for name in lake_names:
+        run_spark(name)                      # warm (first build pays JIT)
+        lake[name] = round(_median_time(
+            lambda n=name: run_spark(n), n=N_LAKE_RUNS), 4)
+    lake_duck: dict[str, float] = {}
+    try:
+        import duckdb as _dk
+
+        lcon = _dk.connect()
+        duck_views(lcon)
+        lcon.execute(f"SET threads TO {int(CPUS)}")
+        for name in lake_names:
+            sql = entries[name].oracle
+            if sql:
+                lake_duck[name] = round(_median_time(
+                    lambda sql=sql: lcon.execute(sql).fetchall(),
+                    n=N_LAKE_RUNS), 4)
+    except Exception:
+        pass
+
     duck_seq_total = round(sum(duck.values()), 4) if duck else None
     duck_best = (min(x for x in (duck_seq_total, duck_wall) if x is not None)
                  if duck else None)
@@ -212,6 +247,18 @@ def main() -> None:
                             if duck_best else None),
         "ratio_sequential": (round(seq_total / duck_seq_total, 3)
                              if duck_seq_total else None),
+        "lakehouse": {
+            "note": ("write-path transactions (build+MERGE+read per "
+                     "run) vs DuckDB computing the same result from "
+                     "raw parquet with zero format work — format "
+                     "overhead tracker, not part of the headline wall"),
+            "queries": lake,
+            "duckdb": lake_duck,
+            "ratio": (round(sum(lake.values())
+                            / sum(lake_duck.values()), 3)
+                      if lake and lake_duck and sum(lake_duck.values())
+                      else None),
+        },
         "cpus": int(CPUS),
     }
     print(json.dumps(out))
