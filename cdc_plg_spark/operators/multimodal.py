@@ -26,11 +26,62 @@ from cdc_plg_spark.registry import register
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decode kernel — requires an image library absent from this
-    container; the engine ships the plumbing, callers swap this in."""
+    """Decode kernel for COMPRESSED formats (JPEG/PNG/WebP) — requires
+    a codec library absent from this container; the engine ships the
+    plumbing, callers swap this in.  Uncompressed PPM decodes for REAL
+    via `decode_ppm` below (pure numpy, no codec needed)."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not in this container); "
-        "use _fake_decode for deterministic tests")
+        "compressed-image decode requires PIL/opencv (not in this "
+        "container); PPM/PGM payloads decode via decode_ppm")
+
+
+def encode_ppm(pixels) -> bytes:
+    """REAL binary P6 (raw RGB) PPM encoder — numpy only.  `pixels` is
+    an (h, w, 3) uint8 array."""
+    h, w, _ = pixels.shape
+    header = b"P6\n# cdc-plg\n%d %d\n255\n" % (w, h)
+    return header + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL binary P6 PPM decoder — numpy only, no codec library.
+    Parses the header (magic, optional `#` comment lines, dimensions,
+    maxval), then views the raw RGB plane as an (h, w, 3) uint8 array
+    with np.frombuffer — zero-copy over the payload bytes."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":        # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end:end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1                                    # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8,
+                       count=w * h * 3, offset=pos).reshape(h, w, 3)
+    return w, h, px
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize: pure numpy index arithmetic
+    (the same sampling OpenCV's INTER_NEAREST does)."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return px[ys[:, None], xs[None, :], :]
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
@@ -139,6 +190,119 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         "doc_id bigint, w bigint, h bigint, new_w bigint, new_h bigint, "
         "out_bytes bigint")
+
+
+@register(
+    "mm_decode_ppm_real",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 31 AS BIGINT) AS w,
+               CAST(1 + doc_id % 17 AS BIGINT) AS h
+        FROM documents),
+    xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM dims),
+    px AS (
+        SELECT doc_id, w, h, x,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM xs),
+    vals AS (
+        SELECT doc_id, w, h,
+               (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+               (doc_id * 7 + x * 3 + y * 5 + 11) % 256 AS g,
+               (doc_id * 7 + x * 3 + y * 5 + 22) % 256 AS b
+        FROM px),
+    sums AS (
+        SELECT doc_id, w, h,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b
+        FROM vals GROUP BY 1, 2, 3),
+    r_xs AS (
+        SELECT doc_id, w, h,
+               unnest(generate_series(0, 7)) AS xo
+        FROM dims),
+    r_px AS (
+        SELECT doc_id, w, h, (xo * w) // 8 AS sx,
+               unnest(generate_series(0, 7)) AS yo
+        FROM r_xs),
+    rsums AS (
+        SELECT doc_id,
+               CAST(SUM((doc_id * 7 + sx * 3 + ((yo * h) // 8) * 5) % 256
+                        + (doc_id * 7 + sx * 3 + ((yo * h) // 8) * 5 + 11) % 256
+                        + (doc_id * 7 + sx * 3 + ((yo * h) // 8) * 5 + 22) % 256)
+                    AS BIGINT) AS resized_checksum
+        FROM r_px GROUP BY 1)
+    SELECT s.doc_id, s.w, s.h,
+           CAST(19 + length(CAST(s.w AS VARCHAR))
+                   + length(CAST(s.h AS VARCHAR))
+                   + 3 * s.w * s.h AS BIGINT) AS n_bytes,
+           s.sum_r, s.sum_g, s.sum_b, r.resized_checksum
+    FROM sums s JOIN rsums r USING (doc_id)
+    """,
+)
+def mm_decode_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode — no stub, no codec library: binary P6 PPM
+    payloads are ENCODED (header + raw RGB bytes), then a separate
+    Arrow-batched stage PARSES the actual bytes back (`decode_ppm`:
+    magic, comment lines, dims, maxval, zero-copy np.frombuffer pixel
+    view), computes exact per-channel integer sums, and runs a real
+    nearest-neighbor resize to 8×8 (`resize_nearest`) whose pixel
+    checksum the oracle recomputes from the generating formula.  Any
+    header-parse offset error, stride mistake, channel swap or resize
+    index bug changes an integer and hash-fails.
+
+    The pixel pattern (v = (7·doc_id + 3x + 5y + 11c) mod 256) exists
+    so DuckDB can reproduce the EXPECTED result without decoding —
+    the Spark side never shortcuts through it after encode: the
+    decode stage sees only bytes.  Compressed formats (JPEG/PNG) still
+    need a codec library (`decode_image` raises); this proves the
+    engine's decode path — batching, header parsing, pixel math,
+    payload-dropped-before-shuffle — on the format that needs none.
+
+    100 TB shape: encode/decode are partition-local mapInPandas stages;
+    only (doc_id, 8 ints) survive to the output — payload bytes never
+    reach a shuffle."""
+    import numpy as np
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 1 + doc_id % 31, 1 + doc_id % 17
+                base = (doc_id * 7 + 3 * np.arange(w)[None, :, None]
+                        + 5 * np.arange(h)[:, None, None]
+                        + 11 * np.arange(3)[None, None, :]) % 256
+                out.append(encode_ppm(base.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in ("doc_id", "w", "h", "n_bytes", "sum_r",
+                                "sum_g", "sum_b", "resized_checksum")}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                small = resize_nearest(px, 8, 8)
+                rows["doc_id"].append(doc_id)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["n_bytes"].append(len(payload))
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["resized_checksum"].append(
+                    int(small.astype(np.int64).sum()))
+        yield pd.DataFrame(rows)
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    encoded = d.mapInPandas(encode_batches, "doc_id bigint, payload binary")
+    return encoded.mapInPandas(
+        decode_batches,
+        "doc_id bigint, w bigint, h bigint, n_bytes bigint, sum_r bigint, "
+        "sum_g bigint, sum_b bigint, resized_checksum bigint")
 
 
 @register(

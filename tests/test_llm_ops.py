@@ -226,3 +226,36 @@ def test_minhash_signature_null_text(spark):
             df.select("doc_id", _minhash_signature().alias("sig")).collect()}
     assert sigs["b"] is None
     assert len(sigs["a"]) == _MINHASH_K
+
+
+def test_ppm_codec_roundtrip():
+    """The real PPM encode/decode/resize kernels (no Spark needed):
+    byte-exact round-trip for arbitrary pixel arrays, comment-tolerant
+    header parsing, format validation, resize identity."""
+    import numpy as np
+
+    from cdc_plg_spark.operators.multimodal import (
+        decode_ppm, encode_ppm, resize_nearest,
+    )
+
+    rng = np.random.RandomState(42)
+    for (w, h) in [(1, 1), (3, 7), (64, 48)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, back = decode_ppm(encode_ppm(px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(back, px)
+    # multi-comment headers parse; pixel plane offset is exact
+    payload = b"P6\n# one\n#two\n2 2\n255\n" + bytes(range(12))
+    w2, h2, px = decode_ppm(payload)
+    assert (w2, h2) == (2, 2)
+    assert px.flatten().tolist() == list(range(12))
+    # resize: identity at same size; nearest sampling at downscale
+    px = rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    assert np.array_equal(resize_nearest(px, 6, 6), px)
+    small = resize_nearest(px, 3, 3)
+    assert np.array_equal(small, px[::2, ::2, :])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with _pt.raises(ValueError, match="unsupported maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
