@@ -65,6 +65,12 @@ SCALE_QUERIES = (
     #                                 NULL in DuckDB, '' in Spark)
     "udaf_pandas_agg",              # value=0 rows first appear at
     #                                 sf0.1 (ln(0) domain)
+    "sink_kafka",                   # (r6) file-backed broker round trip:
+    #                                 routing + per-segment order must
+    #                                 hold as partitions carry more data
+    "lakehouse_zorder_skipping",    # (r6) skip booleans must hold at
+    #                                 every sf (band derived from max)
+    "mm_decode_ppm_real",           # (r6) real PPM parse at corpus scale
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
