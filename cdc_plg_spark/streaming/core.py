@@ -218,3 +218,42 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, checkpoint_dir: str) -> No
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_foreach_batch_isolated(stream_df: DataFrame, batch_fn,
+                               checkpoint_dir: str,
+                               dead_letter_dir: str) -> list[int]:
+    """Plugin FAILURE ISOLATION (the reference's sandbox guarantee,
+    README.md:38-49,:124-125: a plugin must not crash the engine) —
+    realized Spark-natively: the per-batch plugin runs inside a guard;
+    if it raises, the whole micro-batch is quarantined as parquet under
+    `dead_letter_dir/epoch=<id>/` (with the error recorded alongside)
+    and the STREAM KEEPS RUNNING — the batch is marked consumed in the
+    checkpoint, so one poison batch cannot wedge the changefeed into a
+    crash-retry loop.  Returns the quarantined epoch ids.
+
+    This trades the RFC's process-sandbox (WASM guest) for Spark's
+    own boundary: plugin code already runs outside the engine loop,
+    and the dead-letter quarantine adds the missing don't-kill-the-
+    -pipeline semantics.  Ops replay the DLQ through the fixed plugin
+    (each quarantined batch carries its epoch id, so the replay is
+    idempotent by the same (app, epoch) keying every sink here uses).
+    """
+    import json as _json
+    import os as _os
+
+    poisoned: list[int] = []
+
+    def guarded(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            batch_fn(batch_df, epoch_id)
+        except Exception as e:  # noqa: BLE001 - the isolation boundary
+            dlq = _os.path.join(dead_letter_dir, f"epoch={epoch_id}")
+            batch_df.write.mode("overwrite").parquet(dlq)
+            with open(_os.path.join(dlq, "_ERROR.json"), "w") as f:
+                _json.dump({"epoch": epoch_id, "error_type":
+                            type(e).__name__, "error": str(e)[:2000]}, f)
+            poisoned.append(epoch_id)
+
+    run_foreach_batch(stream_df, guarded, checkpoint_dir)
+    return poisoned

@@ -263,3 +263,46 @@ def test_ddl_additive_evolve_mid_stream(spark, sf_dir):
          .otherwise(F.lit(1)).cast("int").alias("schema_version"))
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_foreach_batch_plugin_isolation(spark, tdir):
+    """The reference's sandbox guarantee (README.md:38-49,:124-125 — a
+    plugin must not crash the engine), Spark-natively: a plugin that
+    raises on one micro-batch must NOT kill the stream; the poison
+    batch is quarantined to the dead-letter dir with its error record,
+    every other batch lands normally, and the checkpoint marks the
+    epoch consumed so a restart does not crash-loop on it."""
+    from cdc_plg_spark.streaming.core import (
+        run_foreach_batch_isolated, staged_events_stream,
+    )
+
+    out = os.path.join(tdir, "out")
+    dlq = os.path.join(tdir, "dlq")
+    ckpt = os.path.join(tdir, "ckpt")
+    os.makedirs(out)
+
+    def plugin(batch_df, epoch_id):
+        if epoch_id == 1:
+            raise RuntimeError("plugin bug: division by zero in v2")
+        (batch_df.groupBy("event_type").count()
+         .withColumn("epoch", F.lit(epoch_id))
+         .write.mode("append").parquet(out))
+
+    stream = staged_events_stream(spark, "/root/testdata/sf0.001")
+    poisoned = run_foreach_batch_isolated(stream, plugin, ckpt, dlq)
+    assert poisoned == [1]
+    # good epochs landed (4 staged batches -> epochs 0,2,3 succeeded)
+    ok = spark.read.parquet(out)
+    assert {r["epoch"] for r in ok.select("epoch").distinct().collect()} \
+        == {0, 2, 3}
+    # the poison batch is fully quarantined with its error record
+    q = spark.read.parquet(os.path.join(dlq, "epoch=1"))
+    assert q.count() > 0
+    import json as _json
+    with open(os.path.join(dlq, "epoch=1", "_ERROR.json")) as f:
+        err = _json.load(f)
+    assert err["epoch"] == 1 and "plugin bug" in err["error"]
+    # restart: checkpoint consumed everything; no epoch re-poisons
+    assert run_foreach_batch_isolated(
+        staged_events_stream(spark, "/root/testdata/sf0.001"),
+        plugin, ckpt, dlq) == []
