@@ -138,9 +138,13 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     computes that whole |bucket|² compare in a single task.
 
     Guard (exact, not lossy): a map-side-combined aggregate finds
-    buckets over `cap` — the heavy-hitter frame is broadcast-sized by
-    construction (a corpus holds at most |corpus|/cap such buckets per
-    band).  Rows of an oversized bucket get a deterministic salt
+    buckets over `cap` — at most |corpus|/cap such buckets per band
+    exist, so the frame is tiny for realistic skew (a handful of
+    boilerplate clusters); on a pathological corpus where MOST docs
+    sit in heavy buckets it grows toward |corpus|/cap rows — if that
+    ever exceeds broadcast size, drop the `F.broadcast` hint below
+    (AQE picks a shuffle join) and raise `cap`, which shrinks the
+    frame linearly.  Rows of an oversized bucket get a deterministic salt
     g ∈ [0, G), G = ceil(size/cap), and the self-join becomes the
     triangle of (i, j) salt-pair tasks: a row salted g joins as left
     in tasks (g, j≥g) and as right in tasks (i≤g, g), so every
