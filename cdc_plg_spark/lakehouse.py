@@ -35,6 +35,14 @@ public Delta protocol does it:
 - **Time travel / vacuum**: `read(version=N)` replays to N;
   `vacuum(retain_last=k)` deletes data files unreachable from the
   last k versions and truncates the log behind a new checkpoint.
+- **Column mapping (RENAME / DROP COLUMN)**: `rename_column` /
+  `drop_column` are pure meta commits — logical names map to stable
+  physical parquet names (`Snapshot.mapping`), readers/writers
+  translate at the scan/write edge, per-file column stats stay keyed
+  by physical name so data skipping survives renames, and dropped
+  columns' physical names are RETIRED so re-adding the logical name
+  can never resurrect old bytes (purged at the next OPTIMIZE rewrite).
+  The public Delta column-mapping ("name" mode) contract.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -77,6 +85,18 @@ class Snapshot:
     txns: dict[str, int] = field(default_factory=dict)    # app -> max epoch
     schema_json: str | None = None
     key_col: str | None = None
+    # column mapping (Delta-style "name" mapping): logical column name
+    # -> physical parquet column name.  None = identity (a table that
+    # never ALTERed).  RENAME/DROP COLUMN are pure meta commits — no
+    # data file is touched; readers translate at the scan edge.
+    mapping: dict[str, str] | None = None
+    # physical names of dropped columns: still present in old parquet
+    # files, so a later ADD of the same logical name must take a fresh
+    # physical name or it would resurrect the dropped data
+    retired: list[str] = field(default_factory=list)
+
+    def phys(self, logical: str) -> str:
+        return (self.mapping or {}).get(logical, logical)
 
 
 def _footer_stats(path: str, cols: list[str]):
@@ -126,6 +146,28 @@ def _footer_stats(path: str, cols: list[str]):
             lo[name] = st.min if name not in lo else min(lo[name], st.min)
             hi[name] = st.max if name not in hi else max(hi[name], st.max)
     return lo, hi, md.num_rows, nulls
+
+
+def _extend_mapping(snap: "Snapshot", new_fields,
+                    memo: dict[str, str] | None = None) -> dict[str, str]:
+    """Column-mapping entries for schema-widening new fields.  The
+    physical name is the logical name unless that would collide with a
+    live or RETIRED physical (re-adding a dropped column must not
+    resurrect its old data) — then a uuid-suffixed fresh name.  `memo`
+    keeps assignments stable across commit retries (the data files
+    were already written under the first assignment)."""
+    m = dict(snap.mapping or {})
+    used = set(m.values()) | set(snap.retired)
+    for f_ in new_fields:
+        if memo is not None and f_.name in memo:
+            m[f_.name] = memo[f_.name]
+            continue
+        phys = (f_.name if f_.name not in used
+                else f"{f_.name}_{uuid.uuid4().hex[:8]}")
+        if memo is not None:
+            memo[f_.name] = phys
+        m[f_.name] = phys
+    return m
 
 
 def _vname(v: int) -> str:
@@ -181,6 +223,8 @@ class TxLogTable:
             snap.txns = dict(data["txns"])
             snap.schema_json = data.get("schema")
             snap.key_col = data.get("key_col")
+            snap.mapping = data.get("column_mapping")
+            snap.retired = data.get("retired_physical", [])
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -213,6 +257,9 @@ class TxLogTable:
                         m = action["meta"]
                         snap.schema_json = m.get("schema", snap.schema_json)
                         snap.key_col = m.get("key_col", snap.key_col)
+                        snap.mapping = m.get("column_mapping", snap.mapping)
+                        snap.retired = m.get("retired_physical",
+                                             snap.retired)
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -250,7 +297,9 @@ class TxLogTable:
         with open(tmp, "w") as f:
             json.dump({"files": snap.files, "txns": snap.txns,
                        "schema": snap.schema_json,
-                       "key_col": snap.key_col}, f)
+                       "key_col": snap.key_col,
+                       "column_mapping": snap.mapping,
+                       "retired_physical": snap.retired}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def detail(self) -> dict:
@@ -306,7 +355,8 @@ class TxLogTable:
 
     def _write_data(self, df: DataFrame, key_col: str,
                     n_files: int | None = None,
-                    cluster_expr=None) -> list[dict]:
+                    cluster_expr=None,
+                    mapping: dict[str, str] | None = None) -> list[dict]:
         """Write df as parquet under data/<writeid>; return add-actions.
 
         The writer range-partitions on the key so files carry disjoint
@@ -314,7 +364,12 @@ class TxLogTable:
         selective for later MERGE pruning (same reason Delta users
         OPTIMIZE ZORDER before heavy MERGE workloads).  An explicit
         `cluster_expr` (e.g. a z-value) overrides the key as the
-        range-partitioning dimension."""
+        range-partitioning dimension.
+
+        `df` and the returned add-action stats always speak LOGICAL
+        column names; under column mapping the rename to physical
+        parquet names happens here, at the write edge, and the footer
+        stats are translated back."""
         write_id = uuid.uuid4().hex
         rel_dir = os.path.join("data", write_id)
         out_dir = os.path.join(self.path, rel_dir)
@@ -328,6 +383,11 @@ class TxLogTable:
             df = df.repartitionByRange(n_files, part_col)
         else:
             df = df.repartitionByRange(part_col)
+        if mapping:
+            df = df.select(*[F.col(f_.name).alias(
+                mapping.get(f_.name, f_.name))
+                for f_ in df.schema.fields])
+            key_col = mapping.get(key_col, key_col)
         df.write.mode("overwrite").parquet(out_dir)
         files = sorted(f for f in os.listdir(out_dir)
                        if f.endswith(".parquet"))
@@ -375,6 +435,9 @@ class TxLogTable:
                 "bytes": os.path.getsize(os.path.join(self.path, rel)),
                 "min_key": lo[key_col],
                 "max_key": hi[key_col],
+                # keyed by PHYSICAL name: stable across RENAME COLUMN,
+                # so data skipping survives renames; readers translate
+                # (read() looks up snap.phys(col))
                 "cols": {c: [lo[c], hi[c]] for c in stat_cols
                          if c != key_col and c in lo},
             }})
@@ -430,12 +493,23 @@ class TxLogTable:
         explicit schema (a) skips footer merging and (b) projects
         columns added by a later additive DDL as NULL for files
         written before the evolution — the mergeSchema contract
-        without paying for it at read time."""
+        without paying for it at read time.  Under column mapping the
+        scan uses PHYSICAL parquet names and aliases back to logical
+        here, so every caller sees logical names only — RENAME COLUMN
+        costs one projection node, zero data movement."""
         paths = [self._abs(p) for p in sorted(rel_paths)]
         if not paths:
             return self._empty_df(snap)
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not snap.mapping:
+            return self.spark.read.schema(schema).parquet(*paths)
+        from pyspark.sql.types import StructField
+        phys = StructType([StructField(snap.phys(f_.name), f_.dataType,
+                                       f_.nullable)
+                           for f_ in schema.fields])
+        return (self.spark.read.schema(phys).parquet(*paths)
+                .select(*[F.col(snap.phys(f_.name)).alias(f_.name)
+                          for f_ in schema.fields]))
 
     def _key_df(self, snap: Snapshot, keys) -> DataFrame:
         """Tiny DataFrame of key values typed like the table key."""
@@ -493,8 +567,10 @@ class TxLogTable:
                      if s["max_key"] >= lo and s["min_key"] <= hi}
         if where_between is not None:
             col, lo, hi = where_between
+            pcol = snap.phys(col)   # stats are keyed by physical name
+
             def _keep(s: dict) -> bool:
-                rng = s.get("cols", {}).get(col)
+                rng = s.get("cols", {}).get(pcol)
                 return rng is None or (rng[1] >= lo and rng[0] <= hi)
             files = {p: s for p, s in files.items() if _keep(s)}
         if not files:
@@ -535,6 +611,8 @@ class TxLogTable:
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
+        _phys_memo: dict[str, str] = {}
+
         def _schema_meta(s: "Snapshot") -> list[dict]:
             # same schema contract as merge: every table column must be
             # present (a missing one would silently read back as NULL
@@ -549,12 +627,22 @@ class TxLogTable:
                     f"append source missing table columns {missing}")
             new_fields = [f_ for f_ in df.schema.fields
                           if f_.name not in {tf.name for tf in table_fields}]
-            return ([{"meta": {"schema": StructType(
-                table_fields + new_fields).json(),
-                "key_col": s.key_col}}] if new_fields else [])
+            if not new_fields:
+                return []
+            meta_d = {"schema": StructType(
+                table_fields + new_fields).json(), "key_col": s.key_col}
+            if s.mapping is not None:
+                meta_d["column_mapping"] = _extend_mapping(
+                    s, new_fields, _phys_memo)
+                meta_d["retired_physical"] = s.retired
+            return [{"meta": meta_d}]
 
         meta = _schema_meta(snap)
-        adds = self._write_data(df, snap.key_col, n_files)
+        mapping0 = dict(snap.mapping) if snap.mapping else None
+        write_mapping = (meta[0]["meta"].get("column_mapping", mapping0)
+                         if meta else mapping0)
+        adds = self._write_data(df, snap.key_col, n_files,
+                                mapping=write_mapping)
         while True:
             actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
             if txn is not None:
@@ -570,10 +658,87 @@ class TxLogTable:
             snap = self.snapshot()
             if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
                 return {"version": snap.version, "skipped": True}
+            if (dict(snap.mapping) if snap.mapping else None) != mapping0:
+                # a concurrent RENAME/DROP changed the logical->physical
+                # mapping AFTER our files were written under the old
+                # one; committing them would mislabel columns
+                raise ConflictError(
+                    "concurrent column ALTER during append; re-run")
             meta = _schema_meta(snap)
         self._maybe_checkpoint(self.snapshot(version))
         return {"version": version, "files_added": len(adds),
                 "skipped": False}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN — a pure META commit (the RFC's
+        EmitDDLEvent schema-change flow, README.md:57,:63, beyond the
+        additive case): zero data files touched at ANY table size.
+        The logical name changes; the physical parquet name stays, and
+        readers translate at the scan edge (column mapping).  Time
+        travel below this commit still shows the old name.  Streams
+        that pinned the old schema need a restart (the §3.2 contract
+        for non-additive DDL)."""
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("rename on non-existent table")
+            fields = StructType.fromJson(json.loads(snap.schema_json)).fields
+            names = [f_.name for f_ in fields]
+            if old not in names:
+                raise ValueError(f"no column {old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            mapping = dict(snap.mapping or {n: n for n in names})
+            mapping[new] = mapping.pop(old)
+            from pyspark.sql.types import StructField
+            schema = StructType([
+                StructField(new if f_.name == old else f_.name,
+                            f_.dataType, f_.nullable) for f_ in fields])
+            key = new if snap.key_col == old else snap.key_col
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "rename",
+                            "from": old, "to": new}},
+                {"meta": {"schema": schema.json(), "key_col": key,
+                          "column_mapping": mapping,
+                          "retired_physical": snap.retired}}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1}
+        raise ConflictError("rename retries exhausted")
+
+    def drop_column(self, name: str) -> dict:
+        """ALTER TABLE DROP COLUMN — a pure META commit: the column
+        leaves the logical schema and its PHYSICAL name is retired
+        (recorded so a later ADD of the same logical name takes a
+        fresh physical name and cannot resurrect the dropped data).
+        Old parquet files keep the bytes until the next OPTIMIZE
+        rewrite purges them — exactly the public Delta column-mapping
+        contract.  Dropping the key column is refused (every format
+        invariant hangs off it)."""
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("drop on non-existent table")
+            if name == snap.key_col:
+                raise ValueError("cannot drop the key column")
+            fields = StructType.fromJson(json.loads(snap.schema_json)).fields
+            names = [f_.name for f_ in fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} (have {names})")
+            mapping = dict(snap.mapping or {n: n for n in names})
+            retired = [*snap.retired, mapping.pop(name)]
+            schema = StructType([f_ for f_ in fields if f_.name != name])
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "drop",
+                            "column": name}},
+                {"meta": {"schema": schema.json(),
+                          "key_col": snap.key_col,
+                          "column_mapping": mapping,
+                          "retired_physical": retired}}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1}
+        raise ConflictError("drop retries exhausted")
 
     def _candidate_files(self, snap: Snapshot, source: DataFrame,
                          key_col: str) -> list[str]:
@@ -642,11 +807,15 @@ class TxLogTable:
             new_fields = [f_ for f_ in s.schema.fields
                           if f_.name not in (*table_names, "_op")]
             schema_json = snap.schema_json
+            mapping = snap.mapping
             if new_fields:
                 widened = StructType(table_fields + new_fields)
                 schema_json = widened.json()
+                if mapping is not None:
+                    mapping = _extend_mapping(snap, new_fields)
                 snap = Snapshot(snap.version, snap.files, snap.txns,
-                                schema_json, snap.key_col)
+                                schema_json, snap.key_col,
+                                mapping=mapping, retired=snap.retired)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
             missing = [c for c in cols if c not in s.columns]
@@ -674,13 +843,17 @@ class TxLogTable:
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
             n_files = max(1, len(touched))
-            adds = self._write_data(merged, key, n_files)
+            adds = self._write_data(merged, key, n_files,
+                                    mapping=snap.mapping)
+            meta_d = {"schema": schema_json, "key_col": key}
+            if new_fields and snap.mapping is not None:
+                meta_d["column_mapping"] = snap.mapping
+                meta_d["retired_physical"] = snap.retired
             actions = [{"commit": {"op": "MERGE",
                                    "files_pruned":
                                        len(snap.files) - len(touched),
                                    "files_rewritten": len(touched)}},
-                       *([{"meta": {"schema": schema_json,
-                                    "key_col": key}}] if new_fields
+                       *([{"meta": meta_d}] if new_fields
                          else []),
                        *[{"remove": {"path": p}} for p in touched],
                        *adds]
@@ -756,7 +929,8 @@ class TxLogTable:
         elif straddle:
             kept = (self._read_files_live(snap, straddle)
                     .filter(~F.col(key).between(lo, hi)))
-            adds = self._write_data(kept, key, len(straddle))
+            adds = self._write_data(kept, key, len(straddle),
+                                    mapping=snap.mapping)
             actions += [{"remove": {"path": p}} for p in straddle]
             actions += adds
         if txn is not None:
@@ -957,7 +1131,8 @@ class TxLogTable:
                            + F.shiftleft(F.shiftright(ny, i)
                                           .bitwiseAND(F.lit(1)),
                                          2 * i + 1))
-        adds = self._write_data(df, snap.key_col, n_out, cluster)
+        adds = self._write_data(df, snap.key_col, n_out, cluster,
+                                mapping=snap.mapping)
         actions = [{"commit": {"op": "OPTIMIZE",
                                "zorder_by": list(zorder_by or ()),
                                "files_compacted": len(small),

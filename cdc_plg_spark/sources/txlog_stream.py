@@ -58,7 +58,8 @@ class CommitPartition(InputPartition):
                  dv_old: list | None = None,
                  dv_new: list | None = None,
                  dv_grown: list | None = None,
-                 grown_files: list[str] | None = None) -> None:
+                 grown_files: list[str] | None = None,
+                 mapping: dict | None = None) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
@@ -66,6 +67,9 @@ class CommitPartition(InputPartition):
         self.schema_json = schema_json
         self.key_col = key_col
         self.full_images = full_images
+        # logical -> physical parquet column names (column mapping);
+        # None/{} = identity
+        self.mapping = mapping or {}
         # deletion-vector context for this commit step:
         # dv_old — keys already dv-deleted at v-1 in `removed` files
         #          (never live in this step; drop from the old side)
@@ -151,6 +155,7 @@ class TxLogChangesReader(DataSourceStreamReader):
                 self.table_path, v, removed, added,
                 self.pinned_json or b.schema_json,
                 b.key_col, self.full_images,
+                mapping=b.mapping,
                 dv_old=sorted({k for p in removed
                                for k in a.files[p].get("dv", ())}),
                 dv_new=sorted({k for p in added
@@ -189,6 +194,12 @@ class TxLogChangesReader(DataSourceStreamReader):
             if not frames:
                 return pd.DataFrame(columns=cols)
             df = pd.concat(frames, ignore_index=True)
+            if partition.mapping:
+                # column mapping: parquet carries PHYSICAL names;
+                # translate to the logical names the feed speaks
+                inv = {p: l_ for l_, p in partition.mapping.items()}
+                df = df.rename(columns=inv)
+                df = df[[c for c in df.columns if c in cols]]
             for c in cols:            # pre-DDL files lack new columns
                 if c not in df.columns:
                     df[c] = None

@@ -1064,3 +1064,137 @@ def test_zorder_measured_file_skipping_sf01(spark):
     assert files_after <= 8, files_after            # >= half skipped
     assert sorted(r["event_id"] for r in after_df.collect()) == rows_before
     print(f"zorder skip: {files_before} -> {files_after} files")
+
+
+def test_rename_column_meta_only(spark, tdir):
+    """RENAME COLUMN is a pure meta commit: zero data files touched,
+    content identical under the new name, merge works against the new
+    name, and time travel below the ALTER still shows the old name."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=4)
+    files_before = set(t.snapshot().files)
+    r = t.rename_column("value", "amount")
+    assert r["version"] == 1
+    assert set(t.snapshot().files) == files_before     # no data rewrite
+    head = t.read()
+    assert set(head.columns) == {"user_id", "amount"}
+    assert head.filter("user_id = 10").head()["amount"] == 20
+    # time travel: pre-ALTER snapshot keeps the old logical name
+    old = t.read(version=0)
+    assert set(old.columns) == {"user_id", "value"}
+    assert old.filter("user_id = 10").head()["value"] == 20
+    # merge speaks the new name; files written post-rename read back
+    m = t.merge(spark.createDataFrame([(10, -1, "U"), (500, 5, "I")],
+                                      "user_id long, amount long, op string"),
+                op_col="op")
+    assert not m["skipped"]
+    got = {x["user_id"]: x["amount"] for x in
+           t.read().filter("user_id in (10, 500)").collect()}
+    assert got == {10: -1, 500: 5}
+    # duplicate / missing name validation
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("user_id", "amount")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("value", "v2")
+
+
+def test_rename_key_column(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=50, n_files=2)
+    t.rename_column("user_id", "uid")
+    assert t.snapshot().key_col == "uid"
+    assert t.read(key_between=(0, 9)).count() == 10    # pruning intact
+    m = t.merge(spark.createDataFrame([(7, -1, "U")],
+                                      "uid long, value long, op string"),
+                op_col="op")
+    assert m["files_scanned"] == 1                     # stats still prune
+    assert t.read().filter("uid = 7").head()["value"] == -1
+
+
+def test_where_between_pruning_survives_rename(spark, tdir):
+    """Per-file column stats are keyed by PHYSICAL name, so non-key
+    data skipping keeps working after a rename with no rewrite."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("metric"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k",
+                          n_files=8)
+    t.rename_column("metric", "score")
+    pruned = t.read(where_between=("score", 0, 50))
+    assert len(pruned.inputFiles()) < 8                # still skips files
+    assert pruned.count() == 17                        # 0,3,...,48
+    assert {r["k"] for r in pruned.collect()} == set(range(17))
+
+
+def test_drop_column_and_no_resurrection(spark, tdir):
+    """DROP COLUMN retires the physical name: the column disappears
+    (meta-only), a later ADD of the same logical name starts NULL for
+    every existing row (fresh physical — the dropped bytes are never
+    resurrected), and OPTIMIZE physically purges the retired data."""
+    import pyarrow.parquet as pq
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=60, n_files=2)
+    with pytest.raises(ValueError, match="cannot drop the key column"):
+        t.drop_column("user_id")
+    t.drop_column("value")
+    assert t.read().columns == ["user_id"]
+    # re-add the same logical name via widening append: must be NULL
+    # for old rows, populated only for the appended ones
+    t.append(spark.createDataFrame([(1000, 777)], "user_id long, value long"))
+    head = t.read()
+    assert head.filter("user_id = 1000").head()["value"] == 777
+    assert head.filter("user_id < 60").filter("value IS NOT NULL") \
+               .count() == 0                          # nothing resurrected
+    # fresh physical name was needed (old 'value' bytes still on disk)
+    snap = t.snapshot()
+    assert snap.mapping["value"] != "value"
+    assert "value" in snap.retired
+    # OPTIMIZE rewrites under the current mapping -> retired physical
+    # column is purged from the new parquet files
+    t.optimize(small_bytes=1 << 30, target_files=1)
+    snap = t.snapshot()
+    for rel in snap.files:
+        cols = pq.ParquetFile(os.path.join(t.path, rel)) \
+                 .schema_arrow.names
+        assert "value" not in cols                     # physical purge
+        assert snap.mapping["value"] in cols
+    # content still correct after the purge rewrite
+    head = t.read()
+    assert head.filter("user_id = 1000").head()["value"] == 777
+    assert head.count() == 61
+
+
+def test_change_feed_across_rename(spark, tdir):
+    """table_changes after a RENAME reports old files' rows under the
+    CURRENT logical names (physical names are stable), so a replica
+    applying the feed sees a consistent post-DDL schema."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=30, n_files=1)
+    t.rename_column("value", "amount")                 # v1 (meta only)
+    t.merge(src(spark, [(5, -5, "U")]).withColumnRenamed(
+        "value", "amount"), op_col="op")               # v2
+    ch = t.table_changes(1, 2)
+    assert "amount" in ch.columns and "value" not in ch.columns
+    row = ch.filter("user_id = 5").head()
+    assert row["change_type"] == "U" and row["amount"] == -5
+
+
+def test_mapping_survives_checkpoint_replay(spark, tdir):
+    """A snapshot rebuilt FROM A CHECKPOINT (not full log replay) must
+    carry the column mapping and retired list — 10+ commits after a
+    RENAME and a DROP, reads still translate correctly."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=1)
+    t.rename_column("value", "amount")                       # v1
+    t.drop_column("amount")                                  # v2
+    t.append(spark.createDataFrame([(900, 1)],
+                                   "user_id long, amount long"))  # v3 re-add
+    for i in range(9):                                       # v4..v12
+        t.append(spark.createDataFrame([(1000 + i, i)],
+                                       "user_id long, amount long"))
+    assert t._checkpoints()                                  # ckpt exists
+    t2 = TxLogTable(spark, t.path)                           # fresh handle
+    snap = t2.snapshot()
+    # the dropped column's PHYSICAL was "value" (rename kept it);
+    # the re-added "amount" must avoid every retired physical
+    assert "value" in snap.retired
+    assert snap.mapping["amount"] not in snap.retired
+    head = t2.read()
+    assert head.filter("user_id = 900").head()["amount"] == 1
+    assert head.filter("user_id = 39").head()["amount"] is None
+    assert head.count() == 50
