@@ -869,3 +869,47 @@ def lakehouse_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("full_scan_before"),
                     F.lit(files_after * 2 <= files_before)
                      .alias("zorder_skips_half")))
+
+
+@register(
+    "lakehouse_alter_column_lifecycle",
+    oracle=f"""
+    SELECT user_id, ROUND(value, 4) AS amount,
+           CAST(NULL AS BIGINT) AS event_id
+    FROM ({_ORACLE_STATE.format(where="")})
+    WHERE op <> 'D'
+    UNION ALL
+    SELECT CAST(100000 + i AS BIGINT) AS user_id,
+           CAST(i AS DOUBLE) / 4 AS amount,
+           CAST(i * 7 AS BIGINT) AS event_id
+    FROM range(10) t(i)
+    """,
+    tags=("lakehouse", "ddl"),
+)
+def lakehouse_alter_column_lifecycle(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The full non-additive DDL lifecycle through COLUMN MAPPING
+    (the RFC's EmitDDLEvent flow beyond additive widening,
+    README.md:57,:63): create → RENAME COLUMN value→amount (pure meta
+    commit, zero files touched) → DROP COLUMN event_id (physical name
+    retired) → widening append that RE-ADDS event_id — which must read
+    NULL for every pre-existing row (a fresh physical name; the
+    dropped bytes still on disk can never resurrect) and carry real
+    values only for the appended rows.  The returned snapshot read is
+    hash-checked, so a translation bug at the scan edge, a stale
+    mapping in a meta commit, or a resurrection through the retired
+    physical all flip the hash."""
+    ev = load_table(spark, "events", sf_dir)
+    state = _apply_latest(ev).select("user_id", "event_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_alter_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), state,
+                          "user_id", n_files=8)
+    t.rename_column("value", "amount")
+    t.drop_column("event_id")
+    fresh = spark.range(10).select(
+        (F.col("id") + 100000).alias("user_id"),
+        (F.col("id").cast("double") / 4).alias("amount"),
+        (F.col("id") * 7).alias("event_id"))
+    t.append(fresh)
+    return t.read().select("user_id", F.round("amount", 4).alias("amount"),
+                           "event_id")

@@ -71,6 +71,9 @@ SCALE_QUERIES = (
     "lakehouse_zorder_skipping",    # (r6) skip booleans must hold at
     #                                 every sf (band derived from max)
     "mm_decode_ppm_real",           # (r6) real PPM parse at corpus scale
+    "lakehouse_alter_column_lifecycle",  # (r6) rename/drop/re-add must
+    #                                 translate correctly however many
+    #                                 files the mapping spans
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
