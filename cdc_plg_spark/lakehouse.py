@@ -319,6 +319,8 @@ class TxLogTable:
             "dv_rows_pending_compaction": dv_rows,
             "num_checkpoints": len(self._checkpoints()),
             "schema": snap.schema_json,
+            "column_mapping": snap.mapping,
+            "retired_physical": snap.retired,
         }
 
     def version_at(self, ts: float) -> int:
