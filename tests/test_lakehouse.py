@@ -1198,3 +1198,68 @@ def test_mapping_survives_checkpoint_replay(spark, tdir):
     assert head.filter("user_id = 900").head()["amount"] == 1
     assert head.filter("user_id = 39").head()["amount"] is None
     assert head.count() == 50
+
+
+@pytest.mark.parametrize("alter_seed", [11, 37])
+def test_random_ops_with_renames_match_dict_model(spark, tdir, alter_seed):
+    """Model check with COLUMN RENAMES interleaved into the MERGE /
+    DV-delete / OPTIMIZE stream: mapping translation must hold under
+    every interleaving, and each still-reachable historical version
+    must replay with the LOGICAL NAME IT HAD THEN and the model state
+    recorded when it committed."""
+    import random
+
+    rng = random.Random(alter_seed)
+    t = make_table(spark, os.path.join(tdir, "t"), n=30, n_files=3)
+    model = {k: k * 2 for k in range(30)}
+    col = "value"
+    history = {0: (dict(model), col)}      # version -> (state, colname)
+    renames = 0
+
+    for _ in range(10):
+        kind = rng.choices(("merge", "delete_dv", "optimize", "rename"),
+                           weights=(5, 2, 1, 2))[0]
+        if kind == "merge":
+            keys = rng.sample(range(60), rng.randint(1, 5))
+            rows, ops = [], {}
+            for k in keys:
+                op, v = rng.choice("IUD"), rng.randint(-99, 99)
+                rows.append((k, v, op))
+                ops[k] = (op, v)
+            m = t.merge(spark.createDataFrame(
+                rows, f"user_id long, {col} long, op string"), op_col="op")
+            for k, (op, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+            history[m["version"]] = (dict(model), col)
+        elif kind == "delete_dv":
+            lo = rng.randint(0, 50)
+            hi = lo + rng.randint(0, 10)
+            dm = t.delete_where((lo, hi), mode="dv")
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = (dict(model), col)
+        elif kind == "optimize":
+            m = t.optimize(target_files=2)
+            if not m["skipped"]:
+                history[m["version"]] = (dict(model), col)
+        else:
+            renames += 1
+            new = f"value_r{renames}"
+            r = t.rename_column(col, new)
+            col = new
+            history[r["version"]] = (dict(model), col)
+        got = {x["user_id"]: x[col] for x in t.read().collect()}
+        assert got == model, f"head diverged after {kind}"
+
+    assert renames > 0                     # the seed actually renamed
+    for v in t._versions():
+        if v in history:
+            state, name = history[v]
+            df = t.read(version=v)
+            assert name in df.columns
+            got = {x["user_id"]: x[name] for x in df.collect()}
+            assert got == state, f"version {v} diverged"
