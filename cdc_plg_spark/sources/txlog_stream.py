@@ -126,6 +126,22 @@ class TxLogChangesReader(DataSourceStreamReader):
                             if f.name not in ("commit_version",
                                               "change_type")]
             self.pinned_json = StructType(table_fields).json()
+        # the COLUMN MAPPING pinned at the same moment as the schema:
+        # physical parquet names are stable across RENAME COLUMN, so
+        # files from commits made BEFORE a rename translate to the
+        # pinned (current) logical names through the latest mapping —
+        # without this, a pre-rename commit's rows would surface NULL
+        # under the pinned name.  (Mid-stream renames still require a
+        # restart, like all non-additive DDL.)
+        try:
+            from cdc_plg_spark.lakehouse import TxLogTable
+
+            versions = _log_versions(self.log_dir)
+            self.pinned_mapping = (TxLogTable(None, self.table_path)
+                                   .snapshot(versions[-1]).mapping
+                                   if versions else None)
+        except Exception:
+            self.pinned_mapping = None
 
     # ---- driver side: offsets + manifest diff --------------------------
 
@@ -155,7 +171,8 @@ class TxLogChangesReader(DataSourceStreamReader):
                 self.table_path, v, removed, added,
                 self.pinned_json or b.schema_json,
                 b.key_col, self.full_images,
-                mapping=b.mapping,
+                mapping=(self.pinned_mapping if self.pinned_mapping
+                         is not None else b.mapping),
                 dv_old=sorted({k for p in removed
                                for k in a.files[p].get("dv", ())}),
                 dv_new=sorted({k for p in added

@@ -1263,3 +1263,28 @@ def test_random_ops_with_renames_match_dict_model(spark, tdir, alter_seed):
             assert name in df.columns
             got = {x["user_id"]: x[name] for x in df.collect()}
             assert got == state, f"version {v} diverged"
+
+
+def test_stream_translates_pre_rename_commits(spark, tdir):
+    """A stream started AFTER a RENAME must surface rows from commits
+    made BEFORE it under the pinned (current) logical names — physical
+    parquet names are stable, so the pinned mapping translates old
+    files; without that translation the renamed column would read
+    NULL for pre-rename history."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_table(spark, os.path.join(tdir, "t"), n=20, n_files=1)
+    t.merge(src(spark, [(5, -5, "U")]), op_col="op")          # v1 pre-rename
+    t.rename_column("value", "amount")                        # v2 meta only
+    t.merge(spark.createDataFrame([(6, -6, "U")],
+                                  "user_id long, amount long, op string"),
+            op_col="op")                                      # v3 post-rename
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).load()
+         .writeStream.format("memory").queryName("renamed_feed")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["commit_version"], r["user_id"]): r["amount"]
+            for r in spark.sql("SELECT * FROM renamed_feed").collect()}
+    assert rows == {(1, 5): -5, (3, 6): -6}   # v2 emits nothing (meta)
