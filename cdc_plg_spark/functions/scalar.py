@@ -724,3 +724,69 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("unit_floor"),
         F.try_to_number("l_returnflag", F.lit("9")).cast("int")
          .alias("flag_as_int"))
+
+
+@register(
+    "decode_canal_json",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           ROUND(value, 4) AS value,
+           CASE WHEN event_type NOT IN ('signup', 'error')
+                THEN ROUND(value - 1, 4) END AS old_value,
+           epoch_ms(ts) AS commit_ms
+    FROM events
+    """,
+    tags=("cdc",),
+)
+def decode_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-json wire-format decode — TiCDC's actual Kafka output
+    protocol (the reference pushes ordered row changes downstream,
+    README.md:17, serialized as JSON, README.md:75; canal-json is the
+    format its Kafka sink emits).  The query first CONSTRUCTS the
+    canal-json message a TiCDC consumer would receive (type INSERT/
+    UPDATE/DELETE, `es` commit millis, `data` = row image as a
+    string-valued object, `old` = changed columns' prior values on
+    UPDATE — all values stringified, as canal does), then decodes it
+    with one typed `from_json` pass: MAP<STRING,STRING> for the row
+    objects (schema-free, as real consumers must), `element_at` field
+    access, string→numeric casts back to typed columns.  The oracle
+    computes the same result from the raw events, so a lossy
+    stringify, a wrong op mapping, or a dropped `old` image all
+    hash-fail.  One parse per row, JVM-side end to end."""
+    ev = load_table(spark, "events", sf_dir)
+    is_i = F.col("event_type") == "signup"
+    is_d = F.col("event_type") == "error"
+    row_map = F.create_map(
+        F.lit("event_id"), F.col("event_id").cast("string"),
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("string"))
+    old_map = F.create_map(
+        F.lit("value"), (F.col("value") - 1).cast("string"))
+    wire = ev.select(F.to_json(F.struct(
+        F.lit("app").alias("database"),
+        F.lit("events").alias("table"),
+        F.array(F.lit("event_id")).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.when(is_i, "INSERT").when(is_d, "DELETE")
+         .otherwise("UPDATE").alias("type"),
+        F.unix_millis("ts").alias("es"),
+        F.array(row_map).alias("data"),
+        F.when(~(is_i | is_d), F.array(old_map)).alias("old"),
+    )).alias("payload"))
+    schema = ("database STRING, table STRING, pkNames ARRAY<STRING>, "
+              "isDdl BOOLEAN, type STRING, es BIGINT, "
+              "data ARRAY<MAP<STRING,STRING>>, old ARRAY<MAP<STRING,STRING>>")
+    m = wire.select(F.from_json("payload", schema).alias("e"))
+    row = F.element_at(F.col("e.data"), 1)
+    old = F.element_at(F.col("e.old"), 1)
+    return m.select(
+        row["event_id"].cast("bigint").alias("event_id"),
+        row["user_id"].cast("bigint").alias("user_id"),
+        F.when(F.col("e.type") == "INSERT", "I")
+         .when(F.col("e.type") == "DELETE", "D")
+         .otherwise("U").alias("op"),
+        fast_round(row["value"].cast("double"), 4).alias("value"),
+        fast_round(old["value"].cast("double"), 4).alias("old_value"),
+        F.col("e.es").alias("commit_ms"))
