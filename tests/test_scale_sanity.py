@@ -74,6 +74,8 @@ SCALE_QUERIES = (
     "lakehouse_alter_column_lifecycle",  # (r6) rename/drop/re-add must
     #                                 translate correctly however many
     #                                 files the mapping spans
+    "decode_canal_json",            # (r6) wire-protocol encode/decode
+    #                                 round trip at corpus scale
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
