@@ -1170,28 +1170,139 @@ class TxLogTable:
         versions = self._versions()
         keep = versions[-retain_last:]
         reachable: set[str] = set()
-        for v in keep:
-            reachable.update(self.snapshot(v).files)
+        try:
+            for v in keep:
+                reachable.update(self.snapshot(v).files)
+        except ValueError:
+            # a CONCURRENT vacuum truncated the log past one of our
+            # keep versions — its horizon is at or above ours, so the
+            # work is already done; yield instead of crashing (vacuums
+            # must be safe to race, like every other op here)
+            return {"data_files_removed": 0, "horizon": None,
+                    "versions_retained": len(keep), "yielded": True}
         removed = 0
         cutoff = time.time() - min_age_s
         data_root = os.path.join(self.path, "data")
         for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
             subdir = os.path.join(data_root, sub)
-            for fname in os.listdir(subdir):
+            try:
+                fnames = os.listdir(subdir)
+            except FileNotFoundError:
+                continue        # concurrent vacuum removed the dir
+            for fname in fnames:
                 rel = os.path.join("data", sub, fname)
                 full = os.path.join(subdir, fname)
-                if rel not in reachable and os.path.getmtime(full) <= cutoff:
-                    os.unlink(full)
-                    removed += 1
-            if not os.listdir(subdir):
-                os.rmdir(subdir)
+                try:
+                    if (rel not in reachable
+                            and os.path.getmtime(full) <= cutoff):
+                        os.unlink(full)
+                        removed += 1
+                except FileNotFoundError:
+                    pass        # concurrent vacuum got there first
+            try:
+                if not os.listdir(subdir):
+                    os.rmdir(subdir)
+            except OSError:
+                pass            # raced with a writer or another vacuum
         horizon = keep[0]
-        self._write_checkpoint(self.snapshot(horizon))
+        try:
+            self._write_checkpoint(self.snapshot(horizon))
+        except ValueError:
+            return {"data_files_removed": removed, "horizon": None,
+                    "versions_retained": len(keep), "yielded": True}
         for v in versions:
             if v < horizon:
-                os.unlink(os.path.join(self.log_dir, _vname(v)))
+                try:
+                    os.unlink(os.path.join(self.log_dir, _vname(v)))
+                except FileNotFoundError:
+                    pass
         for c in self._checkpoints():
             if c < horizon:
-                os.unlink(os.path.join(self.log_dir, _ckpt_name(c)))
+                try:
+                    os.unlink(os.path.join(self.log_dir, _ckpt_name(c)))
+                except FileNotFoundError:
+                    pass
         return {"data_files_removed": removed, "horizon": horizon,
                 "versions_retained": len(keep)}
+
+    # ------------------------------------------------------------ fsck
+
+    def fsck(self, deep: bool = False) -> list[str]:
+        """Table integrity check — the format's own consistency
+        authority (every production table format ships one).  Pure
+        manifest + directory work; `deep=True` additionally re-reads
+        every live file's parquet FOOTER (metadata-only, ms per file)
+        and proves the manifest stats CONTAIN the actual data — the
+        invariant every pruning consumer relies on.  Returns a list of
+        human-readable findings; empty = healthy.
+
+        Checked invariants:
+        - contiguous version chain (no missing commit files);
+        - every live file exists on disk with the manifested byte size;
+        - per-file stats well-formed (min_key <= max_key, col lo <= hi)
+          and DV keys inside the file's key range, |dv| <= rows;
+        - column-mapping coherence: mapping keys == schema fields,
+          physical names unique, retired names disjoint from live;
+        - deep: footer min/max of the key and every stat column lie
+          INSIDE the manifest's claimed range, and row counts match.
+        """
+        out: list[str] = []
+        versions = self._versions()
+        if not versions:
+            return ["not a TxLog table (no log)"]
+        if versions != list(range(versions[0], versions[-1] + 1)):
+            out.append(f"version chain has holes: {versions}")
+        snap = self.snapshot()
+        fields = StructType.fromJson(json.loads(snap.schema_json)).fields
+        names = [f_.name for f_ in fields]
+        if snap.key_col not in names:
+            out.append(f"key_col {snap.key_col!r} not in schema {names}")
+        if snap.mapping is not None:
+            if set(snap.mapping) != set(names):
+                out.append(
+                    f"mapping keys {sorted(snap.mapping)} != schema "
+                    f"fields {sorted(names)}")
+            phys = list(snap.mapping.values())
+            if len(set(phys)) != len(phys):
+                out.append(f"duplicate physical names: {sorted(phys)}")
+            clash = set(phys) & set(snap.retired)
+            if clash:
+                out.append(f"live physicals also retired: {sorted(clash)}")
+        for rel, s in sorted(snap.files.items()):
+            full = self._abs(rel)
+            if not os.path.exists(full):
+                out.append(f"{rel}: manifested but missing on disk")
+                continue
+            if os.path.getsize(full) != s["bytes"]:
+                out.append(f"{rel}: size {os.path.getsize(full)} != "
+                           f"manifest {s['bytes']}")
+            if s["min_key"] > s["max_key"]:
+                out.append(f"{rel}: min_key > max_key")
+            for c, (lo, hi) in s.get("cols", {}).items():
+                try:
+                    bad = lo is not None and hi is not None and lo > hi
+                except TypeError:
+                    bad = True
+                if bad:
+                    out.append(f"{rel}: col {c} stats lo > hi")
+            dv = s.get("dv", ())
+            if len(dv) > s["rows"]:
+                out.append(f"{rel}: dv larger than file ({len(dv)} > "
+                           f"{s['rows']})")
+            if any(k < s["min_key"] or k > s["max_key"] for k in dv):
+                out.append(f"{rel}: dv key outside file key range")
+            if deep:
+                pkey = snap.phys(snap.key_col)
+                pcols = [pkey, *s.get("cols", {})]
+                lo_f, hi_f, n_rows, _ = _footer_stats(full, pcols)
+                if n_rows != s["rows"]:
+                    out.append(f"{rel}: footer rows {n_rows} != "
+                               f"manifest {s['rows']}")
+                if pkey in lo_f and (lo_f[pkey] < s["min_key"]
+                                     or hi_f[pkey] > s["max_key"]):
+                    out.append(f"{rel}: key data outside manifest range")
+                for c, (lo, hi) in s.get("cols", {}).items():
+                    if c in lo_f and (lo_f[c] < lo or hi_f[c] > hi):
+                        out.append(f"{rel}: col {c} data outside "
+                                   f"manifest range")
+        return out

@@ -1038,6 +1038,8 @@ def test_multiprocess_writer_race(spark, tdir):
     # no dangling manifest entries: every live file exists on disk
     for rel in t.snapshot().files:
         assert os.path.exists(os.path.join(path, rel)), rel
+    # full integrity check incl. footer-vs-manifest stat containment
+    assert t.fsck(deep=True) == []
 
 
 def test_zorder_measured_file_skipping_sf01(spark):
@@ -1288,3 +1290,65 @@ def test_stream_translates_pre_rename_commits(spark, tdir):
     rows = {(r["commit_version"], r["user_id"]): r["amount"]
             for r in spark.sql("SELECT * FROM renamed_feed").collect()}
     assert rows == {(1, 5): -5, (3, 6): -6}   # v2 emits nothing (meta)
+
+
+def test_fsck_healthy_and_detects_corruption(spark, tdir):
+    """fsck(): empty findings on a healthy table (through merges, DV
+    deletes and a rename — deep mode proves manifest-stat containment
+    against real footers), and precise findings for a missing file, a
+    size mismatch, and an incoherent column mapping."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=4)
+    t.merge(src(spark, [(5, -5, "U"), (200, 1, "I")]), op_col="op")
+    t.delete_where((10, 14), mode="dv")
+    t.rename_column("value", "amount")
+    assert t.fsck() == []
+    assert t.fsck(deep=True) == []
+
+    # corruption 1: a manifested file vanishes from disk
+    victim = sorted(t.snapshot().files)[0]
+    vpath = os.path.join(t.path, victim)
+    raw = open(vpath, "rb").read()
+    os.unlink(vpath)
+    assert any("missing on disk" in f for f in t.fsck())
+    # corruption 2: truncated file (size mismatch)
+    with open(vpath, "wb") as f:
+        f.write(raw[:len(raw) // 2])
+    assert any("size" in f for f in t.fsck())
+    with open(vpath, "wb") as f:
+        f.write(raw)
+    assert t.fsck() == []
+
+    # corruption 3: incoherent mapping published by a rogue meta commit
+    snap = t.snapshot()
+    bad = dict(snap.mapping)
+    bad["ghost"] = "value"          # not a schema field + dup physical
+    assert t._try_commit(snap.version + 1, [
+        {"commit": {"op": "ALTER"}},
+        {"meta": {"schema": snap.schema_json, "key_col": snap.key_col,
+                  "column_mapping": bad,
+                  "retired_physical": snap.retired}}])
+    findings = t.fsck()
+    assert any("mapping keys" in f for f in findings)
+    assert any("duplicate physical" in f for f in findings)
+
+
+def test_concurrent_vacuums_race_safely(spark, tdir):
+    """Racing vacuums must be safe like every other op: idempotent
+    unlinks, yield when a concurrent vacuum already truncated past our
+    horizon — never FileNotFoundError/ValueError out of the race.
+    (The multi-process soak runs vacuums concurrently too; this pins
+    the contract deterministically in one process.)"""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    for i in range(8):
+        t.merge(src(spark, [(i, -1, "U")]), op_col="op")
+    before = t.read().orderBy("user_id").collect()
+
+    def vac(_):
+        return TxLogTable(spark, t.path).vacuum(retain_last=2,
+                                                min_age_s=0)
+
+    with ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(vac, range(4)))
+    assert len(results) == 4                       # none raised
+    assert t.read().orderBy("user_id").collect() == before
+    assert t.fsck(deep=True) == []
