@@ -205,6 +205,22 @@ class TxLogTable:
                       and f.endswith(".checkpoint.json"))
 
     def snapshot(self, version: int | None = None) -> Snapshot:
+        # Retry on FileNotFoundError: a CONCURRENT VACUUM may unlink a
+        # log/checkpoint file between our directory listing and the
+        # open() (TOCTOU — observed in the 4-way vacuum race test).
+        # The truncator writes its checkpoint BEFORE unlinking, so a
+        # fresh listing always sees a checkpoint that covers the gap;
+        # re-running the replay from fresh listings is exact.
+        last: Exception | None = None
+        for _ in range(5):
+            try:
+                return self._snapshot_once(version)
+            except FileNotFoundError as e:
+                last = e
+                continue
+        raise last
+
+    def _snapshot_once(self, version: int | None = None) -> Snapshot:
         versions = self._versions()
         if not versions:
             return Snapshot(version=-1)
@@ -346,11 +362,15 @@ class TxLogTable:
     def history(self) -> list[dict]:
         out = []
         for v in self._versions():
-            with open(os.path.join(self.log_dir, _vname(v))) as f:
-                for line in f:
-                    action = json.loads(line)
-                    if "commit" in action:
-                        out.append({"version": v, **action["commit"]})
+            try:
+                with open(os.path.join(self.log_dir, _vname(v))) as f:
+                    lines = f.readlines()
+            except FileNotFoundError:
+                continue    # truncated by a concurrent vacuum mid-walk
+            for line in lines:
+                action = json.loads(line)
+                if "commit" in action:
+                    out.append({"version": v, **action["commit"]})
         return out
 
     # --------------------------------------------------------------- data
