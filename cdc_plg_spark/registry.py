@@ -89,6 +89,13 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # so stale greens rotate back through the driver's budget.
 _TRUSTED_GREEN_MIN_ROUND = 3
 
+# Queries whose IMPLEMENTATION materially changed this round: their old
+# driver-green rows no longer prove the current code, so they re-enter
+# the never-checked bucket.  Clear entries once the driver re-records
+# them.  (r6: sink_kafka went from computed-payload to a file-backed
+# broker ROUND TRIP — same id, new semantics.)
+_FORCE_RECHECK = {"sink_kafka"}
+
 
 def _round_of(path: str) -> int:
     import re
@@ -132,6 +139,8 @@ def _ordered() -> list[Query]:
     rows = _driver_rows()
 
     def bucket(q: Query) -> int:
+        if q.name in _FORCE_RECHECK:
+            return 1
         hit = rows.get(q.name)
         if hit is None:
             return 1
