@@ -43,6 +43,22 @@ public Delta protocol does it:
   columns' physical names are RETIRED so re-adding the logical name
   can never resurrect old bytes (purged at the next OPTIMIZE rewrite).
   The public Delta column-mapping ("name" mode) contract.
+- **Partition columns (hive layout)**: `create(partition_by=[...])`
+  writes data files under hive-style `col=value` directories (Spark's
+  `partitionBy`), records each file's partition values in its
+  add-action, and `read(where_between=...)` on a partition column
+  prunes at the manifest by EXACT value — zero data or footer reads
+  for skipped partitions.  The partition columns live only in the
+  directory names (hive), never in the parquet bytes; readers
+  re-attach them as typed literals per partition group, so every
+  caller still sees the full logical schema.  Values are also
+  self-describing in the path, which is what lets the change feed
+  read files already REMOVED from the manifest.  Partitioning is
+  fixed at create; renaming a partition column is a meta commit like
+  any other (directories keep the stable physical name), dropping one
+  is refused.  NULL/empty partition values are rejected at write time
+  (the hive `__HIVE_DEFAULT_PARTITION__` ambiguity is not worth
+  inheriting).
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -94,9 +110,23 @@ class Snapshot:
     # files, so a later ADD of the same logical name must take a fresh
     # physical name or it would resurrect the dropped data
     retired: list[str] = field(default_factory=list)
+    # hive partition columns, by PHYSICAL name (stable across RENAME
+    # COLUMN — the directory names never change).  None/[] = unpartitioned.
+    partition_by: list[str] | None = None
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
+
+    def logical(self, phys: str) -> str:
+        if not self.mapping:
+            return phys
+        for l_, p in self.mapping.items():
+            if p == phys:
+                return l_
+        return phys
+
+    def logical_partition_by(self) -> list[str]:
+        return [self.logical(p) for p in (self.partition_by or [])]
 
 
 def _footer_stats(path: str, cols: list[str]):
@@ -170,6 +200,44 @@ def _extend_mapping(snap: "Snapshot", new_fields,
     return m
 
 
+# partition-column value types the hive path encoding round-trips
+# exactly (integral and string; floats/timestamps have lossy or
+# locale-shaped renderings — partition on a derived string/int instead)
+_PART_TYPES = ("long", "integer", "short", "byte", "string")
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_path(rel: str) -> dict[str, str]:
+    """Raw `physical name -> string value` from a file's hive-style
+    `k=v` path segments (Spark escapes both with URL %XX encoding)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in rel.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[unquote(k)] = unquote(v)
+    return out
+
+
+def _typed_part(raw: str, type_name: str):
+    return int(raw) if type_name in ("long", "integer",
+                                     "short", "byte") else raw
+
+
+def _fs_path(name: str) -> str:
+    """Filesystem path from Spark's `input_file_name()` value, which
+    is a URI: percent-encoded (a literal `%` in a hive-escaped
+    partition dir comes back as `%25`, a space as `%20`) and
+    scheme-prefixed.  Stripping `file:` without unquoting silently
+    yields a path that matches NOTHING in the manifest."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in name or name.startswith("file:"):
+        return unquote(urlparse(name).path)
+    return name
+
+
 def _vname(v: int) -> str:
     return f"{v:0{_PAD}d}.json"
 
@@ -241,6 +309,7 @@ class TxLogTable:
             snap.key_col = data.get("key_col")
             snap.mapping = data.get("column_mapping")
             snap.retired = data.get("retired_physical", [])
+            snap.partition_by = data.get("partition_by")
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -253,7 +322,9 @@ class TxLogTable:
                         snap.files[a["path"]] = {
                             **{k: a[k] for k in ("rows", "bytes",
                                                  "min_key", "max_key")},
-                            "cols": a.get("cols", {})}
+                            "cols": a.get("cols", {}),
+                            **({"partition": a["partition"]}
+                               if "partition" in a else {})}
                     elif "remove" in action:
                         snap.files.pop(action["remove"]["path"], None)
                     elif "dv" in action:
@@ -276,6 +347,8 @@ class TxLogTable:
                         snap.mapping = m.get("column_mapping", snap.mapping)
                         snap.retired = m.get("retired_physical",
                                              snap.retired)
+                        snap.partition_by = m.get("partition_by",
+                                                  snap.partition_by)
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -315,7 +388,8 @@ class TxLogTable:
                        "schema": snap.schema_json,
                        "key_col": snap.key_col,
                        "column_mapping": snap.mapping,
-                       "retired_physical": snap.retired}, f)
+                       "retired_physical": snap.retired,
+                       "partition_by": snap.partition_by}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def detail(self) -> dict:
@@ -337,6 +411,11 @@ class TxLogTable:
             "schema": snap.schema_json,
             "column_mapping": snap.mapping,
             "retired_physical": snap.retired,
+            "partition_by": snap.logical_partition_by() or None,
+            "num_partitions": (len({tuple(sorted(
+                s.get("partition", {}).items()))
+                for s in snap.files.values()})
+                if snap.partition_by else None),
         }
 
     def version_at(self, ts: float) -> int:
@@ -378,7 +457,8 @@ class TxLogTable:
     def _write_data(self, df: DataFrame, key_col: str,
                     n_files: int | None = None,
                     cluster_expr=None,
-                    mapping: dict[str, str] | None = None) -> list[dict]:
+                    mapping: dict[str, str] | None = None,
+                    partition_cols: list[str] | None = None) -> list[dict]:
         """Write df as parquet under data/<writeid>; return add-actions.
 
         The writer range-partitions on the key so files carry disjoint
@@ -388,6 +468,15 @@ class TxLogTable:
         `cluster_expr` (e.g. a z-value) overrides the key as the
         range-partitioning dimension.
 
+        `partition_cols` (LOGICAL names) adds hive-style `col=value`
+        output layout: the shuffle ranges on (partition cols, key) so
+        each output file lands in one partition dir with a narrow key
+        range, `partitionBy` strips the columns from the parquet bytes
+        (hive convention), and each add-action records its file's
+        typed partition values.  NULL/empty partition values surface
+        as hive's `__HIVE_DEFAULT_PARTITION__` directory — rejected
+        here, before the commit publishes.
+
         `df` and the returned add-action stats always speak LOGICAL
         column names; under column mapping the rename to physical
         parquet names happens here, at the write edge, and the footer
@@ -395,24 +484,33 @@ class TxLogTable:
         write_id = uuid.uuid4().hex
         rel_dir = os.path.join("data", write_id)
         out_dir = os.path.join(self.path, rel_dir)
-        part_col = (cluster_expr if cluster_expr is not None
-                    else F.col(key_col))
+        pl = list(partition_cols or [])
+        part_types = {c: df.schema[c].dataType.typeName() for c in pl}
+        lead = [F.col(c) for c in pl]
         if cluster_expr is not None:
             df = (df.withColumn("_cluster", cluster_expr)
-                    .repartitionByRange(n_files or 8, F.col("_cluster"))
-                    .sortWithinPartitions("_cluster").drop("_cluster"))
+                    .repartitionByRange(n_files or 8, *lead,
+                                        F.col("_cluster"))
+                    .sortWithinPartitions(*pl, "_cluster")
+                    .drop("_cluster"))
         elif n_files and n_files > 0:
-            df = df.repartitionByRange(n_files, part_col)
+            df = df.repartitionByRange(n_files, *lead, F.col(key_col))
         else:
-            df = df.repartitionByRange(part_col)
+            df = df.repartitionByRange(*lead, F.col(key_col))
         if mapping:
             df = df.select(*[F.col(f_.name).alias(
                 mapping.get(f_.name, f_.name))
                 for f_ in df.schema.fields])
             key_col = mapping.get(key_col, key_col)
-        df.write.mode("overwrite").parquet(out_dir)
-        files = sorted(f for f in os.listdir(out_dir)
-                       if f.endswith(".parquet"))
+        phys_parts = [mapping.get(c, c) if mapping else c for c in pl]
+        w = df.write.mode("overwrite")
+        if phys_parts:
+            w = w.partitionBy(*phys_parts)
+        w.parquet(out_dir)
+        files = sorted(
+            os.path.relpath(os.path.join(d, f), out_dir)
+            for d, _, fs in os.walk(out_dir) for f in fs
+            if f.endswith(".parquet"))
         if not files:
             return []  # zero-row write (e.g. MERGE deleted every row)
         # stats come from the parquet FOOTERS the write just produced —
@@ -431,10 +529,25 @@ class TxLogTable:
         stat_types = ("long", "integer", "short", "byte", "double",
                       "float", "string", "boolean")
         stat_cols = [f_.name for f_ in df.schema.fields
-                     if f_.dataType.typeName() in stat_types]
+                     if f_.dataType.typeName() in stat_types
+                     and f_.name not in phys_parts]
+        ptype = {(mapping.get(c, c) if mapping else c): part_types[c]
+                 for c in pl}
         adds = []
         for fname in files:
             rel = os.path.join(rel_dir, fname)
+            part = None
+            if phys_parts:
+                raw = _parse_partition_path(fname)
+                if (set(raw) != set(phys_parts)
+                        or _HIVE_NULL in raw.values()):
+                    raise ValueError(
+                        f"NULL or empty value in partition columns "
+                        f"{pl}: hive directories cannot represent "
+                        f"them unambiguously — filter or default "
+                        f"them before writing (file {rel!r})")
+                part = {p: _typed_part(raw[p], ptype[p])
+                        for p in phys_parts}
             lo, hi, n_rows, nulls = _footer_stats(
                 os.path.join(self.path, rel), stat_cols)
             kn = nulls.get(key_col)
@@ -450,7 +563,7 @@ class TxLogTable:
                 # off) OR unknown null count — one distributed scan
                 # recomputes stats and re-checks key nullability
                 return self._write_stats_fallback(
-                    out_dir, rel_dir, key_col, stat_cols)
+                    out_dir, rel_dir, key_col, stat_cols, ptype)
             adds.append({"add": {
                 "path": rel,
                 "rows": n_rows,
@@ -462,12 +575,16 @@ class TxLogTable:
                 # (read() looks up snap.phys(col))
                 "cols": {c: [lo[c], hi[c]] for c in stat_cols
                          if c != key_col and c in lo},
+                # typed partition values, also keyed by PHYSICAL name
+                # (same rename-stability contract as the stats)
+                **({"partition": part} if part is not None else {}),
             }})
         return adds
 
     def _write_stats_fallback(self, out_dir: str, rel_dir: str,
-                              key_col: str,
-                              stat_cols: list[str]) -> list[dict]:
+                              key_col: str, stat_cols: list[str],
+                              ptype: dict[str, str] | None = None,
+                              ) -> list[dict]:
         """Distributed stats scan — only taken when a footer lacks key
         statistics (foreign writer, stats disabled)."""
         scan = self.spark.read.parquet(out_dir)
@@ -490,7 +607,19 @@ class TxLogTable:
                 raise ValueError(
                     f"NULL values in key column {key_col!r}: filter "
                     f"NULL keys before writing")
-            rel = os.path.join(rel_dir, os.path.basename(r["f"]))
+            full = _fs_path(r["f"])
+            rel = os.path.relpath(full, self.path)
+            part = None
+            if ptype:
+                raw = _parse_partition_path(
+                    os.path.relpath(full, out_dir))
+                if (set(raw) != set(ptype)
+                        or _HIVE_NULL in raw.values()):
+                    raise ValueError(
+                        f"NULL or empty value in partition columns "
+                        f"{sorted(ptype)} (file {rel!r})")
+                part = {p: _typed_part(raw[p], t)
+                        for p, t in ptype.items()}
             adds.append({"add": {
                 "path": rel,
                 "rows": r["rows"],
@@ -500,6 +629,7 @@ class TxLogTable:
                 "cols": {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
                          for c in stat_cols
                          if c != key_col and r[f"_mn_{c}"] is not None},
+                **({"partition": part} if part is not None else {}),
             }})
         return adds
 
@@ -518,20 +648,61 @@ class TxLogTable:
         without paying for it at read time.  Under column mapping the
         scan uses PHYSICAL parquet names and aliases back to logical
         here, so every caller sees logical names only — RENAME COLUMN
-        costs one projection node, zero data movement."""
-        paths = [self._abs(p) for p in sorted(rel_paths)]
-        if not paths:
+        costs one projection node, zero data movement.
+
+        Partitioned tables: the parquet bytes lack the partition
+        columns (hive layout), whose values are self-describing in
+        each file's `k=v` path segments — files are grouped by
+        partition tuple and each group's scan re-attaches the values
+        as typed literals, so callers see the full logical schema.
+        One scan node per DISTINCT partition tuple in the selected
+        set; after manifest pruning that is the partitions the query
+        actually touches, and a full-table scan of a very-high-
+        cardinality partitioning degrades to a wide union — the
+        documented trade of hive layout (pick partition columns of
+        bounded cardinality, as on any hive/Delta/Iceberg table)."""
+        rel_sorted = sorted(rel_paths)
+        if not rel_sorted:
             return self._empty_df(snap)
         schema = StructType.fromJson(json.loads(snap.schema_json))
-        if not snap.mapping:
-            return self.spark.read.schema(schema).parquet(*paths)
         from pyspark.sql.types import StructField
+        pb = snap.partition_by or []
+        file_fields = [f_ for f_ in schema.fields
+                       if snap.phys(f_.name) not in pb]
         phys = StructType([StructField(snap.phys(f_.name), f_.dataType,
                                        f_.nullable)
-                           for f_ in schema.fields])
-        return (self.spark.read.schema(phys).parquet(*paths)
-                .select(*[F.col(snap.phys(f_.name)).alias(f_.name)
-                          for f_ in schema.fields]))
+                           for f_ in file_fields])
+        ftype = {snap.phys(f_.name): f_ for f_ in schema.fields
+                 if snap.phys(f_.name) in pb}
+
+        def scan(paths: list[str]) -> DataFrame:
+            return self.spark.read.schema(phys).parquet(
+                *[self._abs(p) for p in paths])
+
+        if not pb:
+            if not snap.mapping:
+                return scan(rel_sorted)
+            return scan(rel_sorted).select(
+                *[F.col(snap.phys(f_.name)).alias(f_.name)
+                  for f_ in schema.fields])
+        groups: dict[tuple, list[str]] = {}
+        for p in rel_sorted:
+            raw = _parse_partition_path(p)
+            groups.setdefault(
+                tuple(raw.get(c) for c in pb), []).append(p)
+        out = None
+        for tup, paths in sorted(groups.items()):
+            part = scan(paths)
+            for c, raw_v in zip(pb, tup):
+                f_ = ftype[c]
+                v = (None if raw_v is None
+                     else _typed_part(raw_v, f_.dataType.typeName()))
+                part = part.withColumn(c, F.lit(v).cast(f_.dataType))
+            part = part.select(
+                *[F.col(snap.phys(f_.name)).alias(f_.name)
+                  for f_ in schema.fields])
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _key_df(self, snap: Snapshot, keys) -> DataFrame:
         """Tiny DataFrame of key values typed like the table key."""
@@ -590,11 +761,17 @@ class TxLogTable:
         if where_between is not None:
             col, lo, hi = where_between
             pcol = snap.phys(col)   # stats are keyed by physical name
-
-            def _keep(s: dict) -> bool:
-                rng = s.get("cols", {}).get(pcol)
-                return rng is None or (rng[1] >= lo and rng[0] <= hi)
-            files = {p: s for p, s in files.items() if _keep(s)}
+            if pcol in (snap.partition_by or []):
+                # partition column: EXACT per-file value in the
+                # manifest (and self-describing in the path) — the
+                # strongest prune the format has
+                files = {p: s for p, s in files.items()
+                         if lo <= s["partition"][pcol] <= hi}
+            else:
+                def _keep(s: dict) -> bool:
+                    rng = s.get("cols", {}).get(pcol)
+                    return rng is None or (rng[1] >= lo and rng[0] <= hi)
+                files = {p: s for p, s in files.items() if _keep(s)}
         if not files:
             return self._empty_df(snap)
         df = self._read_files_live(snap, files)
@@ -610,7 +787,8 @@ class TxLogTable:
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
-               key_col: str, n_files: int | None = None) -> "TxLogTable":
+               key_col: str, n_files: int | None = None,
+               partition_by: list[str] | None = None) -> "TxLogTable":
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
@@ -620,10 +798,33 @@ class TxLogTable:
                 f"key column {key_col!r} has type {kt}; the commit log "
                 f"stores key stats as JSON, so keys must be integral "
                 f"or string (wrap a timestamp key as unix micros)")
-        adds = t._write_data(df, key_col, n_files)
-        actions = [{"commit": {"op": "CREATE"}},
-                   {"meta": {"schema": df.schema.json(), "key_col": key_col}},
-                   *adds]
+        names = [f_.name for f_ in df.schema.fields]
+        for pc in partition_by or []:
+            if pc not in names:
+                raise ValueError(f"partition column {pc!r} not in "
+                                 f"schema {names}")
+            if pc == key_col:
+                raise ValueError(
+                    f"key column {key_col!r} cannot be a partition "
+                    f"column: per-file key RANGE stats drive merge/"
+                    f"delete pruning, and a partition value is a "
+                    f"single point")
+            pt = df.schema[pc].dataType.typeName()
+            if pt not in _PART_TYPES:
+                raise ValueError(
+                    f"partition column {pc!r} has type {pt}; hive "
+                    f"path encoding round-trips only {_PART_TYPES} — "
+                    f"partition on a derived string/int column "
+                    f"(e.g. date_format(ts, 'yyyy-MM-dd'))")
+        adds = t._write_data(df, key_col, n_files,
+                             partition_cols=list(partition_by or []))
+        meta = {"schema": df.schema.json(), "key_col": key_col}
+        if partition_by:
+            # physical names == logical names at create (mapping is
+            # identity); directories and manifest keys stay on these
+            # stable physical names across any later RENAME COLUMN
+            meta["partition_by"] = list(partition_by)
+        actions = [{"commit": {"op": "CREATE"}}, {"meta": meta}, *adds]
         if not t._try_commit(0, actions):
             raise ConflictError(f"concurrent create at {path}")
         return t
@@ -664,7 +865,8 @@ class TxLogTable:
         write_mapping = (meta[0]["meta"].get("column_mapping", mapping0)
                          if meta else mapping0)
         adds = self._write_data(df, snap.key_col, n_files,
-                                mapping=write_mapping)
+                                mapping=write_mapping,
+                                partition_cols=snap.logical_partition_by())
         while True:
             actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
             if txn is not None:
@@ -743,6 +945,10 @@ class TxLogTable:
                 raise ValueError("drop on non-existent table")
             if name == snap.key_col:
                 raise ValueError("cannot drop the key column")
+            if snap.phys(name) in (snap.partition_by or []):
+                raise ValueError(
+                    f"cannot drop partition column {name!r}: the "
+                    f"table's physical layout is keyed on it")
             fields = StructType.fromJson(json.loads(snap.schema_json)).fields
             names = [f_.name for f_ in fields]
             if name not in names:
@@ -837,7 +1043,8 @@ class TxLogTable:
                     mapping = _extend_mapping(snap, new_fields)
                 snap = Snapshot(snap.version, snap.files, snap.txns,
                                 schema_json, snap.key_col,
-                                mapping=mapping, retired=snap.retired)
+                                mapping=mapping, retired=snap.retired,
+                                partition_by=snap.partition_by)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
             missing = [c for c in cols if c not in s.columns]
@@ -865,8 +1072,9 @@ class TxLogTable:
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
             n_files = max(1, len(touched))
-            adds = self._write_data(merged, key, n_files,
-                                    mapping=snap.mapping)
+            adds = self._write_data(
+                merged, key, n_files, mapping=snap.mapping,
+                partition_cols=snap.logical_partition_by())
             meta_d = {"schema": schema_json, "key_col": key}
             if new_fields and snap.mapping is not None:
                 meta_d["column_mapping"] = snap.mapping
@@ -943,16 +1151,21 @@ class TxLogTable:
                    .collect())   # DV-sized, the deleted-rows backlog
             by_file: dict[str, list] = {}
             for r in hit:
-                rel = os.path.relpath(r["_f"].removeprefix("file://"),
-                                      self.path)
+                rel = os.path.relpath(_fs_path(r["_f"]), self.path)
+                if rel not in snap.files:
+                    raise RuntimeError(
+                        f"dv delete resolved {rel!r} to no manifest "
+                        f"entry — path round-trip bug, refusing a "
+                        f"silent no-op delete")
                 by_file.setdefault(rel, []).append(r[key])
             actions += [{"dv": {"path": p, "keys": sorted(ks)}}
                         for p, ks in sorted(by_file.items())]
         elif straddle:
             kept = (self._read_files_live(snap, straddle)
                     .filter(~F.col(key).between(lo, hi)))
-            adds = self._write_data(kept, key, len(straddle),
-                                    mapping=snap.mapping)
+            adds = self._write_data(
+                kept, key, len(straddle), mapping=snap.mapping,
+                partition_cols=snap.logical_partition_by())
             actions += [{"remove": {"path": p}} for p in straddle]
             actions += adds
         if txn is not None:
@@ -1154,7 +1367,8 @@ class TxLogTable:
                                           .bitwiseAND(F.lit(1)),
                                          2 * i + 1))
         adds = self._write_data(df, snap.key_col, n_out, cluster,
-                                mapping=snap.mapping)
+                                mapping=snap.mapping,
+                                partition_cols=snap.logical_partition_by())
         actions = [{"commit": {"op": "OPTIMIZE",
                                "zorder_by": list(zorder_by or ()),
                                "files_compacted": len(small),
@@ -1288,8 +1502,29 @@ class TxLogTable:
             clash = set(phys) & set(snap.retired)
             if clash:
                 out.append(f"live physicals also retired: {sorted(clash)}")
+        pb = snap.partition_by or []
+        if pb:
+            live_phys = (set(snap.mapping.values()) if snap.mapping
+                         else set(names))
+            ghost = [p for p in pb if p not in live_phys]
+            if ghost:
+                out.append(f"partition columns {ghost} not among live "
+                           f"physical columns")
         for rel, s in sorted(snap.files.items()):
             full = self._abs(rel)
+            if pb:
+                man = s.get("partition")
+                if man is None or set(man) != set(pb):
+                    out.append(f"{rel}: manifest partition values "
+                               f"{man} don't cover {pb}")
+                else:
+                    raw = _parse_partition_path(rel)
+                    for c in pb:
+                        want = str(man[c])
+                        if raw.get(c) != want:
+                            out.append(
+                                f"{rel}: path partition {c}="
+                                f"{raw.get(c)!r} != manifest {want!r}")
             if not os.path.exists(full):
                 out.append(f"{rel}: manifested but missing on disk")
                 continue

@@ -32,6 +32,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from cdc_plg_spark.lakehouse import _parse_partition_path, _typed_part
+
 
 def _log_versions(log_dir: str) -> list[int]:
     if not os.path.isdir(log_dir):
@@ -59,7 +61,8 @@ class CommitPartition(InputPartition):
                  dv_new: list | None = None,
                  dv_grown: list | None = None,
                  grown_files: list[str] | None = None,
-                 mapping: dict | None = None) -> None:
+                 mapping: dict | None = None,
+                 partition_by: list[str] | None = None) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
@@ -80,6 +83,10 @@ class CommitPartition(InputPartition):
         self.dv_new = dv_new or []
         self.dv_grown = dv_grown or []
         self.grown_files = grown_files or []
+        # hive partition columns (PHYSICAL names): the parquet bytes
+        # lack them; each file's values are parsed from its k=v path
+        # segments and re-attached at read
+        self.partition_by = partition_by or []
 
 
 class TxLogChangesSource(DataSource):
@@ -179,7 +186,8 @@ class TxLogChangesReader(DataSourceStreamReader):
                                for k in b.files[p].get("dv", ())}),
                 dv_grown=sorted({k for ks in grown.values()
                                  for k in ks}),
-                grown_files=sorted(grown)))
+                grown_files=sorted(grown),
+                partition_by=b.partition_by))
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
                                        _snapshot(self.table_path,
@@ -204,10 +212,26 @@ class TxLogChangesReader(DataSourceStreamReader):
         key = partition.key_col
         data_cols = [c for c in cols if c != key]
 
+        # hive-partitioned table: map each PHYSICAL partition column to
+        # its logical field type so the path-parsed string values can be
+        # re-attached typed (mirrors TxLogTable._read_files)
+        inv_map = {p: l_ for l_, p in (partition.mapping or {}).items()}
+        ptype = {}
+        if partition.partition_by:
+            by_name = {f.name: f.dataType.typeName() for f in fields}
+            for p in partition.partition_by:
+                ptype[p] = by_name.get(inv_map.get(p, p), "string")
+
         def load(rel_paths) -> "pd.DataFrame":
-            frames = [pq.read_table(
-                os.path.join(partition.table_path, p)).to_pandas()
-                for p in rel_paths]
+            frames = []
+            for p in rel_paths:
+                pdf = pq.read_table(
+                    os.path.join(partition.table_path, p)).to_pandas()
+                for pc in partition.partition_by:
+                    raw = _parse_partition_path(p).get(pc)
+                    pdf[pc] = (None if raw is None
+                               else _typed_part(raw, ptype[pc]))
+                frames.append(pdf)
             if not frames:
                 return pd.DataFrame(columns=cols)
             df = pd.concat(frames, ignore_index=True)
