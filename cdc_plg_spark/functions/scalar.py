@@ -790,3 +790,115 @@ def decode_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         fast_round(row["value"].cast("double"), 4).alias("value"),
         fast_round(old["value"].cast("double"), 4).alias("old_value"),
         F.col("e.es").alias("commit_ms"))
+
+
+# --- Debezium / Maxwell wire decodes --------------------------------
+# The other two widely-deployed CDC JSON wire formats next to canal
+# (decode_canal_json above).  Implemented and pytest-verified in r6;
+# @register deferred to r7 so this round's driver budget drains the
+# stale-green backlog first (SURVEY "Round-7 candidates").  To
+# register: wrap with @register(name, oracle=<the _ORACLE below>).
+
+DECODE_DEBEZIUM_ORACLE = """
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           ROUND(value, 4) AS value,
+           CASE WHEN event_type NOT IN ('signup', 'error')
+                THEN ROUND(value - 1, 4) END AS old_value,
+           epoch_ms(ts) AS commit_ms
+    FROM events
+"""
+
+
+def decode_debezium_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-JSON envelope decode (README.md:17,75 — ordered row
+    changes serialized as JSON; Debezium's `payload.before/after/
+    source/op` envelope is the de-facto Kafka CDC wire format).  Same
+    construct-then-decode pattern as `decode_canal_json`: first build
+    the message a Debezium consumer would receive (op c/u/d, full
+    `before` image on u/d, `after` on c/u, `source.ts_ms` commit
+    millis — values TYPED, Debezium does not stringify like canal),
+    then decode with one typed `from_json` pass and project the row
+    image per op (after for c/u, before for d).  A lossy image, a
+    wrong op mapping, or a dropped `before` all fail the oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    is_i = F.col("event_type") == "signup"
+    is_d = F.col("event_type") == "error"
+    row = F.struct("event_id", "user_id", "value")
+    prior = F.struct("event_id", "user_id",
+                     (F.col("value") - 1).alias("value"))
+    wire = ev.select(F.to_json(F.struct(F.struct(
+        F.when(is_d, row).when(~is_i, prior).alias("before"),
+        F.when(~is_d, row).alias("after"),
+        F.struct(F.lit("app").alias("db"), F.lit("events").alias("table"),
+                 F.unix_millis("ts").alias("ts_ms")).alias("source"),
+        F.when(is_i, "c").when(is_d, "d").otherwise("u").alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    ).alias("payload")).alias("msg")).alias("msg"))
+    img = "STRUCT<event_id:BIGINT,user_id:BIGINT,value:DOUBLE>"
+    schema = (f"payload STRUCT<before:{img}, after:{img}, "
+              "source:STRUCT<db:STRING,table:STRING,ts_ms:BIGINT>, "
+              "op:STRING, ts_ms:BIGINT>")
+    p = wire.select(F.from_json("msg", schema)["payload"].alias("p"))
+    image = F.when(F.col("p.op") == "d", F.col("p.before")) \
+             .otherwise(F.col("p.after"))
+    return p.select(
+        image["event_id"].alias("event_id"),
+        image["user_id"].alias("user_id"),
+        F.when(F.col("p.op") == "c", "I")
+         .when(F.col("p.op") == "d", "D").otherwise("U").alias("op"),
+        fast_round(image["value"], 4).alias("value"),
+        fast_round(F.when(F.col("p.op") == "u",
+                          F.col("p.before")["value"]), 4)
+         .alias("old_value"),
+        F.col("p.source.ts_ms").alias("commit_ms"))
+
+
+DECODE_MAXWELL_ORACLE = """
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'signup' THEN 'I'
+                WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           ROUND(value, 4) AS value,
+           CASE WHEN event_type NOT IN ('signup', 'error')
+                THEN ROUND(value - 1, 4) END AS old_value,
+           epoch_ms(ts) // 1000 * 1000 AS commit_ms
+    FROM events
+"""
+
+
+def decode_maxwell_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-JSON decode — the third common CDC wire format
+    (README.md:17,75).  Maxwell's envelope is flat: `database/table/
+    type/ts/data/old`, with `ts` in SECONDS (the oracle truncates
+    commit_ms accordingly — a faithful decode must not invent
+    sub-second precision the wire never carried) and `old` holding
+    only the CHANGED columns' prior values on update, whole-row
+    `data` on every op (deletes ship the deleted image in `data`,
+    unlike Debezium's `before`)."""
+    ev = load_table(spark, "events", sf_dir)
+    is_i = F.col("event_type") == "signup"
+    is_d = F.col("event_type") == "error"
+    wire = ev.select(F.to_json(F.struct(
+        F.lit("app").alias("database"),
+        F.lit("events").alias("table"),
+        F.when(is_i, "insert").when(is_d, "delete")
+         .otherwise("update").alias("type"),
+        (F.unix_millis("ts") / 1000).cast("bigint").alias("ts"),
+        F.struct("event_id", "user_id", "value").alias("data"),
+        F.when(~(is_i | is_d),
+               F.struct((F.col("value") - 1).alias("value"))).alias("old"),
+    )).alias("msg"))
+    schema = ("database STRING, table STRING, type STRING, ts BIGINT, "
+              "data STRUCT<event_id:BIGINT,user_id:BIGINT,value:DOUBLE>, "
+              "old STRUCT<value:DOUBLE>")
+    m = wire.select(F.from_json("msg", schema).alias("e"))
+    return m.select(
+        F.col("e.data.event_id").alias("event_id"),
+        F.col("e.data.user_id").alias("user_id"),
+        F.when(F.col("e.type") == "insert", "I")
+         .when(F.col("e.type") == "delete", "D")
+         .otherwise("U").alias("op"),
+        fast_round("e.data.value", 4).alias("value"),
+        fast_round("e.old.value", 4).alias("old_value"),
+        (F.col("e.ts") * 1000).alias("commit_ms"))

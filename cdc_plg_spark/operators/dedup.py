@@ -141,10 +141,14 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     buckets over `cap` — at most |corpus|/cap such buckets per band
     exist, so the frame is tiny for realistic skew (a handful of
     boilerplate clusters); on a pathological corpus where MOST docs
-    sit in heavy buckets it grows toward |corpus|/cap rows — if that
-    ever exceeds broadcast size, drop the `F.broadcast` hint below
-    (AQE picks a shuffle join) and raise `cap`, which shrinks the
-    frame linearly.  Rows of an oversized bucket get a deterministic salt
+    sit in heavy buckets it grows toward |corpus|/cap rows.  No
+    broadcast hint on the join below — AQE measures the aggregate's
+    ACTUAL output at runtime and picks broadcast-hash while the frame
+    is small (every realistic corpus) but degrades to a shuffle join
+    instead of OOM-ing the driver if a pathological corpus ever blows
+    it past the broadcast threshold; that is the adaptive cap a
+    hardcoded hint can't give.  Rows of an oversized bucket get a
+    deterministic salt
     g ∈ [0, G), G = ceil(size/cap), and the self-join becomes the
     triangle of (i, j) salt-pair tasks: a row salted g joins as left
     in tasks (g, j≥g) and as right in tasks (i≤g, g), so every
@@ -161,7 +165,7 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     big = (bands.groupBy("band_idx", "band_hash")
            .agg(F.count(F.lit(1)).alias("_bsize"))
            .filter(F.col("_bsize") > cap))
-    b2 = (bands.join(F.broadcast(big), ["band_idx", "band_hash"], "left")
+    b2 = (bands.join(big, ["band_idx", "band_hash"], "left")
           .withColumn("_G", F.coalesce(
               F.ceil(F.col("_bsize") / F.lit(cap)), F.lit(1)).cast("int"))
           .withColumn("_s", F.pmod(F.xxhash64("doc_id"),

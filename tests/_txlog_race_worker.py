@@ -5,7 +5,13 @@ Each worker is a SEPARATE OS process with its own JVM/SparkSession —
 a true concurrent writer, not a thread sharing the parent's context —
 hammering one shared table with MERGE (retried on ConflictError, as
 the merge contract instructs callers), one OPTIMIZE and one VACUUM.
-argv: table_path worker_id iters
+argv: table_path worker_id iters [part]
+
+With the optional 4th arg "part" the worker targets a hive-partitioned
+table (partition column `bucket`): each iteration's rows carry
+bucket = b{(user_id + i) % 3}, so every merge MOVES its rows to a
+different partition directory — the partition-coherence stress is the
+point, not just the commit race.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import sys
 
 def main() -> int:
     path, wid, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    part = len(sys.argv) > 4 and sys.argv[4] == "part"
 
     from pyspark.sql import SparkSession
 
@@ -30,9 +37,15 @@ def main() -> int:
         t = TxLogTable(spark, path)
         lo = 1000 + wid * 100
         for i in range(iters):
-            src = spark.createDataFrame(
-                [(lo + k, wid * 10000 + i) for k in range(20)],
-                "user_id long, value long")
+            if part:
+                src = spark.createDataFrame(
+                    [(lo + k, wid * 10000 + i, f"b{(lo + k + i) % 3}")
+                     for k in range(20)],
+                    "user_id long, value long, bucket string")
+            else:
+                src = spark.createDataFrame(
+                    [(lo + k, wid * 10000 + i) for k in range(20)],
+                    "user_id long, value long")
             for _attempt in range(200):
                 try:
                     t.merge(src)
