@@ -110,18 +110,39 @@ class TxLogChangesSource(DataSource):
         # option fullImages=true: updates emit BOTH images as
         # U_pre/U_post rows (the 4-row-kind Delta-CDF shape) so a
         # downstream incremental computation can retract before-images
+        #
+        # option maxCommitsPerTrigger=N: admission control for
+        # catch-up — cap each planned batch at N commits (default 0 =
+        # unbounded, the availableNow replay the tests pin)
         return TxLogChangesReader(
             self.options["path"],
             self.options.get("fullImages", "false").lower() == "true",
-            pinned_schema=schema)
+            pinned_schema=schema,
+            max_commits=int(self.options.get("maxCommitsPerTrigger", 0)))
 
 
 class TxLogChangesReader(DataSourceStreamReader):
     def __init__(self, table_path: str, full_images: bool = False,
-                 pinned_schema=None) -> None:
+                 pinned_schema=None, max_commits: int = 0) -> None:
         self.table_path = os.path.abspath(table_path)
         self.log_dir = os.path.join(self.table_path, "_txlog")
         self.full_images = full_images
+        # maxCommitsPerTrigger admission control: without it, a stream
+        # STARTED on a table with a deep commit history plans its whole
+        # backlog as ONE micro-batch — the unbounded-catch-up failure
+        # shape at scale.  latestOffset() returns at most `max_commits`
+        # past `_base`, the last COMMITTED offset (initialOffset /
+        # commit()) — NOT the last value latestOffset returned, because
+        # Spark may call latestOffset several times within one planning
+        # cycle (e.g. progress reporting) and the cap must be
+        # idempotent across those calls.  Restart-safe: Spark's
+        # recovery calls commit() on the restored committed batch
+        # (re-seeding the base) and replays an UNCOMMITTED restored
+        # batch from its logged range without consulting latestOffset,
+        # so the cap holds across restarts with no stall and no
+        # replay hole (pinned by the bounded-catchup test).
+        self.max_commits = max_commits
+        self._base: int | None = None
         # the schema Spark pinned when the stream STARTED: commits
         # that widen the table mid-stream must project down to it (a
         # streaming DataFrame's schema is immutable — the honest
@@ -158,15 +179,33 @@ class TxLogChangesReader(DataSourceStreamReader):
         versions = _log_versions(self.log_dir)
         if not versions:
             raise ValueError(f"not a TxLog table: {self.table_path}")
+        self._base = versions[0]
         return {"version": versions[0]}
 
     def latestOffset(self) -> dict:
-        return {"version": _log_versions(self.log_dir)[-1]}
+        versions = _log_versions(self.log_dir)
+        head = versions[-1]
+        if self.max_commits > 0:
+            if self._base is None:
+                # Spark polls latestOffset BEFORE initialOffset on a
+                # fresh start — seed the base with what initialOffset
+                # will return so the very first batch is already capped
+                self._base = versions[0]
+            head = min(head, self._base + self.max_commits)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        # the planned range is ground truth for the admission cap's
+        # base (covers checkpoint restart, where Spark replays the
+        # last uncommitted batch without calling initialOffset)
+        if self._base is None or start["version"] > self._base:
+            self._base = start["version"]
         out = []
+        # adjacent commits share a snapshot: replay each version ONCE
+        # and roll it forward, halving driver-side manifest work on a
+        # catch-up batch spanning many commits
+        a = _snapshot(self.table_path, start["version"])
         for v in range(start["version"] + 1, end["version"] + 1):
-            a = _snapshot(self.table_path, v - 1)
             b = _snapshot(self.table_path, v)
             removed = sorted(set(a.files) - set(b.files))
             added = sorted(set(b.files) - set(a.files))
@@ -188,14 +227,13 @@ class TxLogChangesReader(DataSourceStreamReader):
                                  for k in ks}),
                 grown_files=sorted(grown),
                 partition_by=b.partition_by))
+            a = b
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
-                                       _snapshot(self.table_path,
-                                                 start["version"]
-                                                 ).schema_json, "")]
+                                       a.schema_json, "")]
 
     def commit(self, end: dict) -> None:
-        pass
+        self._base = end["version"]
 
     # ---- executor side: per-commit file diff ---------------------------
 
