@@ -1419,25 +1419,26 @@ class TxLogTable:
         data_root = os.path.join(self.path, "data")
         for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
             subdir = os.path.join(data_root, sub)
-            try:
-                fnames = os.listdir(subdir)
-            except FileNotFoundError:
-                continue        # concurrent vacuum removed the dir
-            for fname in fnames:
-                rel = os.path.join("data", sub, fname)
-                full = os.path.join(subdir, fname)
+            # bottom-up walk: hive-partitioned writes nest files under
+            # k=v directories (arbitrary depth for multi-column
+            # layouts), and emptied partition dirs must go before
+            # their parent write dir can
+            for d, dirnames, fnames in os.walk(subdir, topdown=False):
+                for fname in fnames:
+                    full = os.path.join(d, fname)
+                    rel = os.path.relpath(full, self.path)
+                    try:
+                        if (rel not in reachable
+                                and os.path.getmtime(full) <= cutoff):
+                            os.unlink(full)
+                            removed += 1
+                    except FileNotFoundError:
+                        pass    # concurrent vacuum got there first
                 try:
-                    if (rel not in reachable
-                            and os.path.getmtime(full) <= cutoff):
-                        os.unlink(full)
-                        removed += 1
-                except FileNotFoundError:
-                    pass        # concurrent vacuum got there first
-            try:
-                if not os.listdir(subdir):
-                    os.rmdir(subdir)
-            except OSError:
-                pass            # raced with a writer or another vacuum
+                    if not os.listdir(d):
+                        os.rmdir(d)
+                except OSError:
+                    pass        # raced with a writer or another vacuum
         horizon = keep[0]
         try:
             self._write_checkpoint(self.snapshot(horizon))

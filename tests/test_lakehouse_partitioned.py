@@ -413,3 +413,71 @@ def test_partition_pruning_measured_sf01(spark):
         print(f"partition prune: {scanned}/{total_files} files read")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("pseed", [13, 37])
+def test_random_ops_partitioned_match_dict_model(spark, tdir, pseed):
+    """The randomized dict-model check on a PARTITIONED table: random
+    MERGE (with partition-value moves and a partition value that never
+    existed at create) / COW + DV DELETE / OPTIMIZE / VACUUM
+    interleavings must keep head state == model (value AND partition
+    value per key), every surviving historical version == its recorded
+    model state, and the manifest↔path partition bookkeeping coherent
+    (fsck) after every step."""
+    import random
+
+    rng = random.Random(pseed)
+    t, _ = make_ptable(spark, os.path.join(tdir, "t"), n=40, n_files=4)
+    model = {k: (k * 2, f"c{k % 3}") for k in range(40)}
+    history = {0: dict(model)}
+    horizon = 0
+
+    def check_head():
+        got = {r["user_id"]: (r["value"], r["cat"])
+               for r in t.read().collect()}
+        assert got == model
+        assert t.fsck() == []
+
+    for step in range(10):
+        kind = rng.choices(("merge", "delete", "delete_dv",
+                            "optimize", "vacuum"),
+                           weights=(6, 1, 2, 1, 1))[0]
+        if kind == "merge":
+            keys = rng.sample(range(80), rng.randint(1, 6))
+            rows, ops = [], {}
+            for k in keys:
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                cat = f"c{rng.randint(0, 3)}"   # c3 = post-create value
+                rows.append((k, v, cat, op))
+                ops[k] = (op, v, cat)
+            m = t.merge(psrc(spark, rows), op_col="op")
+            for k, (op, v, cat) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, cat)
+            history[m["version"]] = dict(model)
+        elif kind in ("delete", "delete_dv"):
+            lo = rng.randint(0, 70)
+            hi = lo + rng.randint(0, 20)
+            dm = t.delete_where(
+                (lo, hi), mode="dv" if kind == "delete_dv" else "cow")
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = dict(model)
+        elif kind == "optimize":
+            m = t.optimize(target_files=2)
+            if not m["skipped"]:
+                history[m["version"]] = dict(model)
+        else:
+            vm = t.vacuum(retain_last=3, min_age_s=0)
+            horizon = vm["horizon"]
+        check_head()
+
+    for v in t._versions():
+        if v in history and v >= horizon:
+            got = {r["user_id"]: (r["value"], r["cat"])
+                   for r in t.read(version=v).collect()}
+            assert got == history[v], f"version {v} diverged"
