@@ -59,6 +59,18 @@ public Delta protocol does it:
   is refused.  NULL/empty partition values are rejected at write time
   (the hive `__HIVE_DEFAULT_PARTITION__` ambiguity is not worth
   inheriting).
+- **Per-file key bloom filters (opt-in)**: `create(key_bloom_bits=N)`
+  adds an exact-key skipping tier under the min/max ranges.  Each
+  write runs one column-pruned job over the key column it just wrote;
+  every executor builds its own file's filter (xxhash64 double-hashed,
+  Kirsch–Mitzenmacher) and writes it as a `<file>.bloom` sidecar.
+  MERGE's candidate scan then probes membership on executors, so a
+  source key inside a file's [min,max] but not in the file no longer
+  forces a rewrite — which is exactly what OPTIMIZE ZORDER needs,
+  since z-clustering widens every file's key span until range pruning
+  admits everything.  Fail-open: a missing/foreign sidecar makes the
+  file a candidate; false negatives are impossible, so merge results
+  are bit-identical with blooms on or off.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -113,6 +125,13 @@ class Snapshot:
     # hive partition columns, by PHYSICAL name (stable across RENAME
     # COLUMN — the directory names never change).  None/[] = unpartitioned.
     partition_by: list[str] | None = None
+    # per-file key bloom filters: bits per key (0 = off, fixed at
+    # create).  When on, every data file carries a `<file>.bloom`
+    # sidecar and its add-action records {"m": bits, "k": hashes};
+    # MERGE candidate pruning tests exact-key membership against it,
+    # which keeps COW write amplification bounded even after OPTIMIZE
+    # ZORDER widens the per-file key min/max ranges.
+    bloom_bits: int = 0
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -127,6 +146,30 @@ class Snapshot:
 
     def logical_partition_by(self) -> list[str]:
         return [self.logical(p) for p in (self.partition_by or [])]
+
+
+def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
+    """(m bits, k hashes) for a file of `n_rows` keys.  m is padded to
+    a byte multiple so the sidecar is exactly m/8 bytes; k is the
+    standard optimum  k = bits_per_key * ln 2."""
+    m = max(64, ((n_rows * bits_per_key + 7) // 8) * 8)
+    k = max(1, round(bits_per_key * 0.6931))
+    return m, k
+
+
+def _bloom_positions(h1, h2, k: int, m: int):
+    """Bit positions for each key, double-hashed (Kirsch–Mitzenmacher:
+    pos_j = h1 + j*h2 mod m needs only two base hashes for k probes).
+    h1/h2 are int64 arrays straight from Spark's xxhash64 — reinterpret
+    as uint64 so negative hashes index correctly; uint64 wraparound in
+    the multiply is harmless (it's still a deterministic mix).  Build
+    and probe BOTH call this, so the scheme can never skew."""
+    import numpy as np
+
+    u1 = h1.view(np.uint64)[:, None]
+    u2 = h2.view(np.uint64)[:, None]
+    j = np.arange(k, dtype=np.uint64)[None, :]
+    return ((u1 + j * u2) % np.uint64(m)).astype(np.int64)
 
 
 def _footer_stats(path: str, cols: list[str]):
@@ -310,6 +353,7 @@ class TxLogTable:
             snap.mapping = data.get("column_mapping")
             snap.retired = data.get("retired_physical", [])
             snap.partition_by = data.get("partition_by")
+            snap.bloom_bits = data.get("key_bloom_bits", 0)
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -324,7 +368,9 @@ class TxLogTable:
                                                  "min_key", "max_key")},
                             "cols": a.get("cols", {}),
                             **({"partition": a["partition"]}
-                               if "partition" in a else {})}
+                               if "partition" in a else {}),
+                            **({"bloom": a["bloom"]}
+                               if "bloom" in a else {})}
                     elif "remove" in action:
                         snap.files.pop(action["remove"]["path"], None)
                     elif "dv" in action:
@@ -349,6 +395,8 @@ class TxLogTable:
                                              snap.retired)
                         snap.partition_by = m.get("partition_by",
                                                   snap.partition_by)
+                        snap.bloom_bits = m.get("key_bloom_bits",
+                                                snap.bloom_bits)
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -389,7 +437,8 @@ class TxLogTable:
                        "key_col": snap.key_col,
                        "column_mapping": snap.mapping,
                        "retired_physical": snap.retired,
-                       "partition_by": snap.partition_by}, f)
+                       "partition_by": snap.partition_by,
+                       "key_bloom_bits": snap.bloom_bits}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def detail(self) -> dict:
@@ -412,6 +461,7 @@ class TxLogTable:
             "column_mapping": snap.mapping,
             "retired_physical": snap.retired,
             "partition_by": snap.logical_partition_by() or None,
+            "key_bloom_bits": snap.bloom_bits or None,
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
@@ -458,7 +508,8 @@ class TxLogTable:
                     n_files: int | None = None,
                     cluster_expr=None,
                     mapping: dict[str, str] | None = None,
-                    partition_cols: list[str] | None = None) -> list[dict]:
+                    partition_cols: list[str] | None = None,
+                    bloom_bits: int = 0) -> list[dict]:
         """Write df as parquet under data/<writeid>; return add-actions.
 
         The writer range-partitions on the key so files carry disjoint
@@ -562,8 +613,10 @@ class TxLogTable:
                 # no usable key footer stats (foreign writer / stats
                 # off) OR unknown null count — one distributed scan
                 # recomputes stats and re-checks key nullability
-                return self._write_stats_fallback(
-                    out_dir, rel_dir, key_col, stat_cols, ptype)
+                return self._attach_blooms(
+                    self._write_stats_fallback(
+                        out_dir, rel_dir, key_col, stat_cols, ptype),
+                    out_dir, key_col, bloom_bits)
             adds.append({"add": {
                 "path": rel,
                 "rows": n_rows,
@@ -579,6 +632,64 @@ class TxLogTable:
                 # (same rename-stability contract as the stats)
                 **({"partition": part} if part is not None else {}),
             }})
+        return self._attach_blooms(adds, out_dir, key_col, bloom_bits)
+
+    def _attach_blooms(self, adds: list[dict], out_dir: str,
+                       key_col: str, bloom_bits: int) -> list[dict]:
+        """Build the per-file key bloom sidecars for a fresh write and
+        annotate each add-action with {"m": bits, "k": hashes}.
+
+        Cost model (the reason this is opt-in per table): ONE extra
+        distributed job that reads back ONLY the key column of what was
+        just written (column-pruned parquet scan — on a wide table this
+        is a few percent of the write's bytes), hashes it JVM-side
+        (xxhash64 twice, codegen), and sets bits in numpy per file.
+        Each executor writes its own file's sidecar (`<file>.bloom`,
+        m/8 bytes) via tmp+rename, so a speculative duplicate task is
+        harmless — both produce identical bytes.  Nothing but the
+        manifest-sized (file, m, k) summary reaches the driver.
+
+        Payoff: `_candidate_files` can prune a MERGE's COW rewrite set
+        by exact key membership instead of only [min,max] containment —
+        decisive after OPTIMIZE ZORDER, which deliberately widens key
+        ranges (every z-clustered file admits most keys by range, so
+        range-only pruning degrades to rewrite-everything)."""
+        if bloom_bits <= 0 or not adds:
+            return adds
+        import pandas as pd
+
+        bb = bloom_bits
+
+        def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            import numpy as np
+
+            full = _fs_path(pdf["_f"].iloc[0])
+            m, k = _bloom_params(len(pdf), bb)
+            pos = _bloom_positions(pdf["_h1"].to_numpy(np.int64),
+                                   pdf["_h2"].to_numpy(np.int64),
+                                   k, m).ravel()
+            buf = np.zeros(m // 8, dtype=np.uint8)
+            np.bitwise_or.at(buf, pos >> 3,
+                             (np.uint8(1) << (pos & 7).astype(np.uint8)))
+            tmp = f"{full}.bloom.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(buf.tobytes())
+            os.replace(tmp, full + ".bloom")
+            return pd.DataFrame({"file": [full], "m": [m], "k": [k]})
+
+        rows = (self.spark.read.parquet(out_dir)
+                .select(F.input_file_name().alias("_f"),
+                        F.xxhash64(key_col).alias("_h1"),
+                        F.xxhash64(key_col, F.lit(1)).alias("_h2"))
+                .groupBy("_f")
+                .applyInPandas(_build, "file string, m long, k long")
+                .collect())   # manifest-sized: one row per new file
+        meta = {os.path.relpath(_fs_path(r["file"]), self.path):
+                (r["m"], r["k"]) for r in rows}
+        for a in adds:
+            mk = meta.get(a["add"]["path"])
+            if mk is not None:
+                a["add"]["bloom"] = {"m": mk[0], "k": mk[1]}
         return adds
 
     def _write_stats_fallback(self, out_dir: str, rel_dir: str,
@@ -788,7 +899,8 @@ class TxLogTable:
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                key_col: str, n_files: int | None = None,
-               partition_by: list[str] | None = None) -> "TxLogTable":
+               partition_by: list[str] | None = None,
+               key_bloom_bits: int = 0) -> "TxLogTable":
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
@@ -816,9 +928,18 @@ class TxLogTable:
                     f"path encoding round-trips only {_PART_TYPES} — "
                     f"partition on a derived string/int column "
                     f"(e.g. date_format(ts, 'yyyy-MM-dd'))")
+        if not isinstance(key_bloom_bits, int) or \
+                not 0 <= key_bloom_bits <= 32:
+            raise ValueError(
+                f"key_bloom_bits must be an int in [0, 32] (bits per "
+                f"key; 10 ≈ 1% false-positive rate), got "
+                f"{key_bloom_bits!r}")
         adds = t._write_data(df, key_col, n_files,
-                             partition_cols=list(partition_by or []))
+                             partition_cols=list(partition_by or []),
+                             bloom_bits=key_bloom_bits)
         meta = {"schema": df.schema.json(), "key_col": key_col}
+        if key_bloom_bits:
+            meta["key_bloom_bits"] = key_bloom_bits
         if partition_by:
             # physical names == logical names at create (mapping is
             # identity); directories and manifest keys stay on these
@@ -866,7 +987,8 @@ class TxLogTable:
                          if meta else mapping0)
         adds = self._write_data(df, snap.key_col, n_files,
                                 mapping=write_mapping,
-                                partition_cols=snap.logical_partition_by())
+                                partition_cols=snap.logical_partition_by(),
+                                bloom_bits=snap.bloom_bits)
         while True:
             actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
             if txn is not None:
@@ -972,19 +1094,76 @@ class TxLogTable:
                          key_col: str) -> list[str]:
         """Exact file-level pruning: a file is a rewrite candidate iff
         its [min_key, max_key] contains at least one source key.  One
-        small job — source keys against the broadcast manifest."""
+        small job — source keys against the broadcast manifest.
+
+        Files carrying a key bloom sidecar get a second, exact-key
+        test: a range hit survives only if at least one source key is
+        (maybe-)present in the file's bloom.  False positives cost a
+        harmless extra rewrite; a false negative is impossible (bloom
+        contract), so the candidate set always contains every file a
+        source key truly lives in.  The probe runs ON EXECUTORS,
+        grouped per file — each task reads its own m/8-byte sidecar
+        and tests all keys vectorized; bloom bytes never cross to the
+        driver, so the step scales with the candidate count, not the
+        table."""
         if not snap.files:
             return []
-        stats_rows = [(p, s["min_key"], s["max_key"])
+        if snap.bloom_bits <= 0:
+            stats_rows = [(p, s["min_key"], s["max_key"])
+                          for p, s in snap.files.items()]
+            stats_df = self.spark.createDataFrame(
+                stats_rows, ["_file", "_min_key", "_max_key"])
+            hits = (source.select(F.col(key_col).alias("_k")).distinct()
+                    .join(F.broadcast(stats_df),
+                          F.col("_k").between(F.col("_min_key"),
+                                              F.col("_max_key")))
+                    .select("_file").distinct().collect())
+            return sorted(r["_file"] for r in hits)
+        kt = "long" if isinstance(
+            next(iter(snap.files.values()))["min_key"], int) else "string"
+        stats_rows = [(p, s["min_key"], s["max_key"],
+                       (s.get("bloom") or {}).get("m"),
+                       (s.get("bloom") or {}).get("k"))
                       for p, s in snap.files.items()]
         stats_df = self.spark.createDataFrame(
-            stats_rows, ["_file", "_min_key", "_max_key"])
+            stats_rows, f"_file string, _min_key {kt}, _max_key {kt}, "
+                        f"_bm long, _bk long")
         hits = (source.select(F.col(key_col).alias("_k")).distinct()
                 .join(F.broadcast(stats_df),
                       F.col("_k").between(F.col("_min_key"),
-                                          F.col("_max_key")))
-                .select("_file").distinct().collect())
-        return sorted(r["_file"] for r in hits)
+                                          F.col("_max_key"))))
+        plain = hits.filter(F.col("_bm").isNull()).select("_file")
+        probe_in = (hits.filter(F.col("_bm").isNotNull())
+                    .select("_file", "_bm", "_bk",
+                            F.xxhash64("_k").alias("_h1"),
+                            F.xxhash64("_k", F.lit(1)).alias("_h2")))
+        table_path = self.path
+
+        def _probe(pdf):
+            import numpy as np
+            import pandas as pd
+
+            rel = pdf["_file"].iloc[0]
+            empty = pd.DataFrame({"_file": pd.Series([], dtype=object)})
+            keep = pd.DataFrame({"_file": [rel]})
+            try:
+                with open(os.path.join(table_path, rel) + ".bloom",
+                          "rb") as fh:
+                    buf = np.frombuffer(fh.read(), dtype=np.uint8)
+            except OSError:
+                return keep      # sidecar unreadable → fail OPEN
+            m, k = int(pdf["_bm"].iloc[0]), int(pdf["_bk"].iloc[0])
+            if buf.size != m // 8:
+                return keep      # foreign/corrupt sidecar → fail OPEN
+            pos = _bloom_positions(pdf["_h1"].to_numpy(np.int64),
+                                   pdf["_h2"].to_numpy(np.int64), k, m)
+            bits = (buf[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            return keep if bool(bits.all(axis=1).any()) else empty
+
+        probed = probe_in.groupBy("_file").applyInPandas(
+            _probe, "_file string")
+        got = plain.union(probed).distinct().collect()
+        return sorted(r["_file"] for r in got)
 
     def merge(self, source: DataFrame, op_col: str | None = None,
               txn: tuple[str, int] | None = None,
@@ -1044,7 +1223,8 @@ class TxLogTable:
                 snap = Snapshot(snap.version, snap.files, snap.txns,
                                 schema_json, snap.key_col,
                                 mapping=mapping, retired=snap.retired,
-                                partition_by=snap.partition_by)
+                                partition_by=snap.partition_by,
+                                bloom_bits=snap.bloom_bits)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
             missing = [c for c in cols if c not in s.columns]
@@ -1074,7 +1254,8 @@ class TxLogTable:
             n_files = max(1, len(touched))
             adds = self._write_data(
                 merged, key, n_files, mapping=snap.mapping,
-                partition_cols=snap.logical_partition_by())
+                partition_cols=snap.logical_partition_by(),
+                bloom_bits=snap.bloom_bits)
             meta_d = {"schema": schema_json, "key_col": key}
             if new_fields and snap.mapping is not None:
                 meta_d["column_mapping"] = snap.mapping
@@ -1165,7 +1346,8 @@ class TxLogTable:
                     .filter(~F.col(key).between(lo, hi)))
             adds = self._write_data(
                 kept, key, len(straddle), mapping=snap.mapping,
-                partition_cols=snap.logical_partition_by())
+                partition_cols=snap.logical_partition_by(),
+                bloom_bits=snap.bloom_bits)
             actions += [{"remove": {"path": p}} for p in straddle]
             actions += adds
         if txn is not None:
@@ -1317,9 +1499,12 @@ class TxLogTable:
         OPTIMIZE ZORDER.  Files become tight in BOTH dimensions, so
         the per-column stats (`read(where_between=...)`) prune scans
         filtered on either column at ~sqrt cost instead of a full
-        scan; the trade is that key ranges widen, so MERGE pruning
-        loosens until the next plain OPTIMIZE.  A full-layout rebuild
-        — schedule it like any lakehouse ZORDER job."""
+        scan; the trade is that key ranges widen, so range-based MERGE
+        pruning loosens until the next plain OPTIMIZE — unless the
+        table was created with `key_bloom_bits`, whose exact-key
+        sidecar test keeps MERGE pruning sharp under any layout.  A
+        full-layout rebuild — schedule it like any lakehouse ZORDER
+        job."""
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "files_compacted": 0,
@@ -1368,7 +1553,8 @@ class TxLogTable:
                                          2 * i + 1))
         adds = self._write_data(df, snap.key_col, n_out, cluster,
                                 mapping=snap.mapping,
-                                partition_cols=snap.logical_partition_by())
+                                partition_cols=snap.logical_partition_by(),
+                                bloom_bits=snap.bloom_bits)
         actions = [{"commit": {"op": "OPTIMIZE",
                                "zorder_by": list(zorder_by or ()),
                                "files_compacted": len(small),
@@ -1406,7 +1592,11 @@ class TxLogTable:
         reachable: set[str] = set()
         try:
             for v in keep:
-                reachable.update(self.snapshot(v).files)
+                s = self.snapshot(v)
+                reachable.update(s.files)
+                # a live file's bloom sidecar lives and dies with it
+                reachable.update(p + ".bloom" for p, st in s.files.items()
+                                 if st.get("bloom"))
         except ValueError:
             # a CONCURRENT vacuum truncated the log past one of our
             # keep versions — its horizon is at or above ours, so the
@@ -1541,6 +1731,15 @@ class TxLogTable:
                     bad = True
                 if bad:
                     out.append(f"{rel}: col {c} stats lo > hi")
+            bl = s.get("bloom")
+            if bl is not None:
+                side = full + ".bloom"
+                if not os.path.exists(side):
+                    out.append(f"{rel}: bloom sidecar missing on disk")
+                elif os.path.getsize(side) != bl["m"] // 8:
+                    out.append(
+                        f"{rel}: bloom sidecar {os.path.getsize(side)}B "
+                        f"!= manifest m/8 = {bl['m'] // 8}B")
             dv = s.get("dv", ())
             if len(dv) > s["rows"]:
                 out.append(f"{rel}: dv larger than file ({len(dv)} > "

@@ -1,0 +1,337 @@
+"""Per-file key BLOOM FILTER tests for the TxLog lakehouse format.
+
+Blooms are the exact-key data-skipping tier under MERGE's copy-on-write
+pruning: [min_key, max_key] containment admits a file whenever the
+range overlaps, which after OPTIMIZE ZORDER (key ranges deliberately
+widen) degrades to rewrite-everything; the bloom sidecar restores
+key-membership pruning.  The invariants pinned here:
+
+- a bloom can only REMOVE files that definitely lack every source key
+  (no false negatives ⇒ merge results are bit-identical with blooms
+  on and off, pinned by a randomized equivalence check);
+- sidecars ride the manifest: rewrites re-emit them, checkpoints and
+  replay preserve the add-action annotation, vacuum keeps live
+  sidecars and collects dead ones, fsck flags a missing/truncated one;
+- the probe fails OPEN (unreadable sidecar ⇒ candidate), never closed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import TxLogTable
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_bloom_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def make_btable(spark, path, n=1000, n_files=4, bits=10):
+    df = spark.range(0, n).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"),
+        (F.col("id") % 7).alias("grp"))
+    return TxLogTable.create(spark, path, df, "user_id",
+                             n_files=n_files, key_bloom_bits=bits)
+
+
+def bsrc(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, value long, grp long, op string")
+
+
+def sidecars_on_disk(t):
+    return sorted(
+        os.path.relpath(os.path.join(dp, f), t.path)
+        for dp, _, fs in os.walk(os.path.join(t.path, "data"))
+        for f in fs if f.endswith(".bloom"))
+
+
+def test_create_writes_sidecars_and_manifest_meta(spark, tdir):
+    t = make_btable(spark, os.path.join(tdir, "t"))
+    snap = t.snapshot()
+    assert snap.bloom_bits == 10
+    assert len(snap.files) == 4
+    for p, s in snap.files.items():
+        bl = s["bloom"]
+        assert bl["m"] % 8 == 0 and bl["k"] >= 1
+        side = os.path.join(t.path, p + ".bloom")
+        assert os.path.getsize(side) == bl["m"] // 8
+    assert t.fsck() == []
+    assert t.detail()["key_bloom_bits"] == 10
+
+
+def test_bloom_prunes_merge_after_zorder(spark, tdir):
+    """THE motivating case: ZORDER on two non-key columns widens every
+    file's key range (range pruning admits nearly everything), and the
+    bloom still bounds the COW rewrite set near the true hit count."""
+    t = make_btable(spark, os.path.join(tdir, "t"), n=4000, n_files=8)
+    t.optimize(zorder_by=("value", "grp"), target_files=8)
+    snap = t.snapshot()
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    range_hits = [p for p, s in snap.files.items()
+                  if s["min_key"] <= 5 <= s["max_key"]]
+    cands = t._candidate_files(snap, probe, "user_id")
+    # the z-layout makes most files admit key 5 by range; the bloom
+    # must cut that to (almost exactly) the one file that has it
+    assert len(range_hits) >= 3
+    assert len(cands) <= 2
+    assert set(cands) <= set(range_hits)
+    # and the merge itself stays correct through the pruned path
+    m = t.merge(bsrc(spark, [(5, -1, 0, "U")]), op_col="op")
+    assert m["files_scanned"] == len(cands)
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got[5] == -1 and len(got) == 4000
+
+
+def test_absent_inrange_key_prunes_to_zero_candidates(spark, tdir):
+    """An insert whose key is INSIDE file ranges but in no file (table
+    holds only even keys, probe is odd) should — with ~(1-fpr)^n
+    probability — touch ZERO existing files: range pruning alone can
+    never do this, only the bloom can."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 2).alias("user_id"),
+        F.col("id").alias("value"), (F.col("id") % 7).alias("grp"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "user_id",
+                          n_files=4, key_bloom_bits=10)
+    snap = t.snapshot()
+    probe = spark.createDataFrame([(501,)], "user_id long")
+    range_hits = [p for p, s in snap.files.items()
+                  if s["min_key"] <= 501 <= s["max_key"]]
+    assert len(range_hits) >= 1     # it IS in some file's range
+    assert t._candidate_files(snap, probe, "user_id") == []
+    # and the merge turns it into a pure insert: zero rewrites
+    src = spark.createDataFrame([(501, -1, 0, "I")],
+                                "user_id long, value long, grp long, "
+                                "op string")
+    m = t.merge(src, op_col="op")
+    assert m["files_scanned"] == 0
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got[501] == -1 and len(got) == 1001
+
+
+def test_merge_equivalence_bloom_on_vs_off(spark, tdir):
+    """Randomized: the same op sequence against a bloomed and an
+    unbloomed table must produce identical content at every step —
+    the no-false-negative contract, end to end."""
+    rng = random.Random(71)
+    tb = make_btable(spark, os.path.join(tdir, "b"), n=300, n_files=3)
+    tp = TxLogTable.create(
+        spark, os.path.join(tdir, "p"),
+        spark.range(0, 300).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") * 2).alias("value"),
+            (F.col("id") % 7).alias("grp")),
+        "user_id", n_files=3)
+    for step in range(6):
+        rows = []
+        for k in rng.sample(range(600), rng.randint(1, 8)):
+            op = rng.choice("IUD")
+            rows.append((k, rng.randint(-99, 99), k % 7, op))
+        sdf = bsrc(spark, rows)
+        tb.merge(sdf, op_col="op")
+        tp.merge(sdf, op_col="op")
+        if step == 3:
+            tb.optimize(zorder_by=("value", "grp"), target_files=3)
+            tp.optimize(zorder_by=("value", "grp"), target_files=3)
+        got_b = {r["user_id"]: (r["value"], r["grp"])
+                 for r in tb.read().collect()}
+        got_p = {r["user_id"]: (r["value"], r["grp"])
+                 for r in tp.read().collect()}
+        assert got_b == got_p, f"diverged at step {step}"
+        assert tb.fsck() == []
+
+
+def test_rewrites_and_checkpoint_replay_preserve_blooms(spark, tdir):
+    t = make_btable(spark, os.path.join(tdir, "t"), n=400, n_files=3)
+    t.merge(bsrc(spark, [(1, -1, 1, "U"), (2000, 0, 0, "I")]),
+            op_col="op")
+    t.delete_where((10, 20), mode="cow")
+    t.optimize(target_files=2)
+    snap = t.snapshot()
+    assert all("bloom" in s for s in snap.files.values())
+    # force a checkpoint, then prove replay-from-checkpoint keeps both
+    # the table-level bloom_bits and every per-file annotation
+    t._write_checkpoint(snap)
+    snap2 = t.snapshot(snap.version)
+    assert snap2.bloom_bits == 10
+    assert {p: s.get("bloom") for p, s in snap2.files.items()} \
+        == {p: s.get("bloom") for p, s in snap.files.items()}
+    assert t.fsck() == []
+
+
+def test_vacuum_collects_dead_sidecars_keeps_live(spark, tdir):
+    t = make_btable(spark, os.path.join(tdir, "t"), n=400, n_files=3)
+    t.merge(bsrc(spark, [(1, -1, 1, "U")]), op_col="op")
+    t.optimize(target_files=2)
+    t.vacuum(retain_last=1, min_age_s=0)
+    live = set(t.snapshot().files)
+    disk = set(sidecars_on_disk(t))
+    assert disk == {p + ".bloom" for p in live}
+    assert t.fsck() == []
+
+
+def test_fsck_flags_missing_and_truncated_sidecar(spark, tdir):
+    t = make_btable(spark, os.path.join(tdir, "t"), n=200, n_files=2)
+    snap = t.snapshot()
+    p0, p1 = sorted(snap.files)
+    os.unlink(os.path.join(t.path, p0 + ".bloom"))
+    with open(os.path.join(t.path, p1 + ".bloom"), "ab") as f:
+        f.write(b"\x00")
+    finds = t.fsck()
+    assert any("bloom sidecar missing" in f_ for f_ in finds)
+    assert any("bloom sidecar" in f_ and "m/8" in f_ for f_ in finds)
+
+
+def test_probe_fails_open_on_missing_sidecar(spark, tdir):
+    """A deleted sidecar must widen the candidate set (fail open),
+    never narrow it — merges stay correct, only pruning degrades."""
+    t = make_btable(spark, os.path.join(tdir, "t"), n=200, n_files=2)
+    snap = t.snapshot()
+    for p in snap.files:
+        os.unlink(os.path.join(t.path, p + ".bloom"))
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    range_hits = sorted(p for p, s in snap.files.items()
+                        if s["min_key"] <= 5 <= s["max_key"])
+    assert t._candidate_files(snap, probe, "user_id") == range_hits
+    m = t.merge(bsrc(spark, [(5, -1, 5, "U")]), op_col="op")
+    assert not m["skipped"]
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got[5] == -1
+
+
+def test_string_keys_and_partitioned_table_compose(spark, tdir):
+    """Blooms hash VALUES, so string keys work; and on a hive-
+    partitioned table the sidecar lives inside the k=v directory and
+    survives vacuum's bottom-up walk."""
+    df = spark.range(0, 300).select(
+        F.concat(F.lit("k"), F.format_string("%05d", "id"))
+         .alias("user_id"),
+        (F.col("id") * 2).alias("value"),
+        (F.col("id") % 3).cast("string").alias("cat"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "user_id",
+                          n_files=3, partition_by=["cat"],
+                          key_bloom_bits=12)
+    snap = t.snapshot()
+    assert all("bloom" in s for s in snap.files.values())
+    assert t.fsck() == []
+    probe = spark.createDataFrame([("k00042",)], "user_id string")
+    cands = t._candidate_files(snap, probe, "user_id")
+    assert 1 <= len(cands) <= 2
+    src = spark.createDataFrame([("k00042", -1, "0", "U")],
+                                "user_id string, value long, "
+                                "cat string, op string")
+    t.merge(src, op_col="op")
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got["k00042"] == -1 and len(got) == 300
+    t.vacuum(retain_last=1, min_age_s=0)
+    assert t.fsck() == []
+    assert set(sidecars_on_disk(t)) == \
+        {p + ".bloom" for p in t.snapshot().files}
+
+
+def test_multiprocess_writer_race_bloomed(spark, tdir):
+    """The multi-process MERGE/OPTIMIZE/VACUUM torture on a BLOOMED
+    table: every winning merge also builds sidecars, every losing
+    writer's orphan sidecars must stay invisible, and after the dust
+    settles each live file's sidecar exists with the manifested size
+    (fsck) and content is exactly last-write-wins.  The riskiest new
+    interleaving is vacuum unlinking a dead writer's sidecar while
+    another writer probes it — the probe's fail-open contract absorbs
+    it."""
+    import subprocess
+    import sys as _sys
+
+    path = os.path.join(tdir, "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"))
+    TxLogTable.create(spark, path, df, "user_id", n_files=1,
+                      key_bloom_bits=10)
+    workers, iters = 3, 3
+    script = os.path.join(os.path.dirname(__file__),
+                          "_txlog_race_worker.py")
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [_sys.executable, script, path, str(w), str(iters)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=tdir) for w in range(workers)]
+    for w, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, \
+            f"worker {w} rc={p.returncode}\n{out.decode()[-3000:]}"
+
+    t = TxLogTable(spark, path)
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    expect = {k: k * 2 for k in range(50)}
+    for w in range(workers):
+        for k in range(20):
+            expect[1000 + w * 100 + k] = w * 10000 + iters - 1
+    assert got == expect
+    snap = t.snapshot()
+    assert all("bloom" in s for s in snap.files.values())
+    assert t.fsck(deep=True) == []
+
+
+def test_bloom_measured_write_amplification_sf01(spark):
+    """Measured COW write amplification at sf0.1: after ZORDER on
+    (user_id, value), the 16 files' event_id ranges widen until range
+    pruning admits (nearly) all of them for a 20-key merge — the
+    bloomed table must rewrite at most a quarter of what the
+    range-only table rewrites, with identical post-merge content."""
+    from cdc_plg_spark.catalog import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.1").select(
+        "event_id", "user_id", "value").filter(F.col("value").isNotNull())
+    d = tempfile.mkdtemp(prefix="bloom_sf01_")
+    try:
+        tb = TxLogTable.create(spark, os.path.join(d, "b"), ev,
+                               "event_id", n_files=16, key_bloom_bits=10)
+        tp = TxLogTable.create(spark, os.path.join(d, "p"), ev,
+                               "event_id", n_files=16)
+        for t in (tb, tp):
+            t.optimize(zorder_by=("user_id", "value"), target_files=16)
+        keys = [r["event_id"] for r in
+                ev.select("event_id").orderBy("event_id")
+                  .limit(1000).collect()][::400]    # 3 spread keys
+        src = spark.createDataFrame(
+            [(k, -1, -1.0) for k in keys],
+            "event_id long, user_id long, value double")
+        mb = tb.merge(src)
+        mp = tp.merge(src)
+        # 3 keys live in <= 3 files; range-only pruning must have
+        # degraded (z-layout) while the bloom stays near the true count
+        assert mp["files_scanned"] >= 12            # ranges widened
+        assert mb["files_scanned"] <= 4, \
+            (mb["files_scanned"], mp["files_scanned"])
+        got_b = {r["event_id"]: r["user_id"]
+                 for r in tb.read().collect()}
+        got_p = {r["event_id"]: r["user_id"]
+                 for r in tp.read().collect()}
+        assert got_b == got_p
+        print(f"bloom write-amp: {mp['files_scanned']} -> "
+              f"{mb['files_scanned']} files rewritten")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_bits_validated_at_create(spark, tdir):
+    df = spark.range(3).select(F.col("id").alias("user_id"),
+                               F.col("id").alias("value"))
+    with pytest.raises(ValueError, match="key_bloom_bits"):
+        TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", key_bloom_bits=33)
+    with pytest.raises(ValueError, match="key_bloom_bits"):
+        TxLogTable.create(spark, os.path.join(tdir, "t2"), df,
+                          "user_id", key_bloom_bits=-1)
