@@ -326,6 +326,95 @@ def test_bloom_measured_write_amplification_sf01(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.parametrize("cseed", [5, 23])
+def test_random_ops_partitioned_bloomed_renamed_match_model(
+        spark, tdir, cseed):
+    """ALL the format features stacked — hive partitioning + key
+    blooms + column mapping — under the randomized dict-model check:
+    random MERGE (partition moves, post-create partition values) /
+    COW + DV DELETE / OPTIMIZE (every other one a ZORDER) / VACUUM /
+    RENAME COLUMN interleavings.  Head state must equal the model
+    (value AND partition value per key), fsck must stay clean after
+    every step (which includes sidecar existence/size for every live
+    file), and surviving historical versions must replay exactly.
+    Feature interleavings are where latent bugs live (the partitioned
+    check alone found the vacuum IsADirectoryError)."""
+    rng = random.Random(cseed)
+    df = (spark.range(0, 40)
+          .select(F.col("id").alias("user_id"),
+                  (F.col("id") * 2).alias("value"),
+                  F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+                  .alias("cat")))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "user_id",
+                          n_files=4, partition_by=["cat"],
+                          key_bloom_bits=10)
+    model = {k: (k * 2, f"c{k % 3}") for k in range(40)}
+    history = {0: dict(model)}
+    horizon = 0
+    val_col = "value"           # logical name drifts under renames
+
+    def check_head():
+        got = {r["user_id"]: (r[val_col], r["cat"])
+               for r in t.read().collect()}
+        assert got == model
+        assert t.fsck() == []
+
+    for step in range(10):
+        kind = rng.choices(("merge", "delete_dv", "delete_cow",
+                            "optimize", "vacuum", "rename"),
+                           weights=(5, 2, 1, 2, 1, 1))[0]
+        if kind == "merge":
+            rows, ops = [], {}
+            for k in rng.sample(range(80), rng.randint(1, 6)):
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                cat = f"c{rng.randint(0, 3)}"
+                rows.append((k, v, cat, op))
+                ops[k] = (op, v, cat)
+            sdf = spark.createDataFrame(
+                rows, f"user_id long, {val_col} long, cat string, "
+                      f"op string")
+            m = t.merge(sdf, op_col="op")
+            for k, (op, v, cat) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, cat)
+            history[m["version"]] = dict(model)
+        elif kind in ("delete_dv", "delete_cow"):
+            lo = rng.randint(0, 70)
+            hi = lo + rng.randint(0, 20)
+            dm = t.delete_where((lo, hi),
+                                mode=kind.removeprefix("delete_"))
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = dict(model)
+        elif kind == "optimize":
+            zo = ((val_col, "user_id") if rng.random() < 0.5 else None)
+            m = t.optimize(target_files=2, zorder_by=zo)
+            if not m["skipped"]:
+                history[m["version"]] = dict(model)
+        elif kind == "rename":
+            new = f"value_r{step}"
+            m = t.rename_column(val_col, new)
+            val_col = new
+            history[m["version"]] = dict(model)
+        else:
+            vm = t.vacuum(retain_last=3, min_age_s=0)
+            if vm["horizon"] is not None:
+                horizon = vm["horizon"]
+        check_head()
+
+    # historical replay: versions below a rename replay under the OLD
+    # name; read via the column POSITION instead (schema order stable)
+    for v in t._versions():
+        if v in history and v >= horizon:
+            rows = t.read(version=v).collect()
+            got = {r["user_id"]: (r[1], r["cat"]) for r in rows}
+            assert got == history[v], f"version {v} diverged"
+
+
 def test_bloom_bits_validated_at_create(spark, tdir):
     df = spark.range(3).select(F.col("id").alias("user_id"),
                                F.col("id").alias("value"))
