@@ -415,6 +415,30 @@ def test_random_ops_partitioned_bloomed_renamed_match_model(
             assert got == history[v], f"version {v} diverged"
 
 
+def test_change_stream_over_bloomed_table(spark, tdir):
+    """The streaming change reader replays manifests via the same
+    Snapshot code as batch, so bloom annotations must pass through it
+    transparently — pinned here because the reader's executor-side
+    diff is the one consumer that re-reads commit JSON off-driver."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_btable(spark, os.path.join(tdir, "t"), n=50, n_files=2)
+    t.merge(bsrc(spark, [(1, -1, 1, "U"), (49, 0, 0, "D")]),
+            op_col="op")
+    out = os.path.join(tdir, "out")
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["change_type"], r["user_id"])
+           for r in spark.read.parquet(out)
+                    .filter(F.col("commit_version") == 1).collect()}
+    assert got == {("U", 1), ("D", 49)}
+
+
 def test_bloom_bits_validated_at_create(spark, tdir):
     df = spark.range(3).select(F.col("id").alias("user_id"),
                                F.col("id").alias("value"))
