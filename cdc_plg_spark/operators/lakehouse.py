@@ -633,11 +633,23 @@ def lakehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count / id-sum / value-cents), so incremental addition is
     bit-equal to recomputation regardless of fold order.
 
+    Plan shape: signed deltas are ASSOCIATIVE, so the fold is a UNION
+    of every commit's delta rows under one grouped aggregate — one
+    shuffle total, with map-side partial aggregation compressing each
+    commit's contribution before the exchange.  (The naive form —
+    one full-outer join per commit — re-shuffles the whole MV per
+    commit and grows the plan depth linearly with the commit count;
+    a backlog of 1000 commits would mean 1000 sequential join
+    stages.)  Dropping n_keys == 0 groups at the end is lossless:
+    zero live rows implies every exact measure already folded to 0.
+
     The returned rows ARE the incrementally maintained state; the
     oracle recomputes the same aggregate directly from the final
     global apply, so any maintenance drift (missed retraction, double
     count, wrong image) flips the hash.
     """
+    from functools import reduce
+
     ev = load_table(spark, "events", sf_dir)
     d = tempfile.mkdtemp(prefix="lh_mv_")
     t = TxLogTable.create(
@@ -652,29 +664,24 @@ def lakehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grp = F.pmod(F.col("user_id"), F.lit(16)).cast("long").alias("grp")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    measures = ["n_keys", "id_sum", "cents_sum"]
+    sign = F.when(F.col("change_type").isin("I", "U_post"), F.lit(1)) \
+            .otherwise(F.lit(-1))
 
-    mv = (t.read(version=0)
-           .groupBy(grp)
-           .agg(F.count(F.lit(1)).alias("n_keys"),
-                F.sum("event_id").alias("id_sum"),
-                F.sum(cents).alias("cents_sum")))
+    parts = [t.read(version=0).select(
+        grp, F.lit(1).alias("_n"),
+        F.col("event_id").alias("_id"), cents.alias("_c"))]
     for v in range(1, len(_CUTS)):
-        sign = F.when(F.col("change_type").isin("I", "U_post"), F.lit(1)) \
-                .otherwise(F.lit(-1))
-        delta = (t.table_changes(v - 1, v, full_images=True)
-                  .groupBy(grp)
-                  .agg(F.sum(sign).alias("n_keys"),
-                       F.sum(sign * F.col("event_id")).alias("id_sum"),
-                       F.sum(sign * cents).alias("cents_sum")))
-        mv = (mv.alias("m").join(delta.alias("d"), on="grp",
-                                 how="full_outer")
-                .select(F.col("grp"), *[
-                    (F.coalesce(F.col(f"m.{c}"), F.lit(0))
-                     + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
-                    for c in measures])
-                .filter(F.col("n_keys") > 0))
-    return mv
+        parts.append(
+            t.table_changes(v - 1, v, full_images=True)
+             .select(grp, sign.alias("_n"),
+                     (sign * F.col("event_id")).alias("_id"),
+                     (sign * cents).alias("_c")))
+    return (reduce(lambda a, b: a.unionByName(b), parts)
+            .groupBy("grp")
+            .agg(F.sum("_n").alias("n_keys"),
+                 F.sum("_id").alias("id_sum"),
+                 F.sum("_c").alias("cents_sum"))
+            .filter(F.col("n_keys") > 0))
 
 
 @register(
