@@ -1760,4 +1760,40 @@ class TxLogTable:
                     if c in lo_f and (lo_f[c] < lo or hi_f[c] > hi):
                         out.append(f"{rel}: col {c} data outside "
                                    f"manifest range")
+                if bl is not None and os.path.exists(side) \
+                        and os.path.getsize(side) == bl["m"] // 8:
+                    # bloom COMPLETENESS: every key physically in the
+                    # file must probe present — a false negative here
+                    # means MERGE would silently skip rewriting this
+                    # file and lose the update.  (Executors hash with
+                    # xxhash64; this check reuses the same JVM
+                    # function through a tiny local job, so the probe
+                    # can never drift from the build.)
+                    import numpy as np
+                    import pyarrow.parquet as pq
+
+                    with open(side, "rb") as fh:
+                        buf = np.frombuffer(fh.read(), dtype=np.uint8)
+                    keys = pq.read_table(
+                        full, columns=[pkey])[pkey].to_pylist()
+                    kt = ("string" if isinstance(keys[0], str)
+                          else "long")
+                    hdf = (self.spark.createDataFrame(
+                        [(k,) for k in keys], f"_k {kt}")
+                        .select(F.xxhash64("_k").alias("h1"),
+                                F.xxhash64("_k", F.lit(1)).alias("h2"))
+                        .toPandas())
+                    pos = _bloom_positions(
+                        hdf["h1"].to_numpy(np.int64),
+                        hdf["h2"].to_numpy(np.int64),
+                        bl["k"], bl["m"])
+                    hit = ((buf[pos >> 3]
+                            >> (pos & 7).astype(np.uint8)) & 1)
+                    misses = int((~hit.all(axis=1)).sum())
+                    if misses:
+                        out.append(
+                            f"{rel}: bloom INCOMPLETE — {misses} of "
+                            f"{len(keys)} keys probe absent (stale or "
+                            f"corrupt sidecar; merges would lose "
+                            f"updates)")
         return out

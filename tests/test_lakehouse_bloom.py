@@ -193,6 +193,22 @@ def test_fsck_flags_missing_and_truncated_sidecar(spark, tdir):
     assert any("bloom sidecar" in f_ and "m/8" in f_ for f_ in finds)
 
 
+def test_deep_fsck_catches_incomplete_bloom(spark, tdir):
+    """fsck(deep=True) must prove bloom COMPLETENESS: zeroing bits in
+    a sidecar creates exactly the silent-lost-update hazard (a key in
+    the file probing absent), and only the deep check can see it —
+    size and existence stay valid."""
+    t = make_btable(spark, os.path.join(tdir, "t"), n=200, n_files=2)
+    assert t.fsck(deep=True) == []
+    p0 = sorted(t.snapshot().files)[0]
+    side = os.path.join(t.path, p0 + ".bloom")
+    with open(side, "r+b") as f:
+        f.write(b"\x00" * (os.path.getsize(side) // 2))
+    assert t.fsck() == []                   # shallow can't see it
+    finds = t.fsck(deep=True)
+    assert any("bloom INCOMPLETE" in f_ for f_ in finds), finds
+
+
 def test_probe_fails_open_on_missing_sidecar(spark, tdir):
     """A deleted sidecar must widen the candidate set (fail open),
     never narrow it — merges stay correct, only pruning degrades."""
@@ -235,7 +251,7 @@ def test_string_keys_and_partitioned_table_compose(spark, tdir):
     got = {r["user_id"]: r["value"] for r in t.read().collect()}
     assert got["k00042"] == -1 and len(got) == 300
     t.vacuum(retain_last=1, min_age_s=0)
-    assert t.fsck() == []
+    assert t.fsck(deep=True) == []      # incl. string-key completeness
     assert set(sidecars_on_disk(t)) == \
         {p + ".bloom" for p in t.snapshot().files}
 
