@@ -68,9 +68,11 @@ public Delta protocol does it:
   source key inside a file's [min,max] but not in the file no longer
   forces a rewrite — which is exactly what OPTIMIZE ZORDER needs,
   since z-clustering widens every file's key span until range pruning
-  admits everything.  Fail-open: a missing/foreign sidecar makes the
-  file a candidate; false negatives are impossible, so merge results
-  are bit-identical with blooms on or off.
+  admits everything.  Point reads (`read(key_between=(k, k))`) take
+  the same probe, so a key lookup touches ~one file instead of every
+  range-overlapping one.  Fail-open: a missing/foreign sidecar makes
+  the file a candidate; false negatives are impossible, so merge
+  results are bit-identical with blooms on or off.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -869,6 +871,18 @@ class TxLogTable:
             lo, hi = key_between
             files = {p: s for p, s in files.items()
                      if s["max_key"] >= lo and s["min_key"] <= hi}
+            if lo == hi and snap.bloom_bits > 0 and files:
+                # POINT lookup on a bloomed table: range stats leave
+                # every overlapping file; the sidecar probe leaves
+                # (almost exactly) the one file holding the key — the
+                # CDC read-your-write pattern.  One tiny job (same
+                # probe as MERGE pruning); ranges (lo < hi) can't use
+                # blooms, which only answer membership.
+                from dataclasses import replace
+                hits = self._candidate_files(
+                    replace(snap, files=files),
+                    self._key_df(snap, [lo]), snap.key_col)
+                files = {p: files[p] for p in hits}
         if where_between is not None:
             col, lo, hi = where_between
             pcol = snap.phys(col)   # stats are keyed by physical name
@@ -878,6 +892,12 @@ class TxLogTable:
                 # strongest prune the format has
                 files = {p: s for p, s in files.items()
                          if lo <= s["partition"][pcol] <= hi}
+            elif pcol == snap.phys(snap.key_col):
+                # key column: its stats live in min_key/max_key, not
+                # `cols` — without this, where_between on the key
+                # silently skipped nothing
+                files = {p: s for p, s in files.items()
+                         if s["max_key"] >= lo and s["min_key"] <= hi}
             else:
                 def _keep(s: dict) -> bool:
                     rng = s.get("cols", {}).get(pcol)
@@ -1483,7 +1503,7 @@ class TxLogTable:
 
     def optimize(self, small_bytes: int = 32 << 20,
                  target_files: int | None = None,
-                 zorder_by: tuple[str, str] | None = None,
+                 zorder_by: tuple[str, ...] | None = None,
                  txn: tuple[str, int] | None = None) -> dict:
         """OPTIMIZE: bin-pack small files into range-clustered big ones
         — the compaction a streaming merge sink needs, since every
@@ -1494,9 +1514,12 @@ class TxLogTable:
         re-optimization cost tracks the small-file backlog, not table
         size.
 
-        `zorder_by=(colA, colB)` rewrites ALL live files clustered on
-        the Morton interleave of the two columns' normalized bits —
-        OPTIMIZE ZORDER.  Files become tight in BOTH dimensions, so
+        `zorder_by=(colA, colB, ...)` rewrites ALL live files
+        clustered on the Morton interleave of the N columns'
+        normalized bits — OPTIMIZE ZORDER (2–7 columns; each gets
+        `_Z_BITS` bits of the 64-bit z-value, so resolution per
+        dimension drops as N grows — the standard z-order trade).
+        Files become tight in EVERY listed dimension, so
         the per-column stats (`read(where_between=...)`) prune scans
         filtered on either column at ~sqrt cost instead of a full
         scan; the trade is that key ranges widen, so range-based MERGE
@@ -1530,10 +1553,15 @@ class TxLogTable:
         cluster = None
         if zorder_by is not None:
             from cdc_plg_spark.operators.maintenance import _Z_BITS
-            ca, cb = zorder_by
+            zcols = list(zorder_by)
+            if not 2 <= len(zcols) <= 7:
+                raise ValueError(
+                    f"zorder_by takes 2-7 columns ({_Z_BITS} bits "
+                    f"each in the 64-bit z-value), got {zcols}")
             hi = (1 << _Z_BITS) - 1
-            b = df.agg(F.min(ca).alias("_alo"), F.max(ca).alias("_ahi"),
-                       F.min(cb).alias("_blo"), F.max(cb).alias("_bhi")
+            b = df.agg(*[f_ for c in zcols
+                         for f_ in (F.min(c).alias(f"_lo_{c}"),
+                                    F.max(c).alias(f"_hi_{c}"))]
                        ).collect()[0]   # 1 row: normalization bounds
 
             def norm(c, lo, h_):
@@ -1541,16 +1569,15 @@ class TxLogTable:
                 return (F.floor(hi * (F.col(c) - F.lit(lo)) / F.lit(span))
                         .cast("long"))
 
-            nx = norm(ca, b["_alo"], b["_ahi"])
-            ny = norm(cb, b["_blo"], b["_bhi"])
+            norms = [norm(c, b[f"_lo_{c}"], b[f"_hi_{c}"])
+                     for c in zcols]
+            n = len(norms)
             cluster = F.lit(0)   # Morton interleave, pure Column algebra
             for i in range(_Z_BITS):
-                cluster = (cluster
-                           + F.shiftleft(F.shiftright(nx, i)
-                                          .bitwiseAND(F.lit(1)), 2 * i)
-                           + F.shiftleft(F.shiftright(ny, i)
-                                          .bitwiseAND(F.lit(1)),
-                                         2 * i + 1))
+                for j, nx in enumerate(norms):
+                    cluster = cluster + F.shiftleft(
+                        F.shiftright(nx, i).bitwiseAND(F.lit(1)),
+                        n * i + j)
         adds = self._write_data(df, snap.key_col, n_out, cluster,
                                 mapping=snap.mapping,
                                 partition_cols=snap.logical_partition_by(),

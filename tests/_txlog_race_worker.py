@@ -16,7 +16,9 @@ point, not just the commit race.
 
 from __future__ import annotations
 
+import random
 import sys
+import time
 
 
 def main() -> int:
@@ -51,6 +53,12 @@ def main() -> int:
                     t.merge(src)
                     break
                 except ConflictError:
+                    # jittered backoff: on an oversubscribed host the
+                    # three workers otherwise livelock re-reading and
+                    # re-losing the same version slot until the retry
+                    # budget drains (observed as a contention-only
+                    # flake when the suite shares CPUs with other jobs)
+                    time.sleep(random.random() * min(0.05 * _attempt, 0.5))
                     continue
             else:
                 print(f"worker {wid}: merge {i} never committed",

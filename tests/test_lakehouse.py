@@ -620,6 +620,35 @@ def test_optimize_zorder_improves_nonkey_skipping(spark, tdir):
     assert sorted(r["user_id"] for r in post.collect()) == expect
 
 
+def test_optimize_zorder_three_columns(spark, tdir):
+    """N-column ZORDER: with three decorrelated columns interleaved,
+    a narrow predicate on EACH of them must prune files that the
+    key-range layout scanned in full — and content stays identical.
+    Resolution per dimension drops vs 2-col (the z-order trade), so
+    the skip threshold is looser."""
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("user_id"),
+        ((F.col("id") * 2654435761) % 4096).alias("value"),
+        ((F.col("id") * 40503) % 4096).alias("w"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=16)
+    for c in ("value", "w"):
+        assert len(t.read(where_between=(c, 0, 255)).inputFiles()) >= 12
+    before = t.read().orderBy("user_id").collect()
+    m = t.optimize(zorder_by=("user_id", "value", "w"), target_files=16)
+    assert not m["skipped"]
+    assert t.read().orderBy("user_id").collect() == before
+    for c in ("user_id", "value", "w"):
+        post = t.read(where_between=(c, 0, 255))
+        assert len(post.inputFiles()) <= 10, c
+        expect = sorted(r["user_id"] for r in
+                        t.read().filter(F.col(c).between(0, 255))
+                        .collect())
+        assert sorted(r["user_id"] for r in post.collect()) == expect
+    with pytest.raises(ValueError, match="zorder_by takes"):
+        t.optimize(zorder_by=("user_id",))
+
+
 def test_concurrent_dv_deletes_race_merges(spark, tdir):
     """DV deletes and merges racing over the SAME file (disjoint keys)
     must serialize through the conflict rules: a merge that read a

@@ -455,6 +455,35 @@ def test_change_stream_over_bloomed_table(spark, tdir):
     assert got == {("U", 1), ("D", 49)}
 
 
+def test_point_read_prunes_via_bloom(spark, tdir):
+    """read(key_between=(k, k)) on a bloomed z-ordered table must
+    touch (almost exactly) the one file holding k — and an absent
+    in-range key reads ZERO files — where range stats alone admit
+    most of the table."""
+    t = make_btable(spark, os.path.join(tdir, "t"), n=2000, n_files=8)
+    t.optimize(zorder_by=("value", "grp"), target_files=8)
+    snap = t.snapshot()
+    range_hits = [p for p, s in snap.files.items()
+                  if s["min_key"] <= 7 <= s["max_key"]]
+    assert len(range_hits) >= 3       # z-layout widened key ranges
+    hit = t.read(key_between=(7, 7))
+    assert len(hit.inputFiles()) <= 2
+    assert [r["user_id"] for r in hit.collect()] == [7]
+    # absent key: present by range in several files, in none by bloom
+    miss = t.read(key_between=(100_000 + 1, 100_000 + 1))
+    assert miss.count() == 0
+    df2 = spark.range(0, 100).select(
+        (F.col("id") * 2).alias("user_id"),
+        F.col("id").alias("value"), (F.col("id") % 7).alias("grp"))
+    t2 = TxLogTable.create(spark, os.path.join(tdir, "t2"), df2,
+                           "user_id", n_files=2, key_bloom_bits=10)
+    odd = t2.read(key_between=(51, 51))
+    assert odd.inputFiles() == [] and odd.count() == 0
+    # ranges keep the plain path: lo < hi never consults the bloom
+    rng = t2.read(key_between=(50, 52))
+    assert rng.count() == 2
+
+
 def test_bloom_bits_validated_at_create(spark, tdir):
     df = spark.range(3).select(F.col("id").alias("user_id"),
                                F.col("id").alias("value"))
