@@ -73,6 +73,15 @@ public Delta protocol does it:
   range-overlapping one.  Fail-open: a missing/foreign sidecar makes
   the file a candidate; false negatives are impossible, so merge
   results are bit-identical with blooms on or off.
+- **CHECK constraints**: `create(checks={"name": "expr"})` /
+  `add_check` / `drop_check`.  Enforced against the parquet a write
+  just LANDED (column-pruned read-back — the merge join never runs
+  twice), BEFORE the commit publishes; a violation deletes the landed
+  files and raises, so the table never holds a bad row and the
+  version never advances.  SQL semantics (TRUE or NULL passes);
+  `add_check` validates the whole existing table first; renaming or
+  dropping a constrained column is refused until its constraints are
+  dropped — the public Delta CHECK-constraint contract.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -108,6 +117,12 @@ class ConflictError(RuntimeError):
     """A concurrent commit invalidated this writer's read snapshot."""
 
 
+class CheckViolation(ValueError):
+    """A write produced rows violating a table CHECK constraint.  The
+    commit was never published; the rejected files are orphans until
+    vacuum."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -134,6 +149,11 @@ class Snapshot:
     # which keeps COW write amplification bounded even after OPTIMIZE
     # ZORDER widens the per-file key min/max ranges.
     bloom_bits: int = 0
+    # CHECK constraints: name -> SQL boolean expression over LOGICAL
+    # column names, validated against the landed parquet BEFORE a
+    # data-changing commit publishes (violations abort; the orphaned
+    # files are vacuum fodder, never table state).
+    checks: dict[str, str] = field(default_factory=dict)
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -148,6 +168,17 @@ class Snapshot:
 
     def logical_partition_by(self) -> list[str]:
         return [self.logical(p) for p in (self.partition_by or [])]
+
+
+def _checks_referencing(checks: dict[str, str], col: str) -> list[str]:
+    """Constraint names whose expression mentions `col` as a word —
+    conservative (a string literal containing the name also matches),
+    which errs toward refusing a rename/drop that would orphan a
+    constraint, never toward allowing one."""
+    import re
+
+    pat = re.compile(rf"(?<![\w.`]){re.escape(col)}(?![\w(])")
+    return sorted(n for n, e in checks.items() if pat.search(e))
 
 
 def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
@@ -356,6 +387,7 @@ class TxLogTable:
             snap.retired = data.get("retired_physical", [])
             snap.partition_by = data.get("partition_by")
             snap.bloom_bits = data.get("key_bloom_bits", 0)
+            snap.checks = data.get("checks", {})
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -399,6 +431,7 @@ class TxLogTable:
                                                   snap.partition_by)
                         snap.bloom_bits = m.get("key_bloom_bits",
                                                 snap.bloom_bits)
+                        snap.checks = m.get("checks", snap.checks)
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -440,7 +473,8 @@ class TxLogTable:
                        "column_mapping": snap.mapping,
                        "retired_physical": snap.retired,
                        "partition_by": snap.partition_by,
-                       "key_bloom_bits": snap.bloom_bits}, f)
+                       "key_bloom_bits": snap.bloom_bits,
+                       "checks": snap.checks}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def detail(self) -> dict:
@@ -464,6 +498,7 @@ class TxLogTable:
             "retired_physical": snap.retired,
             "partition_by": snap.logical_partition_by() or None,
             "key_bloom_bits": snap.bloom_bits or None,
+            "checks": snap.checks or None,
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
@@ -511,7 +546,8 @@ class TxLogTable:
                     cluster_expr=None,
                     mapping: dict[str, str] | None = None,
                     partition_cols: list[str] | None = None,
-                    bloom_bits: int = 0) -> list[dict]:
+                    bloom_bits: int = 0,
+                    checks: dict[str, str] | None = None) -> list[dict]:
         """Write df as parquet under data/<writeid>; return add-actions.
 
         The writer range-partitions on the key so files carry disjoint
@@ -566,6 +602,8 @@ class TxLogTable:
             if f.endswith(".parquet"))
         if not files:
             return []  # zero-row write (e.g. MERGE deleted every row)
+        if checks:
+            self._enforce_checks(out_dir, df.schema, mapping, checks)
         # stats come from the parquet FOOTERS the write just produced —
         # metadata-only, no second data pass over what was written (at
         # 100 TB a stats re-scan would double every write).  The key's
@@ -635,6 +673,44 @@ class TxLogTable:
                 **({"partition": part} if part is not None else {}),
             }})
         return self._attach_blooms(adds, out_dir, key_col, bloom_bits)
+
+    def _enforce_checks(self, out_dir: str, phys_schema,
+                        mapping: dict[str, str] | None,
+                        checks: dict[str, str]) -> None:
+        """Validate CHECK constraints against the parquet a write just
+        LANDED, before its commit publishes.  Reading back the landed
+        bytes (column-pruned to the referenced columns by Catalyst)
+        instead of re-evaluating the writing plan means the expensive
+        part of a MERGE — the join — never runs twice; a violation
+        deletes the landed files and raises, so the table never holds
+        a bad row and exactly-once is preserved (no commit, no state).
+
+        SQL CHECK semantics: a constraint passes when its expression
+        is TRUE or NULL; only IS FALSE violates.  Expressions speak
+        LOGICAL column names (the scan aliases physical names back,
+        and the explicit schema makes the hive partition columns come
+        back with their declared types, not inferred ones)."""
+        from functools import reduce
+
+        inv = {v: k for k, v in (mapping or {}).items()}
+        scan = (self.spark.read.schema(phys_schema).parquet(out_dir)
+                .select(*[F.col(f_.name).alias(inv.get(f_.name, f_.name))
+                          for f_ in phys_schema.fields]))
+        viol = reduce(lambda a, b: a | b,
+                      [F.expr(e).eqNullSafe(F.lit(False))
+                       for e in checks.values()])
+        bad = (scan.filter(viol)
+               .select(F.to_json(F.struct(*scan.columns)).alias("_row"),
+                       *[F.expr(e).alias(f"_c_{i}")
+                         for i, e in enumerate(checks.values())])
+               .limit(1).collect())
+        if bad:
+            failed = [n for i, n in enumerate(checks)
+                      if bad[0][f"_c_{i}"] is False]
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise CheckViolation(
+                f"CHECK constraint(s) {failed} violated, e.g. by row "
+                f"{bad[0]['_row']}; write aborted, nothing committed")
 
     def _attach_blooms(self, adds: list[dict], out_dir: str,
                        key_col: str, bloom_bits: int) -> list[dict]:
@@ -920,7 +996,8 @@ class TxLogTable:
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
                key_col: str, n_files: int | None = None,
                partition_by: list[str] | None = None,
-               key_bloom_bits: int = 0) -> "TxLogTable":
+               key_bloom_bits: int = 0,
+               checks: dict[str, str] | None = None) -> "TxLogTable":
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
@@ -954,12 +1031,21 @@ class TxLogTable:
                 f"key_bloom_bits must be an int in [0, 32] (bits per "
                 f"key; 10 ≈ 1% false-positive rate), got "
                 f"{key_bloom_bits!r}")
+        checks = dict(checks or {})
+        for cn, ce in checks.items():
+            if not cn.isidentifier():
+                raise ValueError(f"constraint name {cn!r} must be an "
+                                 f"identifier")
+            df.filter(F.expr(ce))   # parse/resolve now, fail at create
         adds = t._write_data(df, key_col, n_files,
                              partition_cols=list(partition_by or []),
-                             bloom_bits=key_bloom_bits)
+                             bloom_bits=key_bloom_bits,
+                             checks=checks)
         meta = {"schema": df.schema.json(), "key_col": key_col}
         if key_bloom_bits:
             meta["key_bloom_bits"] = key_bloom_bits
+        if checks:
+            meta["checks"] = checks
         if partition_by:
             # physical names == logical names at create (mapping is
             # identity); directories and manifest keys stay on these
@@ -1008,7 +1094,8 @@ class TxLogTable:
         adds = self._write_data(df, snap.key_col, n_files,
                                 mapping=write_mapping,
                                 partition_cols=snap.logical_partition_by(),
-                                bloom_bits=snap.bloom_bits)
+                                bloom_bits=snap.bloom_bits,
+                                checks=snap.checks)
         while True:
             actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
             if txn is not None:
@@ -1054,6 +1141,11 @@ class TxLogTable:
                 raise ValueError(f"no column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            hit = _checks_referencing(snap.checks, old)
+            if hit:
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK "
+                    f"constraint(s) {hit}; drop_check them first")
             mapping = dict(snap.mapping or {n: n for n in names})
             mapping[new] = mapping.pop(old)
             from pyspark.sql.types import StructField
@@ -1071,6 +1163,62 @@ class TxLogTable:
                 self._maybe_checkpoint(self.snapshot(snap.version + 1))
                 return {"version": snap.version + 1}
         raise ConflictError("rename retries exhausted")
+
+    def add_check(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+        WHOLE existing table first (one column-pruned scan — the same
+        price Delta charges for ADD CONSTRAINT), then publishes a pure
+        meta commit.  Every subsequent data-changing write enforces
+        the expression against its landed files before committing."""
+        if not name.isidentifier():
+            raise ValueError(f"constraint name {name!r} must be an "
+                             f"identifier")
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("add_check on non-existent table")
+            if name in snap.checks:
+                raise ValueError(f"constraint {name!r} already exists")
+            bad = (self._read_files_live(snap, sorted(snap.files))
+                   .filter(F.expr(expr).eqNullSafe(F.lit(False)))
+                   .limit(1).collect())
+            if bad:
+                raise CheckViolation(
+                    f"existing rows violate {name!r}: {bad[0]}")
+            checks = {**snap.checks, name: expr}
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "add_check",
+                            "name": name}},
+                {"meta": {"schema": snap.schema_json,
+                          "key_col": snap.key_col, "checks": checks,
+                          **({"column_mapping": snap.mapping,
+                              "retired_physical": snap.retired}
+                             if snap.mapping is not None else {})}}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1}
+        raise ConflictError("add_check retries exhausted")
+
+    def drop_check(self, name: str) -> dict:
+        """ALTER TABLE DROP CONSTRAINT — pure meta commit."""
+        for _ in range(5):
+            snap = self.snapshot()
+            if name not in snap.checks:
+                raise ValueError(f"no constraint {name!r} "
+                                 f"(have {sorted(snap.checks)})")
+            checks = {n: e for n, e in snap.checks.items() if n != name}
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "drop_check",
+                            "name": name}},
+                {"meta": {"schema": snap.schema_json,
+                          "key_col": snap.key_col, "checks": checks,
+                          **({"column_mapping": snap.mapping,
+                              "retired_physical": snap.retired}
+                             if snap.mapping is not None else {})}}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1}
+        raise ConflictError("drop_check retries exhausted")
 
     def drop_column(self, name: str) -> dict:
         """ALTER TABLE DROP COLUMN — a pure META commit: the column
@@ -1095,6 +1243,11 @@ class TxLogTable:
             names = [f_.name for f_ in fields]
             if name not in names:
                 raise ValueError(f"no column {name!r} (have {names})")
+            hit = _checks_referencing(snap.checks, name)
+            if hit:
+                raise ValueError(
+                    f"column {name!r} is referenced by CHECK "
+                    f"constraint(s) {hit}; drop_check them first")
             mapping = dict(snap.mapping or {n: n for n in names})
             retired = [*snap.retired, mapping.pop(name)]
             schema = StructType([f_ for f_ in fields if f_.name != name])
@@ -1275,7 +1428,7 @@ class TxLogTable:
             adds = self._write_data(
                 merged, key, n_files, mapping=snap.mapping,
                 partition_cols=snap.logical_partition_by(),
-                bloom_bits=snap.bloom_bits)
+                bloom_bits=snap.bloom_bits, checks=snap.checks)
             meta_d = {"schema": schema_json, "key_col": key}
             if new_fields and snap.mapping is not None:
                 meta_d["column_mapping"] = snap.mapping
@@ -1368,6 +1521,8 @@ class TxLogTable:
                 kept, key, len(straddle), mapping=snap.mapping,
                 partition_cols=snap.logical_partition_by(),
                 bloom_bits=snap.bloom_bits)
+            # deletes only remove rows; surviving rows were validated
+            # by the write that created them — no re-check needed
             actions += [{"remove": {"path": p}} for p in straddle]
             actions += adds
         if txn is not None:
