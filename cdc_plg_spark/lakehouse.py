@@ -53,12 +53,18 @@ public Delta protocol does it:
   re-attach them as typed literals per partition group, so every
   caller still sees the full logical schema.  Values are also
   self-describing in the path, which is what lets the change feed
-  read files already REMOVED from the manifest.  Partitioning is
-  fixed at create; renaming a partition column is a meta commit like
-  any other (directories keep the stable physical name), dropping one
-  is refused.  NULL/empty partition values are rejected at write time
-  (the hive `__HIVE_DEFAULT_PARTITION__` ambiguity is not worth
-  inheriting).
+  read files already REMOVED from the manifest.  Renaming a partition
+  column is a meta commit like any other (directories keep the stable
+  physical name), dropping one is refused.  NULL/empty partition
+  values are rejected at write time (the hive
+  `__HIVE_DEFAULT_PARTITION__` ambiguity is not worth inheriting).
+  `repartition_layout([...])` EVOLVES the spec — one full-rewrite
+  commit into a new layout (or back to unpartitioned); history below
+  keeps the old layout and stays readable because every reader
+  derives a file's partition columns from its own path, never from
+  the head layout, so even the change feed across the evolution
+  commit (old layout out, new layout in) diffs exactly and nets
+  empty.
 - **Per-file key bloom filters (opt-in)**: `create(key_bloom_bits=N)`
   adds an exact-key skipping tier under the min/max ranges.  Each
   write runs one column-pruned job over the key column it just wrote;
@@ -841,55 +847,53 @@ class TxLogTable:
 
         Partitioned tables: the parquet bytes lack the partition
         columns (hive layout), whose values are self-describing in
-        each file's `k=v` path segments — files are grouped by
-        partition tuple and each group's scan re-attaches the values
-        as typed literals, so callers see the full logical schema.
-        One scan node per DISTINCT partition tuple in the selected
-        set; after manifest pruning that is the partitions the query
-        actually touches, and a full-table scan of a very-high-
-        cardinality partitioning degrades to a wide union — the
-        documented trade of hive layout (pick partition columns of
-        bounded cardinality, as on any hive/Delta/Iceberg table)."""
+        each file's `k=v` path segments.  Each file's OWN PATH — not
+        the snapshot's head layout — decides which columns come from
+        the path and which from the bytes, because one read may span
+        layouts: the change feed reads files REMOVED by a
+        `repartition_layout` evolution commit, written under the
+        previous partitioning.  Files are grouped by (layout,
+        partition tuple); each group's scan re-attaches its path
+        values as typed literals, so callers always see the full
+        logical schema.  One scan node per DISTINCT partition tuple
+        in the selected set; after manifest pruning that is the
+        partitions the query actually touches, and a full-table scan
+        of a very-high-cardinality partitioning degrades to a wide
+        union — the documented trade of hive layout (pick partition
+        columns of bounded cardinality, as on any hive/Delta/Iceberg
+        table)."""
         rel_sorted = sorted(rel_paths)
         if not rel_sorted:
             return self._empty_df(snap)
         schema = StructType.fromJson(json.loads(snap.schema_json))
         from pyspark.sql.types import StructField
-        pb = snap.partition_by or []
-        file_fields = [f_ for f_ in schema.fields
-                       if snap.phys(f_.name) not in pb]
-        phys = StructType([StructField(snap.phys(f_.name), f_.dataType,
-                                       f_.nullable)
-                           for f_ in file_fields])
-        ftype = {snap.phys(f_.name): f_ for f_ in schema.fields
-                 if snap.phys(f_.name) in pb}
+        phys_of = {f_.name: snap.phys(f_.name) for f_ in schema.fields}
 
-        def scan(paths: list[str]) -> DataFrame:
-            return self.spark.read.schema(phys).parquet(
-                *[self._abs(p) for p in paths])
-
-        if not pb:
-            if not snap.mapping:
-                return scan(rel_sorted)
-            return scan(rel_sorted).select(
-                *[F.col(snap.phys(f_.name)).alias(f_.name)
-                  for f_ in schema.fields])
         groups: dict[tuple, list[str]] = {}
         for p in rel_sorted:
             raw = _parse_partition_path(p)
-            groups.setdefault(
-                tuple(raw.get(c) for c in pb), []).append(p)
+            hit = tuple(sorted((ln, raw[pn])
+                               for ln, pn in phys_of.items()
+                               if pn in raw))
+            groups.setdefault(hit, []).append(p)
+
         out = None
-        for tup, paths in sorted(groups.items()):
-            part = scan(paths)
-            for c, raw_v in zip(pb, tup):
-                f_ = ftype[c]
-                v = (None if raw_v is None
-                     else _typed_part(raw_v, f_.dataType.typeName()))
-                part = part.withColumn(c, F.lit(v).cast(f_.dataType))
-            part = part.select(
-                *[F.col(snap.phys(f_.name)).alias(f_.name)
-                  for f_ in schema.fields])
+        for hit, paths in sorted(groups.items()):
+            in_path = dict(hit)     # logical name -> raw string value
+            phys = StructType([StructField(phys_of[f_.name],
+                                           f_.dataType, f_.nullable)
+                               for f_ in schema.fields
+                               if f_.name not in in_path])
+            part = self.spark.read.schema(phys).parquet(
+                *[self._abs(p) for p in paths])
+            for f_ in schema.fields:
+                if f_.name in in_path:
+                    v = _typed_part(in_path[f_.name],
+                                    f_.dataType.typeName())
+                    part = part.withColumn(
+                        phys_of[f_.name], F.lit(v).cast(f_.dataType))
+            part = part.select(*[F.col(phys_of[f_.name]).alias(f_.name)
+                                 for f_ in schema.fields])
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -1751,6 +1755,71 @@ class TxLogTable:
         return {"version": snap.version + 1,
                 "files_compacted": len(small), "files_out": len(adds),
                 "skipped": False}
+
+    def repartition_layout(self, partition_by: list[str] | None,
+                           target_files: int | None = None,
+                           txn: tuple[str, int] | None = None) -> dict:
+        """PARTITION-SPEC EVOLUTION: rewrite the table into a new hive
+        layout (or back to unpartitioned with `None`) in ONE commit —
+        the operation `create`'s fixed-at-create partitioning
+        otherwise forecloses.  Content is untouched (a pure layout
+        transaction, like OPTIMIZE: the change feed across it nets
+        empty); history below the commit keeps the OLD layout and
+        stays readable, because every reader derives a file's
+        partition columns from its own self-describing path, never
+        from the head layout.
+
+        Cost is a full rewrite — O(table), the honest price of moving
+        hive directories (Iceberg's metadata-only spec evolution needs
+        per-file partition tuples in the manifest independent of
+        paths; this format keeps the hive convention instead).
+        Schedule it like a ZORDER."""
+        snap = self.snapshot()
+        if snap.version < 0:
+            raise ValueError("repartition on non-existent table")
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"version": snap.version, "skipped": True}
+        new_pb = list(partition_by or [])
+        fields = {f_.name: f_ for f_ in StructType.fromJson(
+            json.loads(snap.schema_json)).fields}
+        for pc in new_pb:
+            if pc not in fields:
+                raise ValueError(f"partition column {pc!r} not in "
+                                 f"schema {sorted(fields)}")
+            if pc == snap.key_col:
+                raise ValueError(
+                    f"key column {pc!r} cannot be a partition column")
+            pt = fields[pc].dataType.typeName()
+            if pt not in _PART_TYPES:
+                raise ValueError(
+                    f"partition column {pc!r} has type {pt}; hive "
+                    f"path encoding round-trips only {_PART_TYPES}")
+        phys_pb = [snap.phys(c) for c in new_pb]
+        if phys_pb == (snap.partition_by or []):
+            return {"version": snap.version, "skipped": True}
+        df = self._read_files_live(snap, sorted(snap.files))
+        adds = self._write_data(
+            df, snap.key_col, target_files or max(1, len(snap.files)),
+            mapping=snap.mapping, partition_cols=new_pb,
+            bloom_bits=snap.bloom_bits)
+        meta = {"schema": snap.schema_json, "key_col": snap.key_col,
+                "partition_by": phys_pb or None}
+        if snap.mapping is not None:
+            meta["column_mapping"] = snap.mapping
+            meta["retired_physical"] = snap.retired
+        actions = [{"commit": {"op": "REPARTITION",
+                               "partition_by": phys_pb}},
+                   {"meta": meta},
+                   *[{"remove": {"path": p}} for p in snap.files],
+                   *adds]
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConflictError("concurrent commit during repartition")
+        self._maybe_checkpoint(self.snapshot(snap.version + 1))
+        return {"version": snap.version + 1,
+                "files_rewritten": len(snap.files),
+                "files_out": len(adds), "skipped": False}
 
     def vacuum(self, retain_last: int = 2,
                min_age_s: float = 3600.0) -> dict:

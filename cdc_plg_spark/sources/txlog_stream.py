@@ -250,25 +250,23 @@ class TxLogChangesReader(DataSourceStreamReader):
         key = partition.key_col
         data_cols = [c for c in cols if c != key]
 
-        # hive-partitioned table: map each PHYSICAL partition column to
-        # its logical field type so the path-parsed string values can be
-        # re-attached typed (mirrors TxLogTable._read_files)
-        inv_map = {p: l_ for l_, p in (partition.mapping or {}).items()}
-        ptype = {}
-        if partition.partition_by:
-            by_name = {f.name: f.dataType.typeName() for f in fields}
-            for p in partition.partition_by:
-                ptype[p] = by_name.get(inv_map.get(p, p), "string")
+        # hive-partitioned files: every file's k=v path segments are
+        # self-describing, and THEY decide which columns re-attach from
+        # the path — not the head layout, because one batch can span
+        # layouts (files removed by a repartition_layout evolution
+        # commit carry the previous partitioning).  Mirrors
+        # TxLogTable._read_files.
+        phys_type = {(partition.mapping or {}).get(f.name, f.name):
+                     f.dataType.typeName() for f in fields}
 
         def load(rel_paths) -> "pd.DataFrame":
             frames = []
             for p in rel_paths:
                 pdf = pq.read_table(
                     os.path.join(partition.table_path, p)).to_pandas()
-                for pc in partition.partition_by:
-                    raw = _parse_partition_path(p).get(pc)
-                    pdf[pc] = (None if raw is None
-                               else _typed_part(raw, ptype[pc]))
+                for pc, raw in _parse_partition_path(p).items():
+                    if pc in phys_type and pc not in pdf.columns:
+                        pdf[pc] = _typed_part(raw, phys_type[pc])
                 frames.append(pdf)
             if not frames:
                 return pd.DataFrame(columns=cols)

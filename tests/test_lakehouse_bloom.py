@@ -346,10 +346,11 @@ def test_bloom_measured_write_amplification_sf01(spark):
 def test_random_ops_partitioned_bloomed_renamed_match_model(
         spark, tdir, cseed):
     """ALL the format features stacked — hive partitioning + key
-    blooms + column mapping — under the randomized dict-model check:
-    random MERGE (partition moves, post-create partition values) /
-    COW + DV DELETE / OPTIMIZE (every other one a ZORDER) / VACUUM /
-    RENAME COLUMN interleavings.  Head state must equal the model
+    blooms + column mapping + partition-spec evolution — under the
+    randomized dict-model check: random MERGE (partition moves,
+    post-create partition values) / COW + DV DELETE / OPTIMIZE (every
+    other one a ZORDER) / VACUUM / RENAME COLUMN / REPARTITION
+    (flat <-> by-cat) interleavings.  Head state must equal the model
     (value AND partition value per key), fsck must stay clean after
     every step (which includes sidecar existence/size for every live
     file), and surviving historical versions must replay exactly.
@@ -375,10 +376,12 @@ def test_random_ops_partitioned_bloomed_renamed_match_model(
         assert got == model
         assert t.fsck() == []
 
+    layouts = [["cat"], None]       # flip on each repartition op
     for step in range(10):
         kind = rng.choices(("merge", "delete_dv", "delete_cow",
-                            "optimize", "vacuum", "rename"),
-                           weights=(5, 2, 1, 2, 1, 1))[0]
+                            "optimize", "vacuum", "rename",
+                            "repartition"),
+                           weights=(5, 2, 1, 2, 1, 1, 2))[0]
         if kind == "merge":
             rows, ops = [], {}
             for k in rng.sample(range(80), rng.randint(1, 6)):
@@ -416,6 +419,11 @@ def test_random_ops_partitioned_bloomed_renamed_match_model(
             m = t.rename_column(val_col, new)
             val_col = new
             history[m["version"]] = dict(model)
+        elif kind == "repartition":
+            layouts.reverse()       # flat <-> by-cat, content-neutral
+            m = t.repartition_layout(layouts[0], target_files=2)
+            if not m["skipped"]:
+                history[m["version"]] = dict(model)
         else:
             vm = t.vacuum(retain_last=3, min_age_s=0)
             if vm["horizon"] is not None:
