@@ -79,6 +79,13 @@ public Delta protocol does it:
   range-overlapping one.  Fail-open: a missing/foreign sidecar makes
   the file a candidate; false negatives are impossible, so merge
   results are bit-identical with blooms on or off.
+- **CONVERT TO TXLOG**: `TxLogTable.convert(spark, path, key_col)`
+  adopts an existing parquet directory BY REFERENCE — zero data read
+  or rewritten; every file enters the manifest with footer-derived
+  stats, hive-partitioned imports declare their partition schema
+  (types aren't in the bytes), and the table owns its root directory
+  afterwards (vacuum sweeps it like Delta's).  The 100 TB migration
+  path: convert, then MERGE/OPTIMIZE/CDF as native.
 - **CHECK constraints**: `create(checks={"name": "expr"})` /
   `add_check` / `drop_check`.  Enforced against the parquet a write
   just LANDED (column-pruned read-back — the merge join never runs
@@ -160,6 +167,10 @@ class Snapshot:
     # data-changing commit publishes (violations abort; the orphaned
     # files are vacuum fodder, never table state).
     checks: dict[str, str] = field(default_factory=dict)
+    # converted table (CONVERT TO TXLOG): imported files live outside
+    # data/, so vacuum sweeps the whole directory minus the log — the
+    # table owns its root, like any Delta table directory.
+    owns_root: bool = False
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -394,6 +405,7 @@ class TxLogTable:
             snap.partition_by = data.get("partition_by")
             snap.bloom_bits = data.get("key_bloom_bits", 0)
             snap.checks = data.get("checks", {})
+            snap.owns_root = data.get("owns_root", False)
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -438,6 +450,8 @@ class TxLogTable:
                         snap.bloom_bits = m.get("key_bloom_bits",
                                                 snap.bloom_bits)
                         snap.checks = m.get("checks", snap.checks)
+                        snap.owns_root = m.get("owns_root",
+                                               snap.owns_root)
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -480,7 +494,8 @@ class TxLogTable:
                        "retired_physical": snap.retired,
                        "partition_by": snap.partition_by,
                        "key_bloom_bits": snap.bloom_bits,
-                       "checks": snap.checks}, f)
+                       "checks": snap.checks,
+                       "owns_root": snap.owns_root}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def detail(self) -> dict:
@@ -995,6 +1010,105 @@ class TxLogTable:
         return df
 
     # ------------------------------------------------------------ writes
+
+    @classmethod
+    @classmethod
+    def convert(cls, spark: SparkSession, path: str, key_col: str,
+                partition_schema: dict[str, str] | None = None,
+                ) -> "TxLogTable":
+        """CONVERT TO TXLOG: adopt an existing parquet directory as a
+        table BY REFERENCE — no data is read or rewritten, the
+        migration path that matters at 100 TB (the public Delta
+        `CONVERT TO DELTA` contract).  Every parquet file under `path`
+        becomes an add-action whose stats come from its FOOTER
+        (metadata-only, ms per file, manifest-sized driver loop); a
+        file without usable key footer stats fails the convert with
+        instructions, rather than entering the manifest unprunable.
+
+        Hive-partitioned imports: pass `partition_schema`, e.g.
+        ``{"dt": "string"}`` — parquet bytes don't carry the partition
+        columns or their types, so the caller must declare them (the
+        same requirement Delta's converter has).  Values come from the
+        self-describing `k=v` path segments.
+
+        The commit marks the table `owns_root`: imported files live
+        outside `data/`, so vacuum on a converted table sweeps the
+        whole directory (minus the log) the way it owns any native
+        table's — don't keep unrelated files in a converted table's
+        directory, exactly as with Delta."""
+        t = cls(spark, path)
+        if t._versions():
+            raise ValueError(f"table already exists: {path}")
+        pschema = dict(partition_schema or {})
+        for pc, pt in pschema.items():
+            if pt not in _PART_TYPES:
+                raise ValueError(
+                    f"partition column {pc!r} declared {pt!r}; hive "
+                    f"path encoding round-trips only {_PART_TYPES}")
+        rels = sorted(
+            os.path.relpath(os.path.join(dp, f), t.path)
+            for dp, _, fs in os.walk(t.path) for f in fs
+            if f.endswith(".parquet") and _LOG_DIR not in dp)
+        if not rels:
+            raise ValueError(f"no parquet files under {path}")
+        # schema from the first footer (file columns), partition
+        # columns appended with their declared types
+        file_schema = spark.read.parquet(t._abs(rels[0])).schema
+        from pyspark.sql.types import (LongType, StringType,
+                                       StructField)
+        part_fields = [StructField(
+            pc, StringType() if pt == "string" else LongType(), True)
+            for pc, pt in pschema.items()]
+        schema = StructType([*file_schema.fields, *part_fields])
+        names = [f_.name for f_ in schema.fields]
+        if key_col not in names:
+            raise ValueError(f"key column {key_col!r} not in imported "
+                             f"schema {names}")
+        kt = schema[key_col].dataType.typeName()
+        if kt not in ("long", "integer", "short", "byte", "string"):
+            raise ValueError(f"key column {key_col!r} has type {kt}; "
+                             f"keys must be integral or string")
+        stat_types = ("long", "integer", "short", "byte", "double",
+                      "float", "string", "boolean")
+        stat_cols = [f_.name for f_ in file_schema.fields
+                     if f_.dataType.typeName() in stat_types]
+        adds = []
+        for rel in rels:
+            raw = _parse_partition_path(rel)
+            if set(raw) != set(pschema) or _HIVE_NULL in raw.values():
+                raise ValueError(
+                    f"file {rel!r} has partition path keys "
+                    f"{sorted(raw)}, declared {sorted(pschema)} (NULL "
+                    f"partition values are rejected) — every imported "
+                    f"file must match partition_schema exactly")
+            lo, hi, n_rows, nulls = _footer_stats(t._abs(rel),
+                                                  stat_cols)
+            kn = nulls.get(key_col)
+            if key_col not in lo or kn is None or kn > 0:
+                raise ValueError(
+                    f"file {rel!r} lacks usable key footer stats or "
+                    f"holds NULL keys; rewrite it (e.g. through "
+                    f"spark.read -> create()) before converting")
+            adds.append({"add": {
+                "path": rel, "rows": n_rows,
+                "bytes": os.path.getsize(t._abs(rel)),
+                "min_key": lo[key_col], "max_key": hi[key_col],
+                "cols": {c: [lo[c], hi[c]] for c in stat_cols
+                         if c != key_col and c in lo},
+                **({"partition": {pc: _typed_part(raw[pc], pt)
+                                  for pc, pt in pschema.items()}}
+                   if pschema else {}),
+            }})
+        meta = {"schema": schema.json(), "key_col": key_col,
+                "owns_root": True}
+        if pschema:
+            meta["partition_by"] = sorted(pschema)
+        actions = [{"commit": {"op": "CONVERT",
+                               "files_imported": len(adds)}},
+                   {"meta": meta}, *adds]
+        if not t._try_commit(0, actions):
+            raise ConflictError(f"concurrent create at {path}")
+        return t
 
     @classmethod
     def create(cls, spark: SparkSession, path: str, df: DataFrame,
@@ -1841,9 +1955,11 @@ class TxLogTable:
         versions = self._versions()
         keep = versions[-retain_last:]
         reachable: set[str] = set()
+        owns_root = False
         try:
             for v in keep:
                 s = self.snapshot(v)
+                owns_root = s.owns_root
                 reachable.update(s.files)
                 # a live file's bloom sidecar lives and dies with it
                 reachable.update(p + ".bloom" for p, st in s.files.items()
@@ -1858,8 +1974,28 @@ class TxLogTable:
         removed = 0
         cutoff = time.time() - min_age_s
         data_root = os.path.join(self.path, "data")
-        for sub in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
-            subdir = os.path.join(data_root, sub)
+        sweep = ([os.path.join(data_root, s)
+                  for s in sorted(os.listdir(data_root))]
+                 if os.path.isdir(data_root) else [])
+        if owns_root:
+            # converted table: imported files live at the root; the
+            # table owns its whole directory (minus the log) — sweep
+            # top-level files and non-data dirs too
+            for s in sorted(os.listdir(self.path)):
+                if s in (_LOG_DIR, "data"):
+                    continue
+                full = os.path.join(self.path, s)
+                if os.path.isdir(full):
+                    sweep.append(full)
+                else:
+                    try:
+                        if (s not in reachable
+                                and os.path.getmtime(full) <= cutoff):
+                            os.unlink(full)
+                            removed += 1
+                    except FileNotFoundError:
+                        pass
+        for subdir in sweep:
             # bottom-up walk: hive-partitioned writes nest files under
             # k=v directories (arbitrary depth for multi-column
             # layouts), and emptied partition dirs must go before

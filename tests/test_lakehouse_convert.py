@@ -1,0 +1,134 @@
+"""CONVERT TO TXLOG tests: adopt an existing parquet directory as a
+table by reference — zero data read or rewritten at convert time
+(footer stats only), full format capabilities afterwards (MERGE,
+time travel, CDF, OPTIMIZE, vacuum owning the root directory).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import TxLogTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_convert_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def write_plain(spark, path, n=200, partition_by=None):
+    df = spark.range(0, n).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string"))
+         .alias("cat"))
+    w = df.repartitionByRange(4, "user_id").write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return df
+
+
+def test_convert_flat_dir_by_reference(spark, tdir):
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path)
+    sizes_before = {f: os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path) if f.endswith(".parquet")}
+    t = TxLogTable.convert(spark, path, "user_id")
+    # by reference: the exact same bytes, now manifested with stats
+    assert {os.path.basename(p): s["bytes"]
+            for p, s in t.snapshot().files.items()} == sizes_before
+    got = {r["user_id"]: (r["value"], r["cat"])
+           for r in t.read().collect()}
+    assert got == {k: (k * 2, f"c{k % 3}") for k in range(200)}
+    assert t.fsck(deep=True) == []
+    # key-range pruning works off the imported footer stats
+    probe = t.read(key_between=(0, 10))
+    assert len(probe.inputFiles()) < 4
+    # and the table is fully writable: MERGE + CDF + time travel
+    src = spark.createDataFrame([(5, -1, "cX", "U"), (999, 0, "cY", "I")],
+                                "user_id long, value long, cat string, "
+                                "op string")
+    m = t.merge(src, op_col="op")
+    assert m["files_scanned"] < 4        # imported stats pruned the COW
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got[5] == -1 and got[999] == 0 and len(got) == 201
+    assert {(r["change_type"], r["user_id"])
+            for r in t.table_changes(0, m["version"]).collect()} \
+        == {("U", 5), ("I", 999)}
+    assert t.read(version=0).count() == 200
+
+
+def test_convert_hive_partitioned_dir(spark, tdir):
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path, partition_by=["cat"])
+    t = TxLogTable.convert(spark, path, "user_id",
+                           partition_schema={"cat": "string"})
+    snap = t.snapshot()
+    assert snap.partition_by == ["cat"]
+    assert all(set(s["partition"]) == {"cat"}
+               for s in snap.files.values())
+    got = {r["user_id"]: (r["value"], r["cat"])
+           for r in t.read().collect()}
+    assert got == {k: (k * 2, f"c{k % 3}") for k in range(200)}
+    assert t.fsck() == []
+    # partition pruning straight off the imported manifest
+    pruned = t.read(where_between=("cat", "c1", "c1"))
+    assert {r["cat"] for r in pruned.collect()} == {"c1"}
+    assert len(pruned.inputFiles()) < len(snap.files)
+    # merges keep landing in the hive layout
+    src = spark.createDataFrame([(5, -1, "c9", "U")],
+                                "user_id long, value long, cat string, "
+                                "op string")
+    t.merge(src, op_col="op")
+    assert t.fsck() == []
+
+
+def test_vacuum_owns_root_on_converted_table(spark, tdir):
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path)
+    t = TxLogTable.convert(spark, path, "user_id")
+    t.merge(spark.createDataFrame([(5, -1, "cX", "U")],
+                                  "user_id long, value long, "
+                                  "cat string, op string"),
+            op_col="op")
+    # the rewrite removed some imported files from the manifest; they
+    # sit OUTSIDE data/, so only the owns_root sweep can collect them
+    t.vacuum(retain_last=1, min_age_s=0)
+    on_disk = sorted(
+        os.path.relpath(os.path.join(dp, f), t.path)
+        for dp, _, fs in os.walk(t.path) for f in fs
+        if f.endswith(".parquet") and "_txlog" not in dp)
+    assert on_disk == sorted(t.snapshot().files)
+    assert t.read().count() == 200
+    assert t.fsck(deep=True) == []
+
+
+def test_convert_validation(spark, tdir):
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path, partition_by=["cat"])
+    with pytest.raises(ValueError, match="partition_schema"):
+        TxLogTable.convert(spark, path, "user_id")   # undeclared hive
+    with pytest.raises(ValueError, match="not in imported schema"):
+        TxLogTable.convert(spark, path, "nope",
+                           partition_schema={"cat": "string"})
+    with pytest.raises(ValueError, match="only"):
+        TxLogTable.convert(spark, path, "user_id",
+                           partition_schema={"cat": "double"})
+    empty = os.path.join(tdir, "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        TxLogTable.convert(spark, empty, "user_id")
+    # NULL keys refuse the convert
+    nulls = os.path.join(tdir, "nulls")
+    spark.createDataFrame([(1, 1), (None, 2)],
+                          "user_id long, value long") \
+        .coalesce(1).write.parquet(nulls)
+    with pytest.raises(ValueError, match="NULL keys"):
+        TxLogTable.convert(spark, nulls, "user_id")
