@@ -520,6 +520,7 @@ class TxLogTable:
             "partition_by": snap.logical_partition_by() or None,
             "key_bloom_bits": snap.bloom_bits or None,
             "checks": snap.checks or None,
+            "converted": snap.owns_root or None,
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})

@@ -110,6 +110,80 @@ def test_vacuum_owns_root_on_converted_table(spark, tdir):
     assert t.fsck(deep=True) == []
 
 
+def test_convert_then_repartition_layout(spark, tdir):
+    """Converted tables compose with partition-spec evolution: the
+    imported flat files rewrite into a hive layout, the evolution
+    commit nets empty in the change feed, and owns_root vacuum then
+    collects the superseded imported files."""
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path)
+    t = TxLogTable.convert(spark, path, "user_id")
+    before = {r["user_id"]: (r["value"], r["cat"])
+              for r in t.read().collect()}
+    m = t.repartition_layout(["cat"])
+    assert {r["user_id"]: (r["value"], r["cat"])
+            for r in t.read().collect()} == before
+    assert t.table_changes(m["version"] - 1, m["version"]).count() == 0
+    assert t.fsck() == []
+    t.vacuum(retain_last=1, min_age_s=0)
+    on_disk = sorted(
+        os.path.relpath(os.path.join(dp, f), t.path)
+        for dp, _, fs in os.walk(t.path) for f in fs
+        if f.endswith(".parquet") and "_txlog" not in dp)
+    assert on_disk == sorted(t.snapshot().files)
+    assert t.detail()["converted"] is True
+
+
+@pytest.mark.parametrize("vseed", [3])
+def test_random_ops_on_converted_table_match_model(spark, tdir, vseed):
+    """The dict-model random-op check on a CONVERTED table: imported
+    files must behave exactly like native ones under MERGE / COW + DV
+    DELETE / OPTIMIZE / owns_root VACUUM interleavings."""
+    import random
+
+    rng = random.Random(vseed)
+    path = os.path.join(tdir, "t")
+    write_plain(spark, path, n=40)
+    t = TxLogTable.convert(spark, path, "user_id")
+    model = {k: (k * 2, f"c{k % 3}") for k in range(40)}
+
+    for step in range(8):
+        kind = rng.choices(("merge", "delete_dv", "delete_cow",
+                            "optimize", "vacuum"),
+                           weights=(5, 2, 1, 1, 1))[0]
+        if kind == "merge":
+            rows, ops = [], {}
+            for k in rng.sample(range(80), rng.randint(1, 6)):
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                rows.append((k, v, f"c{k % 3}", op))
+                ops[k] = (op, v)
+            t.merge(spark.createDataFrame(
+                rows, "user_id long, value long, cat string, "
+                      "op string"), op_col="op")
+            for k, (op, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = (v, f"c{k % 3}")
+        elif kind in ("delete_dv", "delete_cow"):
+            lo = rng.randint(0, 70)
+            hi = lo + rng.randint(0, 20)
+            t.delete_where((lo, hi),
+                           mode=kind.removeprefix("delete_"))
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+        elif kind == "optimize":
+            t.optimize(target_files=2)
+        else:
+            t.vacuum(retain_last=2, min_age_s=0)
+        got = {r["user_id"]: (r["value"], r["cat"])
+               for r in t.read().collect()}
+        assert got == model, f"step {step} ({kind}) diverged"
+        assert t.fsck() == []
+
+
 def test_convert_validation(spark, tdir):
     path = os.path.join(tdir, "t")
     write_plain(spark, path, partition_by=["cat"])
