@@ -160,6 +160,40 @@ def test_evolution_preserves_blooms_and_checks(spark, tdir):
         t.merge(bad, op_col="op")
 
 
+def test_repartition_loses_race_to_concurrent_commit(spark, tdir):
+    """A repartition that loses the version race must raise
+    ConflictError, never publish a layout computed against a stale
+    snapshot (its removes would resurrect the concurrent writer's
+    deletions).  Simulated by pre-claiming the version slot."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    snap = t.snapshot()
+    victim = sorted(snap.files)[0]
+    assert t._try_commit(snap.version + 1,
+                         [{"commit": {"op": "DELETE"}},
+                          {"remove": {"path": victim}}])
+    with pytest.raises(Exception, match="concurrent"):
+        # evolution computed against the stale snapshot — the slot is
+        # taken, the single-attempt contract (like OPTIMIZE) raises
+        t_stale = TxLogTable(t.spark, t.path)
+        t_stale_snap = snap          # the stale view
+        import cdc_plg_spark.lakehouse as lh
+
+        orig = lh.TxLogTable.snapshot
+        try:
+            lh.TxLogTable.snapshot = (
+                lambda self, version=None, _s=t_stale_snap, _o=orig:
+                _s if version is None else _o(self, version))
+            t_stale.repartition_layout(["cat"])
+        finally:
+            lh.TxLogTable.snapshot = orig
+    # a fresh attempt (current snapshot) succeeds
+    m = t.repartition_layout(["cat"])
+    assert not m["skipped"]
+    assert t.fsck() == []
+    # and the concurrent delete was never resurrected
+    assert victim not in t.snapshot().files
+
+
 def test_evolution_validation_and_idempotence(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"), partition_by=["cat"])
     with pytest.raises(ValueError, match="key column"):
