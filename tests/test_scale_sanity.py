@@ -76,6 +76,9 @@ SCALE_QUERIES = (
     #                                 files the mapping spans
     "decode_canal_json",            # (r6) wire-protocol encode/decode
     #                                 round trip at corpus scale
+    "lakehouse_convert_cdc_roundtrip",  # (r6) convert→merge→streamed-MV
+    #                                 composition: footer-stat adoption +
+    #                                 capped catch-up must hold at scale
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
