@@ -111,11 +111,13 @@ all data movement is Spark jobs.
 
 from __future__ import annotations
 
+import calendar
 import json
 import os
 import shutil
 import uuid
 from dataclasses import dataclass, field
+from datetime import date as _date, datetime as _datetime, timezone as _tz
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -222,6 +224,66 @@ def _bloom_positions(h1, h2, k: int, m: int):
     return ((u1 + j * u2) % np.uint64(m)).astype(np.int64)
 
 
+# stat domain for temporal columns: the JSONL manifest can't carry
+# datetime objects, so timestamp stats are stored as EPOCH MICROS and
+# date stats as EPOCH DAYS (integers).  Soundness under truncation:
+# parquet ns-unit footers surface as µs-floored datetimes; flooring
+# both stats and predicate bounds to the same grid keeps containment
+# pruning conservative (floor(max) < floor(lo) ⇒ max < lo, and
+# floor(min) > floor(hi) ⇒ min > hi), so a matching row can never be
+# skipped.
+_TEMPORAL_STAT_TYPES = ("timestamp", "timestamp_ntz", "date")
+
+
+def _stat_encode(v):
+    """Footer stat value -> JSON-safe manifest value (temporal ->
+    integer domain; everything else passes through)."""
+    if isinstance(v, _datetime):
+        # parquet logical types are UTC-anchored; naive = UTC
+        if v.tzinfo is not None:
+            v = v.astimezone(_tz.utc).replace(tzinfo=None)
+        return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    if isinstance(v, _date):
+        return (v - _date(1970, 1, 1)).days
+    return v
+
+
+def _stat_bound(v, type_name: str | None):
+    """Predicate bound -> the integer domain `type_name`'s stats are
+    stored in.  Accepts ISO strings, datetime/date objects, or raw
+    integers already in the stat domain; non-temporal types pass
+    through untouched (their stats are stored as-is)."""
+    if type_name in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, (int, float)):
+            return int(v)
+        if isinstance(v, str):
+            v = _datetime.fromisoformat(v)
+        if isinstance(v, _date) and not isinstance(v, _datetime):
+            v = _datetime(v.year, v.month, v.day)
+        return _stat_encode(v)
+    if type_name == "date":
+        if isinstance(v, (int, float)):
+            return int(v)
+        if isinstance(v, str):
+            v = _date.fromisoformat(v)
+        if isinstance(v, _datetime):
+            v = v.date()
+        return (v - _date(1970, 1, 1)).days
+    return v
+
+
+def _stat_col(df: DataFrame, c: str):
+    """Column expression that evaluates `c` in its stat domain (for
+    the distributed stats fallback; the session is UTC-pinned, so the
+    NTZ cast is exact)."""
+    t = df.schema[c].dataType.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+    if t == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01"))
+    return F.col(c)
+
+
 def _footer_stats(path: str, cols: list[str]):
     """Per-column (min, max) + row count from parquet FOOTER metadata.
 
@@ -259,15 +321,19 @@ def _footer_stats(path: str, cols: list[str]):
                 nulls[name] = None
             if name in dead:
                 continue
+            mn = _stat_encode(st.min) if st is not None and \
+                st.has_min_max else None
+            mx = _stat_encode(st.max) if st is not None and \
+                st.has_min_max else None
             if (st is None or not st.has_min_max
-                    or not isinstance(st.min, (bool, int, float, str))
-                    or not isinstance(st.max, (bool, int, float, str))):
+                    or not isinstance(mn, (bool, int, float, str))
+                    or not isinstance(mx, (bool, int, float, str))):
                 dead.add(name)
                 lo.pop(name, None)
                 hi.pop(name, None)
                 continue
-            lo[name] = st.min if name not in lo else min(lo[name], st.min)
-            hi[name] = st.max if name not in hi else max(hi[name], st.max)
+            lo[name] = mn if name not in lo else min(lo[name], mn)
+            hi[name] = mx if name not in hi else max(hi[name], mx)
     return lo, hi, md.num_rows, nulls
 
 
@@ -614,6 +680,14 @@ class TxLogTable:
                 for f_ in df.schema.fields])
             key_col = mapping.get(key_col, key_col)
         phys_parts = [mapping.get(c, c) if mapping else c for c in pl]
+        # INT64 micros, not legacy INT96: INT96 parquet columns carry
+        # no statistics, which would silently disable time-range data
+        # skipping on every timestamp column this table writes.  Set
+        # at runtime so tables built under a vanilla session (the
+        # driver's) still get temporal stats — the same ambient-conf
+        # pattern catalog.load_table uses for nanosAsLong.
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType",
+                            "TIMESTAMP_MICROS")
         w = df.write.mode("overwrite")
         if phys_parts:
             w = w.partitionBy(*phys_parts)
@@ -634,13 +708,18 @@ class TxLogTable:
         # predicate on ANY such column prunes at the manifest).  Every
         # consumer is containment-based, so footer stats that parquet
         # widened by truncation stay correct; a column with no usable
-        # stats is simply omitted → never pruned.  Types parquet can't
-        # JSON-round-trip (timestamps, nested) are excluded the same
-        # way.  Footer reads happen on the driver here (ms each,
+        # stats is simply omitted → never pruned.  Temporal columns
+        # store their stats in an integer domain (timestamps as epoch
+        # micros, dates as epoch days — _stat_encode): time-range
+        # predicates are THE dominant skip dimension for CDC tables at
+        # scale, so excluding them would forfeit most of the pruning.
+        # Nested types are excluded (no total order to prune on).
+        # Footer reads happen on the driver here (ms each,
         # manifest-sized count); on a real cluster the same loop
         # distributes trivially.
         stat_types = ("long", "integer", "short", "byte", "double",
-                      "float", "string", "boolean")
+                      "float", "string", "boolean",
+                      *_TEMPORAL_STAT_TYPES)
         stat_cols = [f_.name for f_ in df.schema.fields
                      if f_.dataType.typeName() in stat_types
                      and f_.name not in phys_parts]
@@ -805,8 +884,10 @@ class TxLogTable:
                          F.min(key_col).alias("min_key"),
                          F.max(key_col).alias("max_key"),
                          *[x for c in stat_cols if c != key_col
-                           for x in (F.min(c).alias(f"_mn_{c}"),
-                                     F.max(c).alias(f"_mx_{c}"))])
+                           for x in (F.min(_stat_col(scan, c))
+                                     .alias(f"_mn_{c}"),
+                                     F.max(_stat_col(scan, c))
+                                     .alias(f"_mx_{c}"))])
                     .collect())  # manifest-sized: one row per new file
         adds = []
         for r in rows:
@@ -982,6 +1063,13 @@ class TxLogTable:
         if where_between is not None:
             col, lo, hi = where_between
             pcol = snap.phys(col)   # stats are keyed by physical name
+            # temporal stats live in an integer domain (_stat_encode);
+            # translate the bounds there for the manifest prune — the
+            # residual Spark filter below still sees the originals
+            _schema = StructType.fromJson(json.loads(snap.schema_json))
+            _ft = (_schema[col].dataType.typeName()
+                   if col in _schema.fieldNames() else None)
+            lo, hi = _stat_bound(lo, _ft), _stat_bound(hi, _ft)
             if pcol in (snap.partition_by or []):
                 # partition column: EXACT per-file value in the
                 # manifest (and self-describing in the path) — the
@@ -1070,7 +1158,8 @@ class TxLogTable:
             raise ValueError(f"key column {key_col!r} has type {kt}; "
                              f"keys must be integral or string")
         stat_types = ("long", "integer", "short", "byte", "double",
-                      "float", "string", "boolean")
+                      "float", "string", "boolean",
+                      *_TEMPORAL_STAT_TYPES)
         stat_cols = [f_.name for f_ in file_schema.fields
                      if f_.dataType.typeName() in stat_types]
         adds = []
@@ -1833,14 +1922,19 @@ class TxLogTable:
                     f"zorder_by takes 2-7 columns ({_Z_BITS} bits "
                     f"each in the 64-bit z-value), got {zcols}")
             hi = (1 << _Z_BITS) - 1
+            # temporal z-columns cluster on their integer stat domain
+            # (epoch micros/days): datetime arithmetic has no division,
+            # and this keeps the layout aligned with the stats the
+            # read path prunes on
+            zx = {c: _stat_col(df, c) for c in zcols}
             b = df.agg(*[f_ for c in zcols
-                         for f_ in (F.min(c).alias(f"_lo_{c}"),
-                                    F.max(c).alias(f"_hi_{c}"))]
+                         for f_ in (F.min(zx[c]).alias(f"_lo_{c}"),
+                                    F.max(zx[c]).alias(f"_hi_{c}"))]
                        ).collect()[0]   # 1 row: normalization bounds
 
             def norm(c, lo, h_):
                 span = float((h_ - lo) + 1) if h_ is not None else 1.0
-                return (F.floor(hi * (F.col(c) - F.lit(lo)) / F.lit(span))
+                return (F.floor(hi * (zx[c] - F.lit(lo)) / F.lit(span))
                         .cast("long"))
 
             norms = [norm(c, b[f"_lo_{c}"], b[f"_hi_{c}"])

@@ -36,6 +36,13 @@ DEFAULT_CONFS: dict[str, str] = {
     # session TZ is UTC, so the instant matches DuckDB's naive read —
     # and keep the scan type native so filters still push down.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # write timestamps as INT64 TIMESTAMP(MICROS), not legacy INT96:
+    # INT96 carries NO parquet column statistics, which would forfeit
+    # footer-derived time-range data skipping on every table this
+    # session writes (lakehouse._write_data re-asserts this conf at
+    # runtime for foreign sessions, same pattern as load_table's
+    # nanosAsLong)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # local testing tier; cluster deployments override
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.sql.autoBroadcastJoinThreshold": "64MB",

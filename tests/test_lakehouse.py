@@ -1442,3 +1442,112 @@ def test_stream_max_commits_bounds_catchup_batches(spark, tdir):
     batch = sorted((r["_commit_version"], r["user_id"])
                    for r in t.table_changes_per_commit(0, 5).collect())
     assert final == batch
+
+
+def _temporal_df(spark):
+    """user_id-clustered frame with correlated timestamp + date columns
+    (one hour per id from 2024-01-01), plus NULL temporal rows."""
+    base = F.lit(1704067200000000)  # 2024-01-01T00:00:00Z in micros
+    ts = F.timestamp_micros(
+        (base + F.col("id") * 3600 * 1_000_000).cast("long"))
+    return spark.range(0, 960).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 97 == 0, None).otherwise(ts).alias("ts"),
+        F.when(F.col("id") % 89 == 0, None)
+         .otherwise(F.to_date(ts)).alias("d"),
+        (F.col("id") * 2).alias("value"))
+
+
+def test_data_skipping_on_timestamp_and_date(spark, tdir):
+    """Temporal stats prune at the manifest: time-range predicates are
+    the dominant skip dimension for CDC tables, so timestamp/date
+    columns must carry (integer-encoded) stats like any other column.
+    Bounds accept ISO strings, datetime/date objects, and raw stat-
+    domain integers; NULL temporal rows neither break stats nor leak
+    through BETWEEN."""
+    from datetime import date, datetime, timezone
+
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"),
+                          _temporal_df(spark), "user_id", n_files=8)
+    # manifest stats are JSON-safe integers (epoch micros / days)
+    s0 = next(iter(t.snapshot().files.values()))
+    assert isinstance(s0["cols"]["ts"][0], int)
+    assert isinstance(s0["cols"]["d"][0], int)
+
+    # 960 ids x 1h = 40 days; a 1-day band ≈ 1/40 of rows, and ts is
+    # clustered with the key, so at most 2 of 8 files survive
+    pruned = t.read(where_between=("ts", "2024-01-05", "2024-01-06"))
+    assert len(pruned.inputFiles()) <= 2
+    expect = sorted(r["user_id"] for r in t.read().filter(
+        F.col("ts").between("2024-01-05", "2024-01-06")).collect())
+    assert sorted(r["user_id"] for r in pruned.collect()) == expect
+    assert expect  # band is non-empty — the prune proved something
+
+    # datetime-object bounds (tz-aware converts to UTC), same result
+    lo = datetime(2024, 1, 5, tzinfo=timezone.utc)
+    hi = datetime(2024, 1, 6, tzinfo=timezone.utc)
+    again = t.read(where_between=("ts", lo, hi))
+    assert sorted(r["user_id"] for r in again.collect()) == expect
+    assert len(again.inputFiles()) <= 2
+
+    # date column: string and date-object bounds
+    dp = t.read(where_between=("d", "2024-01-05", "2024-01-10"))
+    d_expect = sorted(r["user_id"] for r in t.read().filter(
+        F.col("d").between("2024-01-05", "2024-01-10")).collect())
+    assert sorted(r["user_id"] for r in dp.collect()) == d_expect
+    assert len(dp.inputFiles()) <= 3
+    dp2 = t.read(where_between=("d", date(2024, 1, 5), date(2024, 1, 10)))
+    assert sorted(r["user_id"] for r in dp2.collect()) == d_expect
+
+    # stats survive a MERGE rewrite; deep fsck re-derives the same
+    # footer encoding (no drift between write path and checker)
+    t.merge(spark.createDataFrame(
+        [(50, datetime(2024, 3, 1), date(2024, 3, 1), 123, "U")],
+        "user_id long, ts timestamp, d date, value long, op string"),
+        op_col="op")
+    assert all("ts" in s.get("cols", {}) for s in
+               t.snapshot().files.values())
+    assert t.fsck(deep=True) == []
+
+
+def test_temporal_skipping_on_converted_table(spark, tdir):
+    """CONVERT adopts temporal footer stats into the same integer
+    domain, so time-range pruning works immediately on imported
+    parquet — the migrate-then-query-by-time path."""
+    pdir = os.path.join(tdir, "imported")
+    _temporal_df(spark).repartitionByRange(8, "user_id") \
+        .write.parquet(pdir)
+    t = TxLogTable.convert(spark, pdir, "user_id")
+    pruned = t.read(where_between=("ts", "2024-01-05", "2024-01-06"))
+    assert 0 < len(pruned.inputFiles()) <= 2
+    expect = sorted(r["user_id"] for r in t.read().filter(
+        F.col("ts").between("2024-01-05", "2024-01-06")).collect())
+    assert sorted(r["user_id"] for r in pruned.collect()) == expect
+    assert t.fsck(deep=True) == []
+
+
+def test_zorder_on_timestamp_column(spark, tdir):
+    """ZORDER accepts temporal columns by clustering on their integer
+    stat domain (epoch micros) — the canonical CDC layout is
+    ZORDER BY (ts, <dim>), and datetime column algebra would otherwise
+    have no division to normalize with."""
+    base = F.lit(1704067200000000)
+    ts = F.timestamp_micros(
+        (base + F.col("id") * 3600 * 1_000_000).cast("long"))
+    # value anti-correlates with ts: a key-clustered layout is tight in
+    # ts but loose in value; the z-layout must become tight-ish in BOTH
+    df = spark.range(0, 960).select(
+        F.col("id").alias("user_id"), ts.alias("ts"),
+        ((959 - F.col("id")) * 2).alias("value"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=16)
+    r = t.optimize(zorder_by=("ts", "value"), target_files=16)
+    assert not r["skipped"]
+    band = t.read(where_between=("ts", "2024-01-05", "2024-01-07"))
+    expect = sorted(r_["user_id"] for r_ in t.read().filter(
+        F.col("ts").between("2024-01-05", "2024-01-07")).collect())
+    assert sorted(r_["user_id"] for r_ in band.collect()) == expect
+    assert len(band.inputFiles()) <= 8          # of 16: pruned in ts
+    vband = t.read(where_between=("value", 100, 200))
+    assert len(vband.inputFiles()) <= 8         # ...and in value
+    assert t.fsck(deep=True) == []
