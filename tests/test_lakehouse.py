@@ -812,13 +812,21 @@ def test_footer_stats_equal_scan_stats(spark, tdir):
     distributed-scan fallback computes, including NULL handling and
     string ordering — the fast path may be wider only when parquet
     truncates (not at these sizes), never narrower."""
+    from datetime import date, datetime, timezone
+
+    def u(sec):
+        return datetime.fromtimestamp(1704067200 + sec, tz=timezone.utc
+                                      ).replace(tzinfo=None)
+
     df = spark.createDataFrame(
         [(i,
           None if i % 7 == 0 else (i * 37) % 101,
           f"s{(i * 13) % 50:03d}",
-          float(i) / 3.0)
+          float(i) / 3.0,
+          None if i % 11 == 0 else u(i * 9931),
+          None if i % 13 == 0 else date(2024, 1 + (i % 12), 1 + i % 28))
          for i in range(300)],
-        "user_id long, a long, b string, c double")
+        "user_id long, a long, b string, c double, ts timestamp, d date")
     t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
                           "user_id", n_files=3)
     snap = t.snapshot()
@@ -827,13 +835,13 @@ def test_footer_stats_equal_scan_stats(spark, tdir):
               os.path.join(t.path, os.path.dirname(
                   next(iter(snap.files)))),
               os.path.dirname(next(iter(snap.files))),
-              "user_id", ["user_id", "a", "b", "c"])}
+              "user_id", ["user_id", "a", "b", "c", "ts", "d"])}
     assert set(fb) == set(snap.files)
     for p, s in snap.files.items():
         r = fb[p]
         assert (s["rows"], s["min_key"], s["max_key"]) == \
             (r["rows"], r["min_key"], r["max_key"])
-        for c in ("a", "b", "c"):
+        for c in ("a", "b", "c", "ts", "d"):
             if c in s["cols"] and c in r["cols"]:
                 assert s["cols"][c] == r["cols"][c], (p, c)
             # footer path may conservatively omit a column the scan
