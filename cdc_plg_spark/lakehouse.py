@@ -1028,9 +1028,9 @@ class TxLogTable:
         `as_of=<unix seconds>` is TIMESTAMP AS OF time travel
         (resolved to a version via the commit log's wall-clock times).
 
-        `where_between=(col, lo, hi)` is the same skip on a NON-key
-        column via the per-column stats every add-action carries
-        (Delta-style data skipping).  A file lacking stats for `col`
+        `where_between=(col, lo, hi)` — or a LIST of such tuples,
+        ANDed — is the same skip on NON-key columns via the per-column
+        stats every add-action carries (Delta-style data skipping).  A file lacking stats for `col`
         (pre-upgrade commit, non-JSON type, all-NULL file) is
         conservatively kept; the residual filter keeps the result
         exact either way.  NULL semantics: `between` never matches
@@ -1060,13 +1060,21 @@ class TxLogTable:
                     replace(snap, files=files),
                     self._key_df(snap, [lo]), snap.key_col)
                 files = {p: files[p] for p in hits}
-        if where_between is not None:
-            col, lo, hi = where_between
+        # one (col, lo, hi) tuple or a LIST of them (conjunction):
+        # every predicate prunes independently, so the surviving set is
+        # the intersection — the standard CDC read shape is exactly a
+        # stacked `(partition, x, x) AND (ts, lo, hi)`
+        preds = ([] if where_between is None
+                 else [tuple(w) for w in where_between]
+                 if isinstance(where_between, (list, set))
+                 else [tuple(where_between)])
+        if preds:
+            _schema = StructType.fromJson(json.loads(snap.schema_json))
+        for col, lo, hi in preds:
             pcol = snap.phys(col)   # stats are keyed by physical name
             # temporal stats live in an integer domain (_stat_encode);
             # translate the bounds there for the manifest prune — the
             # residual Spark filter below still sees the originals
-            _schema = StructType.fromJson(json.loads(snap.schema_json))
             _ft = (_schema[col].dataType.typeName()
                    if col in _schema.fieldNames() else None)
             lo, hi = _stat_bound(lo, _ft), _stat_bound(hi, _ft)
@@ -1083,7 +1091,7 @@ class TxLogTable:
                 files = {p: s for p, s in files.items()
                          if s["max_key"] >= lo and s["min_key"] <= hi}
             else:
-                def _keep(s: dict) -> bool:
+                def _keep(s: dict, pcol=pcol, lo=lo, hi=hi) -> bool:
                     rng = s.get("cols", {}).get(pcol)
                     return rng is None or (rng[1] >= lo and rng[0] <= hi)
                 files = {p: s for p, s in files.items() if _keep(s)}
@@ -1093,14 +1101,12 @@ class TxLogTable:
         if key_between is not None:
             lo, hi = key_between
             df = df.filter(F.col(snap.key_col).between(lo, hi))
-        if where_between is not None:
-            col, lo, hi = where_between
+        for col, lo, hi in preds:
             df = df.filter(F.col(col).between(lo, hi))
         return df
 
     # ------------------------------------------------------------ writes
 
-    @classmethod
     @classmethod
     def convert(cls, spark: SparkSession, path: str, key_col: str,
                 partition_schema: dict[str, str] | None = None,

@@ -1559,3 +1559,28 @@ def test_zorder_on_timestamp_column(spark, tdir):
     vband = t.read(where_between=("value", 100, 200))
     assert len(vband.inputFiles()) <= 8         # ...and in value
     assert t.fsck(deep=True) == []
+
+
+def test_where_between_conjunction(spark, tdir):
+    """A LIST of where_between predicates ANDs: each prunes the file
+    set independently (intersection) and each leaves its residual
+    filter, so the result equals filtering the full scan — the stacked
+    `(dim, x, x) AND (ts, lo, hi)` CDC read shape."""
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"),
+                          _temporal_df(spark), "user_id", n_files=8)
+    preds = [("ts", "2024-01-05", "2024-01-20"),
+             ("value", 300, 700)]
+    got = t.read(where_between=preds)
+    expect = (t.read()
+              .filter(F.col("ts").between("2024-01-05", "2024-01-20"))
+              .filter(F.col("value").between(300, 700)))
+    assert sorted(r["user_id"] for r in got.collect()) == \
+        sorted(r["user_id"] for r in expect.collect())
+    # the intersection prunes tighter than either predicate alone
+    n_both = len(got.inputFiles())
+    n_ts = len(t.read(where_between=preds[0]).inputFiles())
+    n_v = len(t.read(where_between=preds[1]).inputFiles())
+    assert n_both <= min(n_ts, n_v) <= 8
+    # disjoint conjunction prunes to the empty frame
+    assert t.read(where_between=[("ts", "2024-01-05", "2024-01-06"),
+                                 ("value", 1800, 1900)]).count() == 0
