@@ -766,8 +766,15 @@ class TxLogTable:
                 "max_key": hi[key_col],
                 # keyed by PHYSICAL name: stable across RENAME COLUMN,
                 # so data skipping survives renames; readers translate
-                # (read() looks up snap.phys(col))
-                "cols": {c: [lo[c], hi[c]] for c in stat_cols
+                # (read() looks up snap.phys(col)).  Entry shape is
+                # [min, max] or [min, max, null_count] — the count (when
+                # the footer knows it) is what lets a predicate DELETE
+                # drop a whole file: stats ignore NULLs, so containment
+                # alone never proves every ROW matches.
+                "cols": {c: ([lo[c], hi[c], nulls[c]]
+                             if nulls.get(c) is not None
+                             else [lo[c], hi[c]])
+                         for c in stat_cols
                          if c != key_col and c in lo},
                 # typed partition values, also keyed by PHYSICAL name
                 # (same rename-stability contract as the stats)
@@ -887,7 +894,9 @@ class TxLogTable:
                            for x in (F.min(_stat_col(scan, c))
                                      .alias(f"_mn_{c}"),
                                      F.max(_stat_col(scan, c))
-                                     .alias(f"_mx_{c}"))])
+                                     .alias(f"_mx_{c}"),
+                                     F.count(F.col(c))
+                                     .alias(f"_ct_{c}"))])
                     .collect())  # manifest-sized: one row per new file
         adds = []
         for r in rows:
@@ -918,7 +927,8 @@ class TxLogTable:
                 "bytes": os.path.getsize(os.path.join(self.path, rel)),
                 "min_key": r["min_key"],
                 "max_key": r["max_key"],
-                "cols": {c: [r[f"_mn_{c}"], r[f"_mx_{c}"]]
+                "cols": {c: [r[f"_mn_{c}"], r[f"_mx_{c}"],
+                             r["rows"] - r[f"_ct_{c}"]]
                          for c in stat_cols
                          if c != key_col and r[f"_mn_{c}"] is not None},
                 **({"partition": part} if part is not None else {}),
@@ -1189,7 +1199,10 @@ class TxLogTable:
                 "path": rel, "rows": n_rows,
                 "bytes": os.path.getsize(t._abs(rel)),
                 "min_key": lo[key_col], "max_key": hi[key_col],
-                "cols": {c: [lo[c], hi[c]] for c in stat_cols
+                "cols": {c: ([lo[c], hi[c], nulls[c]]
+                             if nulls.get(c) is not None
+                             else [lo[c], hi[c]])
+                         for c in stat_cols
                          if c != key_col and c in lo},
                 **({"partition": {pc: _typed_part(raw[pc], pt)
                                   for pc, pt in pschema.items()}}
@@ -1678,15 +1691,28 @@ class TxLogTable:
             # plain appends interleaved — recompute against new snapshot
         raise ConflictError("merge retries exhausted")
 
-    def delete_where(self, key_between: tuple, mode: str = "cow",
-                     txn: tuple[str, int] | None = None) -> dict:
-        """DELETE WHERE key BETWEEN lo AND hi.
+    def delete_where(self, key_between: tuple | None = None,
+                     mode: str = "cow",
+                     txn: tuple[str, int] | None = None,
+                     where_between=None) -> dict:
+        """DELETE WHERE key BETWEEN lo AND hi — or, with
+        `where_between=(col, lo, hi)` (or a list of tuples, ANDed),
+        DELETE by arbitrary range predicates: `delete_where(
+        where_between=("ts", "1970-01-01", horizon))` is the CDC
+        retention sweep, the delete shape a 100 TB changelog table
+        runs daily.
 
-        Files fully inside the range are dropped with no data pass at
-        all in either mode.  Straddling files:
+        Files whose stats prove EVERY row matches are dropped with no
+        data pass at all in either mode (for non-key predicates that
+        proof needs the stats' null count — BETWEEN never matches
+        NULL, so containment alone isn't enough; files written before
+        null counts existed conservatively rewrite).  Files whose
+        stats prove NO row matches are untouched.  Straddling files:
 
         - `mode="cow"` (copy-on-write): rewrite them minus matching
           rows — readers stay scan-only, the delete pays the write.
+          Rows with NULL in a predicate column never match and are
+          kept.
         - `mode="dv"` (merge-on-read): append each straddler's matching
           keys to its DELETION VECTOR — no parquet is written at all
           (one read-only job enumerates the keys), readers anti-join
@@ -1695,17 +1721,68 @@ class TxLogTable:
           rewrite every grazed file; DV writes one log entry.  The DV
           here is a key list (keys are table-unique); a positional
           bitmap is the same contract with a denser encoding."""
-        lo, hi = key_between
+        if (key_between is None) == (where_between is None):
+            raise ValueError(
+                "pass exactly one of key_between / where_between")
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True,
                     "files_dropped": 0, "files_rewritten": 0}
         key = snap.key_col
-        drop_whole = [p for p, s in snap.files.items()
-                      if s["min_key"] >= lo and s["max_key"] <= hi]
-        straddle = [p for p, s in snap.files.items()
-                    if p not in drop_whole
-                    and s["max_key"] >= lo and s["min_key"] <= hi]
+        if key_between is not None:
+            lo, hi = key_between
+            drop_whole = [p for p, s in snap.files.items()
+                          if s["min_key"] >= lo and s["max_key"] <= hi]
+            straddle = [p for p, s in snap.files.items()
+                        if p not in drop_whole
+                        and s["max_key"] >= lo and s["min_key"] <= hi]
+            match_cond = F.col(key).between(lo, hi)
+        else:
+            preds = ([tuple(w) for w in where_between]
+                     if isinstance(where_between, (list, set))
+                     else [tuple(where_between)])
+            _schema = StructType.fromJson(json.loads(snap.schema_json))
+
+            def _verdict(s: dict) -> str:
+                # "drop": stats prove all rows match every predicate;
+                # "keep": some predicate provably matches no row;
+                # "straddle": anything in between
+                all_match = True
+                for col, lo0, hi0 in preds:
+                    pcol = snap.phys(col)
+                    ft = (_schema[col].dataType.typeName()
+                          if col in _schema.fieldNames() else None)
+                    plo, phi = _stat_bound(lo0, ft), _stat_bound(hi0, ft)
+                    if pcol in (snap.partition_by or []):
+                        if not plo <= s["partition"][pcol] <= phi:
+                            return "keep"   # exact value: no row matches
+                    elif pcol == snap.phys(key):
+                        if s["min_key"] > phi or s["max_key"] < plo:
+                            return "keep"
+                        if not (plo <= s["min_key"]
+                                and s["max_key"] <= phi):
+                            all_match = False   # keys are never NULL
+                    else:
+                        rng = s.get("cols", {}).get(pcol)
+                        if rng is None:
+                            all_match = False   # unknown: must scan
+                        elif rng[0] > phi or rng[1] < plo:
+                            return "keep"
+                        elif not (len(rng) > 2 and rng[2] == 0
+                                  and plo <= rng[0] and rng[1] <= phi):
+                            # containment without a zero null count
+                            # can't prove NULL rows absent
+                            all_match = False
+                return "drop" if all_match else "straddle"
+
+            v = {p: _verdict(s) for p, s in snap.files.items()}
+            drop_whole = [p for p, r in v.items() if r == "drop"]
+            straddle = [p for p, r in v.items() if r == "straddle"]
+            match_cond = F.lit(True)
+            for col, lo0, hi0 in preds:
+                match_cond = match_cond & \
+                    F.coalesce(F.col(col).between(lo0, hi0),
+                               F.lit(False))
         actions = [{"commit": {"op": "DELETE", "mode": mode,
                                "files_dropped": len(drop_whole),
                                "files_rewritten":
@@ -1714,7 +1791,7 @@ class TxLogTable:
         if straddle and mode == "dv":
             # one read-only job: which LIVE keys per straddler match
             hit = (self._read_files_live(snap, straddle)
-                   .filter(F.col(key).between(lo, hi))
+                   .filter(match_cond)
                    .select(F.input_file_name().alias("_f"), key)
                    .collect())   # DV-sized, the deleted-rows backlog
             by_file: dict[str, list] = {}
@@ -1729,8 +1806,11 @@ class TxLogTable:
             actions += [{"dv": {"path": p, "keys": sorted(ks)}}
                         for p, ks in sorted(by_file.items())]
         elif straddle:
+            # NULL predicate values never match BETWEEN, so ~coalesce
+            # keeps them (match_cond is already NULL-coalesced on the
+            # predicate path; the key path has no NULL keys by contract)
             kept = (self._read_files_live(snap, straddle)
-                    .filter(~F.col(key).between(lo, hi)))
+                    .filter(~match_cond))
             adds = self._write_data(
                 kept, key, len(straddle), mapping=snap.mapping,
                 partition_cols=snap.logical_partition_by(),
@@ -2212,13 +2292,17 @@ class TxLogTable:
                            f"manifest {s['bytes']}")
             if s["min_key"] > s["max_key"]:
                 out.append(f"{rel}: min_key > max_key")
-            for c, (lo, hi) in s.get("cols", {}).items():
+            for c, rng in s.get("cols", {}).items():
+                lo, hi = rng[0], rng[1]   # [lo, hi] or [lo, hi, nulls]
                 try:
                     bad = lo is not None and hi is not None and lo > hi
                 except TypeError:
                     bad = True
                 if bad:
                     out.append(f"{rel}: col {c} stats lo > hi")
+                if len(rng) > 2 and not 0 <= rng[2] <= s["rows"]:
+                    out.append(f"{rel}: col {c} null count {rng[2]} "
+                               f"outside [0, rows]")
             bl = s.get("bloom")
             if bl is not None:
                 side = full + ".bloom"
@@ -2244,8 +2328,9 @@ class TxLogTable:
                 if pkey in lo_f and (lo_f[pkey] < s["min_key"]
                                      or hi_f[pkey] > s["max_key"]):
                     out.append(f"{rel}: key data outside manifest range")
-                for c, (lo, hi) in s.get("cols", {}).items():
-                    if c in lo_f and (lo_f[c] < lo or hi_f[c] > hi):
+                for c, rng in s.get("cols", {}).items():
+                    if c in lo_f and (lo_f[c] < rng[0]
+                                      or hi_f[c] > rng[1]):
                         out.append(f"{rel}: col {c} data outside "
                                    f"manifest range")
                 if bl is not None and os.path.exists(side) \

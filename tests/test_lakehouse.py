@@ -370,8 +370,8 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
 
     for step in range(12):
         kind = rng.choices(("merge", "delete", "delete_dv",
-                            "optimize", "vacuum"),
-                           weights=(6, 1, 2, 1, 1))[0]
+                            "delete_pred", "optimize", "vacuum"),
+                           weights=(6, 1, 2, 2, 1, 1))[0]
         if kind == "merge":
             keys = rng.sample(range(80), rng.randint(1, 6))
             rows, ops = [], {}
@@ -394,6 +394,17 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
                 (lo, hi), mode="dv" if kind == "delete_dv" else "cow")
             for k in list(model):
                 if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = dict(model)
+        elif kind == "delete_pred":
+            # predicate delete on the NON-key column
+            vlo = rng.randint(-99, 80)
+            vhi = vlo + rng.randint(0, 40)
+            dm = t.delete_where(
+                where_between=("value", vlo, vhi),
+                mode=rng.choice(("cow", "dv")))
+            for k in list(model):
+                if vlo <= model[k] <= vhi:
                     del model[k]
             history[dm["version"]] = dict(model)
         elif kind == "optimize":
@@ -1584,3 +1595,89 @@ def test_where_between_conjunction(spark, tdir):
     # disjoint conjunction prunes to the empty frame
     assert t.read(where_between=[("ts", "2024-01-05", "2024-01-06"),
                                  ("value", 1800, 1900)]).count() == 0
+
+
+def test_delete_where_predicate_retention(spark, tdir):
+    """Predicate DELETE — the retention sweep: DELETE WHERE ts <=
+    horizon drops whole files by stats (needs the null count: BETWEEN
+    never matches NULL, so containment alone can't prove a full-file
+    match), rewrites straddlers keeping NULL-ts rows, and the change
+    feed reports every deleted key."""
+    horizon = "2024-01-10"
+    # NULL-free table: whole files below the horizon drop by stats
+    # alone (zero null count + containment), no data pass
+    base = F.lit(1704067200000000)
+    nn = spark.range(0, 960).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_micros(
+            (base + F.col("id") * 3600 * 1_000_000).cast("long"))
+        .alias("ts"),
+        (F.col("id") * 2).alias("value"))
+    ta = TxLogTable.create(spark, os.path.join(tdir, "a"), nn,
+                           "user_id", n_files=8)
+    ma = ta.delete_where(where_between=("ts", "1970-01-01", horizon))
+    assert ma["files_dropped"] >= 1
+    assert sorted(r["user_id"] for r in ta.read().collect()) == \
+        sorted(r["user_id"] for r in nn.filter(
+            ~F.col("ts").between("1970-01-01", horizon)).collect())
+
+    # table WITH NULL-ts rows in every file: no whole-drop is provable
+    # (null count nonzero), straddlers rewrite, NULL rows survive
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"),
+                          _temporal_df(spark), "user_id", n_files=8)
+    expect_kept = sorted(
+        r["user_id"] for r in t.read().filter(
+            ~F.coalesce(F.col("ts").between("1970-01-01", horizon),
+                        F.lit(False))).collect())
+    m = t.delete_where(where_between=("ts", "1970-01-01", horizon))
+    assert m["files_dropped"] == 0      # NULLs block the stats proof
+    got = sorted(r["user_id"] for r in t.read().collect())
+    assert got == expect_kept
+    # NULL-ts rows in the deleted band survive (id % 97 == 0)
+    assert 0 in got
+    feed_deletes = (t.table_changes(m["version"] - 1, m["version"])
+                    .filter(F.col("change_type") == "D").count())
+    assert feed_deletes == 960 - len(expect_kept)
+    assert t.fsck(deep=True) == []
+
+
+def test_delete_where_predicate_dv_and_conjunction(spark, tdir):
+    """Predicate DELETE in dv mode writes no parquet; a conjunction
+    deletes only the intersection; stats-disjoint predicates make the
+    whole delete a no-op commit."""
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"),
+                          _temporal_df(spark), "user_id", n_files=8)
+
+    def parquet_files():
+        return sorted(p for p in t.snapshot().files)
+
+    before = parquet_files()
+    m = t.delete_where(where_between=[("ts", "2024-01-05", "2024-01-08"),
+                                      ("value", 0, 250)],
+                       mode="dv")
+    assert m["files_rewritten"] == 0
+    assert parquet_files() == before          # zero files added/removed
+    survivors = sorted(r["user_id"] for r in t.read().collect())
+    gone = [r for r in range(960) if r not in survivors]
+    # intersection only: every deleted row satisfied BOTH predicates
+    full = _temporal_df(spark).collect()
+    by_id = {r["user_id"]: r for r in full}
+    for g in gone:
+        r = by_id[g]
+        assert r["ts"] is not None and r["value"] is not None
+        assert 0 <= r["value"] <= 250
+    assert gone                                # something was deleted
+    # disjoint predicate: provably-no-match everywhere, nothing changes
+    n = t.snapshot().version
+    m2 = t.delete_where(where_between=("value", 10_000, 20_000))
+    assert m2["files_dropped"] == 0 and m2["files_rewritten"] == 0
+    assert sorted(r["user_id"] for r in t.read().collect()) == survivors
+    assert t.fsck(deep=True) == []
+
+
+def test_delete_where_requires_exactly_one_range(spark, tdir):
+    t = make_table(spark, os.path.join(tdir, "t"), n=20, n_files=1)
+    with pytest.raises(ValueError):
+        t.delete_where()
+    with pytest.raises(ValueError):
+        t.delete_where((0, 5), where_between=("value", 0, 5))
