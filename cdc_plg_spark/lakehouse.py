@@ -1828,6 +1828,73 @@ class TxLogTable:
                 "files_dropped": len(drop_whole),
                 "files_rewritten": 0 if mode == "dv" else len(straddle)}
 
+    def restore(self, version: int,
+                txn: tuple[str, int] | None = None) -> dict:
+        """RESTORE TABLE TO VERSION — re-point HEAD at an earlier
+        snapshot's file set, schema, and layout in ONE metadata-only
+        commit (the Delta RESTORE contract; the bad-deploy rollback
+        every CDC pipeline eventually needs).  No data moves: the old
+        files are re-referenced, with their deletion vectors replayed.
+        History is preserved — the restore is itself a commit, the
+        undone versions remain time-travelable, and the change feed
+        across the restore commit is exactly the inverse diff.
+
+        Fails if the target version left the log or any of its files
+        were vacuumed (restoring past the vacuum horizon is
+        unrecoverable by design — that's what the horizon means).
+        `retired_physical` stays the UNION of both snapshots: schema
+        history may rewind, but a physical column name can never be
+        reused without risking resurrecting dropped data."""
+        snap = self.snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return {"version": snap.version, "skipped": True,
+                    "files_removed": 0, "files_restored": 0}
+        old = self.snapshot(version)   # raises if log-truncated
+        if old.schema_json is None:
+            raise ValueError(f"version {version} has no schema "
+                             f"(not a table snapshot)")
+        missing = [p for p in old.files
+                   if not os.path.exists(self._abs(p))]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"file(s) vacuumed, e.g. {missing[0]!r}")
+        adds, dvs = [], []
+        for p, s in sorted(old.files.items()):
+            a = {"path": p,
+                 **{k: s[k] for k in ("rows", "bytes",
+                                      "min_key", "max_key")},
+                 "cols": s.get("cols", {})}
+            if "partition" in s:
+                a["partition"] = s["partition"]
+            if "bloom" in s:
+                a["bloom"] = s["bloom"]
+            adds.append({"add": a})
+            if s.get("dv"):
+                dvs.append({"dv": {"path": p, "keys": list(s["dv"])}})
+        meta = {"schema": old.schema_json, "key_col": old.key_col,
+                "column_mapping": old.mapping,
+                "retired_physical": sorted(set(snap.retired)
+                                           | set(old.retired)),
+                "partition_by": old.partition_by,
+                "key_bloom_bits": old.bloom_bits,
+                "checks": old.checks,
+                "owns_root": snap.owns_root or old.owns_root}
+        actions = [{"commit": {"op": "RESTORE", "to_version": version,
+                               "files_removed": len(snap.files),
+                               "files_restored": len(adds)}},
+                   {"meta": meta},
+                   *[{"remove": {"path": p}} for p in snap.files],
+                   *adds, *dvs]
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "epoch": txn[1]}})
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConflictError("concurrent commit during restore")
+        self._maybe_checkpoint(self.snapshot(snap.version + 1))
+        return {"version": snap.version + 1, "skipped": False,
+                "files_removed": len(snap.files),
+                "files_restored": len(adds)}
+
     # ------------------------------------------------------------- reads+
 
     def table_changes(self, from_version: int, to_version: int,
@@ -1885,6 +1952,20 @@ class TxLogTable:
         if dv_b:
             new = new.join(F.broadcast(self._key_df(b, dv_b)),
                            on=key, how="left_anti")
+        # (4) a DV that SHRANK on a surviving file (RESTORE replaying
+        # a pre-delete snapshot) resurrects rows: dead at `a`, live at
+        # `b` — semi-join those keys onto the new side so they report
+        # as inserts
+        shrunk = {p: sorted(set(a.files[p].get("dv", ()))
+                            - set(b.files[p].get("dv", ())))
+                  for p in set(a.files) & set(b.files)}
+        shrunk = {p: ks for p, ks in shrunk.items() if ks}
+        if shrunk:
+            pool = sorted({k for ks in shrunk.values() for k in ks})
+            und = (self._read_files(b, sorted(shrunk))
+                   .join(F.broadcast(self._key_df(b, pool)),
+                         on=key, how="left_semi"))
+            new = new.unionByName(und)
         cols = [f.name for f in
                 StructType.fromJson(json.loads(b.schema_json)).fields]
         o = old.withColumn("_o", F.lit(1)).alias("o")

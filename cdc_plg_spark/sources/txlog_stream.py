@@ -62,7 +62,9 @@ class CommitPartition(InputPartition):
                  dv_grown: list | None = None,
                  grown_files: list[str] | None = None,
                  mapping: dict | None = None,
-                 partition_by: list[str] | None = None) -> None:
+                 partition_by: list[str] | None = None,
+                 dv_shrunk: list | None = None,
+                 shrunk_files: list[str] | None = None) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
@@ -83,6 +85,11 @@ class CommitPartition(InputPartition):
         self.dv_new = dv_new or []
         self.dv_grown = dv_grown or []
         self.grown_files = grown_files or []
+        # dv_shrunk / shrunk_files — keys whose DV SHRANK on surviving
+        #          files this commit (RESTORE resurrecting dv-deleted
+        #          rows; emit as inserts on the new side)
+        self.dv_shrunk = dv_shrunk or []
+        self.shrunk_files = shrunk_files or []
         # hive partition columns (PHYSICAL names): the parquet bytes
         # lack them; each file's values are parsed from its k=v path
         # segments and re-attached at read
@@ -213,6 +220,10 @@ class TxLogChangesReader(DataSourceStreamReader):
                                - set(a.files[p].get("dv", ())))
                      for p in set(a.files) & set(b.files)}
             grown = {p: ks for p, ks in grown.items() if ks}
+            shrunk = {p: sorted(set(a.files[p].get("dv", ()))
+                                - set(b.files[p].get("dv", ())))
+                      for p in set(a.files) & set(b.files)}
+            shrunk = {p: ks for p, ks in shrunk.items() if ks}
             out.append(CommitPartition(
                 self.table_path, v, removed, added,
                 self.pinned_json or b.schema_json,
@@ -226,7 +237,10 @@ class TxLogChangesReader(DataSourceStreamReader):
                 dv_grown=sorted({k for ks in grown.values()
                                  for k in ks}),
                 grown_files=sorted(grown),
-                partition_by=b.partition_by))
+                partition_by=b.partition_by,
+                dv_shrunk=sorted({k for ks in shrunk.values()
+                                  for k in ks}),
+                shrunk_files=sorted(shrunk)))
             a = b
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
@@ -296,6 +310,11 @@ class TxLogChangesReader(DataSourceStreamReader):
                 ignore_index=True)
         if partition.dv_new:
             new = new[~new[key].isin(partition.dv_new)]
+        if partition.dv_shrunk:
+            s = load(partition.shrunk_files)
+            new = pd.concat(
+                [new, s[s[key].isin(partition.dv_shrunk)]],
+                ignore_index=True)
         m = old.merge(new, on=key, how="outer",
                       suffixes=("_o", "_n"), indicator=True)
 

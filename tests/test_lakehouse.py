@@ -370,8 +370,18 @@ def test_random_op_sequences_match_dict_model(spark, tdir, seed):
 
     for step in range(12):
         kind = rng.choices(("merge", "delete", "delete_dv",
-                            "delete_pred", "optimize", "vacuum"),
-                           weights=(6, 1, 2, 2, 1, 1))[0]
+                            "delete_pred", "optimize", "vacuum",
+                            "restore"),
+                           weights=(6, 1, 2, 2, 1, 1, 1))[0]
+        if kind == "restore":
+            eligible = [v for v in t._versions()
+                        if v in history and v >= horizon]
+            rv = rng.choice(eligible)
+            rm = t.restore(rv)
+            model = dict(history[rv])
+            history[rm["version"]] = dict(model)
+            check_head()
+            continue
         if kind == "merge":
             keys = rng.sample(range(80), rng.randint(1, 6))
             rows, ops = [], {}
@@ -999,10 +1009,11 @@ def test_optimize_zorder_single_file_not_skipped(spark, tdir):
 @pytest.mark.parametrize("cdf_seed", [7, 23])
 def test_stream_matches_batch_cdf_over_random_ops(spark, tdir, cdf_seed):
     """The executor-side per-commit diff in TxLogChangesReader.read()
-    hand-mirrors TxLogTable.table_changes semantics (DV old/new/grown,
-    null-safe compare, image shaping); this property check pins the two
-    implementations in lockstep over randomized MERGE / COW-delete /
-    DV-delete / OPTIMIZE sequences — a future format action handled in
+    hand-mirrors TxLogTable.table_changes semantics (DV
+    old/new/grown/shrunk, null-safe compare, image shaping); this
+    property check pins the two implementations in lockstep over
+    randomized MERGE / COW-delete / DV-delete / OPTIMIZE / RESTORE
+    sequences — a future format action handled in
     one but not the other fails here, not silently in production."""
     import random
 
@@ -1012,8 +1023,9 @@ def test_stream_matches_batch_cdf_over_random_ops(spark, tdir, cdf_seed):
     rng = random.Random(cdf_seed)
     t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=4)
     for _ in range(8):
-        kind = rng.choices(("merge", "delete", "delete_dv", "optimize"),
-                           weights=(5, 1, 2, 1))[0]
+        kind = rng.choices(("merge", "delete", "delete_dv", "optimize",
+                            "restore"),
+                           weights=(5, 1, 2, 1, 1))[0]
         if kind == "merge":
             keys = rng.sample(range(80), rng.randint(1, 6))
             t.merge(src(spark, [(k, rng.randint(-99, 99), rng.choice("IUD"))
@@ -1022,6 +1034,10 @@ def test_stream_matches_batch_cdf_over_random_ops(spark, tdir, cdf_seed):
             lo = rng.randint(0, 70)
             t.delete_where((lo, lo + rng.randint(0, 15)),
                            mode="dv" if kind == "delete_dv" else "cow")
+        elif kind == "restore":
+            # restore may SHRINK a deletion vector — the resurrection
+            # diff case only RESTORE produces
+            t.restore(rng.randint(0, t.snapshot().version))
         else:
             t.optimize(target_files=2)
     head = t.snapshot().version
@@ -1681,3 +1697,62 @@ def test_delete_where_requires_exactly_one_range(spark, tdir):
         t.delete_where()
     with pytest.raises(ValueError):
         t.delete_where((0, 5), where_between=("value", 0, 5))
+
+
+def test_restore_to_version(spark, tdir):
+    """RESTORE re-points HEAD at an old snapshot metadata-only: the
+    restored read is bit-equal to time travel, the undone versions
+    stay readable, the change feed across the restore commit is the
+    inverse diff, and a restore can itself be restored away."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=60, n_files=4)
+    t.merge(src(spark, [(1, -1, "U"), (100, 5, "I")]), op_col="op")  # v1
+    t.delete_where((0, 10), mode="dv")                               # v2
+
+    def state(v=None):
+        return sorted((r["user_id"], r["value"])
+                      for r in t.read(version=v).collect())
+
+    v1, v2 = state(1), state(2)
+    m = t.restore(1)
+    assert (m["version"], m["skipped"]) == (3, False)
+    assert state() == v1                 # head == the restored version
+    assert state(2) == v2                # history intact
+    # feed across the restore: exactly the deleted keys return as I
+    feed = t.table_changes(2, 3)
+    back = sorted(r["user_id"] for r in
+                  feed.filter(F.col("change_type") == "I").collect())
+    assert back == sorted(k for k, _ in v1 if k <= 10)
+    assert feed.filter(F.col("change_type") == "D").count() == 0
+    # restore the restore
+    t.restore(2)
+    assert state() == v2
+    assert t.fsck(deep=True) == []
+    # merges keep working on a restored table
+    t.merge(src(spark, [(200, 7, "I")]), op_col="op")
+    assert (200, 7) in state()
+
+
+def test_restore_idempotent_txn_and_schema(spark, tdir):
+    """(app, epoch) idempotence holds for restore; restoring across a
+    RENAME rewinds the schema while retired physical names stay a
+    union (no resurrection window)."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=30, n_files=2)
+    t.rename_column("value", "amount")                       # v1
+    assert t.read().columns == ["user_id", "amount"]
+    m = t.restore(0, txn=("r", 1))
+    assert t.read().columns == ["user_id", "value"]
+    m2 = t.restore(0, txn=("r", 1))                          # replay
+    assert m2["skipped"] and t.snapshot().version == m["version"]
+    assert t.fsck(deep=True) == []
+
+
+def test_restore_blocked_past_vacuum_horizon(spark, tdir):
+    """Restoring past the vacuum horizon must fail loudly — the files
+    are gone; that is what the horizon means."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=2)
+    for i in range(4):
+        t.merge(src(spark, [(i, -i, "U")]), op_col="op")
+    t.optimize(target_files=1, small_bytes=1 << 30)
+    t.vacuum(retain_last=1, min_age_s=0)
+    with pytest.raises(ValueError):
+        t.restore(0)
