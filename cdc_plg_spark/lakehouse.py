@@ -2198,12 +2198,19 @@ class TxLogTable:
                 "files_out": len(adds), "skipped": False}
 
     def vacuum(self, retain_last: int = 2,
-               min_age_s: float = 3600.0) -> dict:
+               min_age_s: float = 3600.0,
+               dry_run: bool = False) -> dict:
         """Delete data files unreachable from the newest `retain_last`
         versions, then truncate the log behind a fresh checkpoint at
         the horizon.  Pure manifest + directory work — no data pass.
         HEAD is never affected; time travel below the horizon is
         forfeited (the lakehouse VACUUM contract).
+
+        `dry_run=True` (the Delta `VACUUM ... DRY RUN` contract)
+        deletes nothing and truncates nothing: it returns the relative
+        paths that a real run would remove under `would_remove`, so an
+        operator can audit the blast radius before forfeiting time
+        travel.
 
         `min_age_s` protects IN-FLIGHT writers: data lands on disk
         BEFORE the commit that references it, so a concurrent writer's
@@ -2234,6 +2241,7 @@ class TxLogTable:
             return {"data_files_removed": 0, "horizon": None,
                     "versions_retained": len(keep), "yielded": True}
         removed = 0
+        victims: list[str] = []
         cutoff = time.time() - min_age_s
         data_root = os.path.join(self.path, "data")
         sweep = ([os.path.join(data_root, s)
@@ -2253,8 +2261,11 @@ class TxLogTable:
                     try:
                         if (s not in reachable
                                 and os.path.getmtime(full) <= cutoff):
-                            os.unlink(full)
-                            removed += 1
+                            if dry_run:
+                                victims.append(s)
+                            else:
+                                os.unlink(full)
+                                removed += 1
                     except FileNotFoundError:
                         pass
         for subdir in sweep:
@@ -2269,16 +2280,23 @@ class TxLogTable:
                     try:
                         if (rel not in reachable
                                 and os.path.getmtime(full) <= cutoff):
-                            os.unlink(full)
-                            removed += 1
+                            if dry_run:
+                                victims.append(rel)
+                            else:
+                                os.unlink(full)
+                                removed += 1
                     except FileNotFoundError:
                         pass    # concurrent vacuum got there first
                 try:
-                    if not os.listdir(d):
+                    if not dry_run and not os.listdir(d):
                         os.rmdir(d)
                 except OSError:
                     pass        # raced with a writer or another vacuum
         horizon = keep[0]
+        if dry_run:
+            return {"data_files_removed": 0, "horizon": horizon,
+                    "versions_retained": len(keep), "dry_run": True,
+                    "would_remove": sorted(victims)}
         try:
             self._write_checkpoint(self.snapshot(horizon))
         except ValueError:

@@ -1756,3 +1756,24 @@ def test_restore_blocked_past_vacuum_horizon(spark, tdir):
     t.vacuum(retain_last=1, min_age_s=0)
     with pytest.raises(ValueError):
         t.restore(0)
+
+
+def test_vacuum_dry_run(spark, tdir):
+    """dry_run lists exactly what a real vacuum would delete — and
+    deletes nothing, truncates nothing, so time travel still works."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=4)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    t.optimize(target_files=1, small_bytes=1 << 30)
+    versions_before = t._versions()
+    dr = t.vacuum(retain_last=1, min_age_s=0, dry_run=True)
+    assert dr["dry_run"] and dr["data_files_removed"] == 0
+    assert dr["would_remove"]                    # something is sweepable
+    assert t._versions() == versions_before      # log untouched
+    assert t.read(version=0).count() == 40       # time travel intact
+    for rel in dr["would_remove"]:
+        assert os.path.exists(os.path.join(t.path, rel))
+    real = t.vacuum(retain_last=1, min_age_s=0)
+    assert real["data_files_removed"] == len(dr["would_remove"])
+    for rel in dr["would_remove"]:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    assert t.fsck(deep=True) == []
