@@ -1828,8 +1828,9 @@ class TxLogTable:
                 "files_dropped": len(drop_whole),
                 "files_rewritten": 0 if mode == "dv" else len(straddle)}
 
-    def restore(self, version: int,
-                txn: tuple[str, int] | None = None) -> dict:
+    def restore(self, version: int | None = None,
+                txn: tuple[str, int] | None = None,
+                as_of: float | None = None) -> dict:
         """RESTORE TABLE TO VERSION — re-point HEAD at an earlier
         snapshot's file set, schema, and layout in ONE metadata-only
         commit (the Delta RESTORE contract; the bad-deploy rollback
@@ -1844,7 +1845,14 @@ class TxLogTable:
         unrecoverable by design — that's what the horizon means).
         `retired_physical` stays the UNION of both snapshots: schema
         history may rewind, but a physical column name can never be
-        reused without risking resurrecting dropped data."""
+        reused without risking resurrecting dropped data.
+
+        `as_of=<unix seconds>` is RESTORE TO TIMESTAMP (resolved to a
+        version via the commit log's wall-clock times, like read)."""
+        if (version is None) == (as_of is None):
+            raise ValueError("pass exactly one of version / as_of")
+        if as_of is not None:
+            version = self.version_at(as_of)
         snap = self.snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True,

@@ -1777,3 +1777,19 @@ def test_vacuum_dry_run(spark, tdir):
     for rel in dr["would_remove"]:
         assert not os.path.exists(os.path.join(t.path, rel))
     assert t.fsck(deep=True) == []
+
+
+def test_restore_as_of_timestamp(spark, tdir):
+    import time
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=30, n_files=2)
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    t.merge(src(spark, [(1, -1, "U")]), op_col="op")
+    t.restore(as_of=between)
+    assert t.read().filter("user_id = 1").head()["value"] == 2
+    with pytest.raises(ValueError):
+        t.restore()                       # neither version nor as_of
+    with pytest.raises(ValueError):
+        t.restore(0, as_of=between)       # both
