@@ -740,3 +740,151 @@ def analytics_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(cond)
             .agg(F.sum(e4).alias("revenue_e4"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+@register(
+    "analytics_important_stock",
+    oracle="""
+    WITH nval AS (
+        SELECT l.l_partkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT)) AS value_e4
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY 1)
+    SELECT l_partkey AS p_partkey, CAST(value_e4 AS BIGINT) AS value_e4
+    FROM nval
+    WHERE value_e4 * (SELECT COUNT(*) FROM nval)
+          > 2 * (SELECT SUM(value_e4) FROM nval)
+    """,
+)
+def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value held by one
+    nation's suppliers, kept only where the part's share exceeds a
+    fraction of the nation total — the aggregate-filtered-by-a-scalar-
+    subquery-over-the-SAME-aggregate pattern.  The group-by runs ONCE
+    and feeds both sides (Catalyst reuses the exchange); the scalar
+    total broadcasts back as a 1-row join.  Value is an exact e4
+    integer and the share test is integer algebra (value·n > 2·total —
+    parts above TWICE the nation average; scale-free, where the
+    spec's fixed 0.0001 fraction degenerates on uniform synthetic
+    data),
+    so no float threshold can flip a row between engines.  Adapted to
+    the fixture's lineitem bridge — there is no partsupp table
+    (FIXTURES.md), same adaptation as analytics_min_cost_supplier."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = (load_table(spark, "nation", sf_dir)
+         .filter(F.col("n_name") == "NATION_7"))
+    e4 = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 * 10000 + F.lit(0.5)).cast("long")
+    nval = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("l_partkey").alias("p_partkey"))
+              .agg(F.sum(e4).alias("value_e4")))
+    total = nval.agg(F.sum("value_e4").alias("_t"),
+                     F.count(F.lit(1)).alias("_n"))
+    return (nval.join(F.broadcast(total))
+                .filter(F.col("value_e4") * F.col("_n")
+                        > 2 * F.col("_t"))
+                .select("p_partkey", "value_e4"))
+
+
+@register(
+    "analytics_supplier_part_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def analytics_supplier_part_variety(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers can provide each (brand, type, size) bucket,
+    excluding blacklisted suppliers — the NOT-IN-subquery → anti-join
+    rewrite plus a grouped count-distinct.  The blacklist (negative
+    balance stands in for the spec's complaint-comment scan; the
+    fixture has no comment column) is supplier-sized, so the anti
+    join broadcasts; the count-distinct expands to (keys, suppkey)
+    distinct then counts — two exchanges total, both on group keys."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = (load_table(spark, "part", sf_dir)
+         .filter((F.col("p_brand") != "Brand#13")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(5, 10, 15, 20, 25, 30)))
+    bad = (load_table(spark, "supplier", sf_dir)
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "analytics_restock_candidates",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING COUNT(*) >= 2
+           AND SUM(CASE WHEN l_shipdate >= DATE '1995-01-01'
+                         AND l_shipdate < DATE '1996-01-01'
+                        THEN CAST(ROUND(l_quantity, 4) * 10000 AS BIGINT)
+                        ELSE 0 END) * 2
+               > SUM(CAST(ROUND(l_quantity, 4) * 10000 AS BIGINT)))
+    """,
+)
+def analytics_restock_candidates(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    MORE than half of a flagged part's lifetime volume inside one year
+    — the nested IN-chain (supplier ← pairs ← flagged parts) with a
+    correlated volume threshold.  The spec's availqty>0.5×shipped
+    test becomes a conditional-sum HAVING over the SAME pair
+    aggregate (no second scan, exact e4 integers, integer doubling
+    instead of a 0.5 float; a 2-line floor keeps single-shipment
+    pairs — trivially "all volume in one year" — from qualifying
+    every supplier on sparse fixtures).  Plan: flagged part ids broadcast-semi
+    onto the fact, ONE (supp, part) aggregate, then the surviving
+    suppkeys broadcast-semi onto supplier — no subquery is ever
+    re-evaluated per row, which is the entire point of decorrelating
+    Q20."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    flagged = (load_table(spark, "part", sf_dir)
+               .filter(F.col("p_name").startswith("small"))
+               .select("p_partkey"))
+    q_e4 = F.round(F.col("l_quantity"), 4).cast("decimal(18,4)") \
+            .cast("double") * 10000
+    q_e4 = q_e4.cast("long")
+    in95 = (F.col("l_shipdate") >= "1995-01-01") & \
+           (F.col("l_shipdate") < "1996-01-01")
+    pairs = (li.join(F.broadcast(flagged),
+                     li.l_partkey == F.col("p_partkey"), "left_semi")
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.when(in95, q_e4).otherwise(0)).alias("_y"),
+                    F.sum(q_e4).alias("_all"),
+                    F.count(F.lit(1)).alias("_n"))
+               .filter((F.col("_n") >= 2)
+                       & (F.col("_y") * 2 > F.col("_all")))
+               .select("l_suppkey").distinct())
+    return (s.join(F.broadcast(pairs),
+                   s.s_suppkey == pairs.l_suppkey, "left_semi")
+             .select("s_suppkey", "s_name"))
