@@ -764,9 +764,14 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part value held by one
     nation's suppliers, kept only where the part's share exceeds a
     fraction of the nation total — the aggregate-filtered-by-a-scalar-
-    subquery-over-the-SAME-aggregate pattern.  The group-by runs ONCE
-    and feeds both sides (Catalyst reuses the exchange); the scalar
-    total broadcasts back as a 1-row join.  Value is an exact e4
+    subquery-over-the-SAME-aggregate pattern.  The scalar total
+    broadcasts back as a 1-row nested-loop join; the aggregate
+    subtree is planned twice (plan snapshot: 6 scans — Catalyst does
+    not reuse non-identical aggregate exchanges), which is the
+    standard engine plan for Q11; a production pipeline at 100 TB
+    would `.persist()` the per-part aggregate (group-cardinality
+    sized) to make the second pass free — left un-persisted here so
+    the registry query stays side-effect-free.  Value is an exact e4
     integer and the share test is integer algebra (value·n > 2·total —
     parts above TWICE the nation average; scale-free, where the
     spec's fixed 0.0001 fraction degenerates on uniform synthetic

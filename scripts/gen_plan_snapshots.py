@@ -58,6 +58,8 @@ SNAPSHOT_QUERIES = [
     "analytics_promo_share", "analytics_small_qty_revenue",
     "analytics_idle_customers", "analytics_min_cost_supplier",
     "analytics_yoy_growth", "analytics_basket_pairs",
+    "analytics_important_stock", "analytics_supplier_part_variety",
+    "analytics_restock_candidates",
     "analytics_rfm_segmentation", "dedup_sorted_neighborhood",
     "sql_portable_cte",
     "fn_datetime_tz", "sample_weighted", "maintenance_zorder_layout",
