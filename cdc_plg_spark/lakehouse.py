@@ -1848,7 +1848,15 @@ class TxLogTable:
         reused without risking resurrecting dropped data.
 
         `as_of=<unix seconds>` is RESTORE TO TIMESTAMP (resolved to a
-        version via the commit log's wall-clock times, like read)."""
+        version via the commit log's wall-clock times, like read).
+
+        Race note (the Delta vacuum-vs-time-travel window, inherited
+        deliberately): the files-exist check runs pre-commit, so a
+        vacuum that computed its reachable set BEFORE this restore
+        publishes can still unlink the re-referenced files.  The
+        standard defense is vacuum's retention period (`min_age_s` /
+        retain_last) sized beyond any restore you'd attempt; a deep
+        fsck flags the damage if the window is ever hit."""
         if (version is None) == (as_of is None):
             raise ValueError("pass exactly one of version / as_of")
         if as_of is not None:

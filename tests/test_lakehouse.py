@@ -1793,3 +1793,53 @@ def test_restore_as_of_timestamp(spark, tdir):
         t.restore()                       # neither version nor as_of
     with pytest.raises(ValueError):
         t.restore(0, as_of=between)       # both
+
+
+def test_restore_races_with_merges(spark, tdir):
+    """RESTORE under concurrent MERGE pressure: each restore attempt
+    either wins its commit slot cleanly or raises ConflictError —
+    never a torn manifest.  Afterward the head replays from the log
+    (snapshot == read), deep fsck is clean, and every commit number is
+    contiguous (the optimistic-concurrency invariant)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cdc_plg_spark.lakehouse import ConflictError
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=40, n_files=2)
+    for i in range(3):
+        t.merge(src(spark, [(100 + i, i, "I")]), op_col="op")
+
+    outcomes = {"restored": 0, "conflict": 0, "merged": 0}
+
+    def merger(i):
+        for j in range(4):
+            while True:
+                try:
+                    t.merge(src(spark, [(200 + 10 * i + j, j, "I")]),
+                            op_col="op")
+                    outcomes["merged"] += 1
+                    break
+                except ConflictError:
+                    continue
+
+    def restorer():
+        for _ in range(3):
+            try:
+                t.restore(2)
+                outcomes["restored"] += 1
+            except ConflictError:
+                outcomes["conflict"] += 1
+
+    with ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(merger, i) for i in range(3)]
+        futs.append(ex.submit(restorer))
+        for f in futs:
+            f.result()
+
+    assert outcomes["merged"] == 12
+    assert outcomes["restored"] + outcomes["conflict"] == 3
+    # contiguous commit log — no torn or skipped version
+    vs = t._versions()
+    assert vs == list(range(vs[0], vs[-1] + 1))
+    assert t.fsck(deep=True) == []
+    t.read().count()                  # head replays and scans cleanly

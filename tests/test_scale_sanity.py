@@ -79,6 +79,12 @@ SCALE_QUERIES = (
     "lakehouse_convert_cdc_roundtrip",  # (r6) convert→merge→streamed-MV
     #                                 composition: footer-stat adoption +
     #                                 capped catch-up must hold at scale
+    "analytics_important_stock",    # (r6) Q11 share threshold: empty at
+    #                                 sf0.001 (nation has no suppliers),
+    #                                 selective at sf0.1 — both must agree
+    "analytics_restock_candidates",  # (r6) Q20 HAVING floor: fixture
+    #                                 sparsity changes with sf; the pair
+    #                                 threshold must stay engine-equal
 )
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.1")
