@@ -1567,7 +1567,8 @@ class TxLogTable:
 
     def merge(self, source: DataFrame, op_col: str | None = None,
               txn: tuple[str, int] | None = None,
-              order_by: tuple[str, ...] | None = None) -> dict:
+              order_by: tuple[str, ...] | None = None,
+              partial: bool = False) -> dict:
         """MERGE INTO this table USING source ON key.
 
         Row semantics (the reference's sink apply contract,
@@ -1575,6 +1576,16 @@ class TxLogTable:
         key; any other source row upserts it; target keys absent from
         the source pass through untouched.  Source must be compacted to
         one row per key (latest op wins) by the caller.
+
+        `partial=True` is UPDATE SET for sparse change events (a CDC
+        feed that ships only changed columns): table columns ABSENT
+        from the source keep their target value on matched rows (and
+        are NULL on inserts); columns the source carries are set —
+        including to NULL, so "set NULL" and "unchanged" stay
+        distinguishable (column presence, not value, is the signal).
+        Off by default: with `partial=False` a source missing table
+        columns is rejected, because silently nulling them is the
+        classic full-row-replace footgun.
 
         `order_by` makes matched-row resolution last-writer-wins by
         that column tuple instead of source-always-wins: a source row
@@ -1628,12 +1639,21 @@ class TxLogTable:
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
             missing = [c for c in cols if c not in s.columns]
-            if missing:
+            if missing and not partial:
                 raise ValueError(
                     f"merge source must carry every table column; "
                     f"missing {missing} (a row that wins replaces the "
                     f"whole row — partial updates would null columns "
-                    f"silently)")
+                    f"silently; pass partial=True for UPDATE SET "
+                    f"semantics)")
+            if key not in s.columns:
+                raise ValueError(f"merge source lacks key {key!r}")
+            if order_by is not None and partial:
+                ob_missing = [c for c in order_by if c not in s.columns]
+                if ob_missing:
+                    raise ValueError(
+                        f"order_by columns {ob_missing} must be in a "
+                        f"partial merge source (resolution needs them)")
             target = self._read_files_live(snap, touched)
             t_ = target.withColumn("_t", F.lit(1)).alias("t")
             s_ = s.withColumn("_s", F.lit(1)).alias("s")
@@ -1647,8 +1667,10 @@ class TxLogTable:
             merged = (joined
                       .filter(~(s_wins & (F.col("_op") == "D")))
                       .select(F.col(key), *[
-                          F.when(s_wins, F.col(f"s.{c}"))
-                           .otherwise(F.col(f"t.{c}")).alias(c)
+                          (F.when(s_wins, F.col(f"s.{c}"))
+                            .otherwise(F.col(f"t.{c}"))
+                           if c in s.columns else F.col(f"t.{c}"))
+                          .alias(c)
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
             n_files = max(1, len(touched))

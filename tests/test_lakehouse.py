@@ -1843,3 +1843,37 @@ def test_restore_races_with_merges(spark, tdir):
     assert vs == list(range(vs[0], vs[-1] + 1))
     assert t.fsck(deep=True) == []
     t.read().count()                  # head replays and scans cleanly
+
+
+def test_merge_partial_update_set(spark, tdir):
+    """partial=True = UPDATE SET for sparse CDC events: absent columns
+    keep their target value on matches and are NULL on inserts;
+    carried columns set even to NULL (presence, not value, signals
+    change); deletes and order_by still work; the default path still
+    rejects a narrow source."""
+    df = spark.range(0, 50).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=2)
+    with pytest.raises(ValueError):    # default: narrow source rejected
+        t.merge(spark.createDataFrame([(1, -1)], "user_id long, value long"))
+
+    t.merge(spark.createDataFrame(
+        [(1, -1, "U"), (2, None, "U"), (100, 7, "I"), (3, 0, "D")],
+        "user_id long, value long, op string"),
+        op_col="op", partial=True)
+    got = {r["user_id"]: (r["value"], r["name"])
+           for r in t.read().collect()}
+    assert got[1] == (-1, "n1")        # value set, name untouched
+    assert got[2] == (None, "n2")      # carried NULL really sets NULL
+    assert got[100] == (7, None)       # insert: absent column NULL
+    assert 3 not in got                # delete still deletes
+    assert got[4] == (8, "n4")         # untouched key untouched
+
+    # order_by columns must ride along in a partial source
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(1, "x")],
+                                      "user_id long, name string"),
+                partial=True, order_by=("value",))
+    assert t.fsck(deep=True) == []
