@@ -1891,12 +1891,15 @@ class TxLogTable:
         if old.schema_json is None:
             raise ValueError(f"version {version} has no schema "
                              f"(not a table snapshot)")
-        missing = [p for p in old.files
-                   if not os.path.exists(self._abs(p))]
+        missing = [p for p, s in old.files.items()
+                   if not os.path.exists(self._abs(p))
+                   or (s.get("bloom")
+                       and not os.path.exists(self._abs(p) + ".bloom"))]
         if missing:
             raise ValueError(
                 f"cannot restore to version {version}: {len(missing)} "
-                f"file(s) vacuumed, e.g. {missing[0]!r}")
+                f"file(s) (or bloom sidecars) vacuumed, "
+                f"e.g. {missing[0]!r}")
         adds, dvs = [], []
         for p, s in sorted(old.files.items()):
             a = {"path": p,
