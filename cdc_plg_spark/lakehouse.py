@@ -251,11 +251,15 @@ def _stat_encode(v):
 def _stat_bound(v, type_name: str | None):
     """Predicate bound -> the integer domain `type_name`'s stats are
     stored in.  Accepts ISO strings, datetime/date objects, or raw
-    integers already in the stat domain; non-temporal types pass
-    through untouched (their stats are stored as-is)."""
+    integers already in the stat domain (epoch micros / epoch days;
+    floats floor to the grid — sound for int-valued stats on both
+    ends); non-temporal types pass through untouched (their stats are
+    stored as-is)."""
+    import math
+
     if type_name in ("timestamp", "timestamp_ntz"):
         if isinstance(v, (int, float)):
-            return int(v)
+            return math.floor(v)
         if isinstance(v, str):
             v = _datetime.fromisoformat(v)
         if isinstance(v, _date) and not isinstance(v, _datetime):
@@ -263,12 +267,27 @@ def _stat_bound(v, type_name: str | None):
         return _stat_encode(v)
     if type_name == "date":
         if isinstance(v, (int, float)):
-            return int(v)
+            return math.floor(v)
         if isinstance(v, str):
             v = _date.fromisoformat(v)
         if isinstance(v, _datetime):
             v = v.date()
         return (v - _date(1970, 1, 1)).days
+    return v
+
+
+def _residual_bound(v, type_name: str | None):
+    """The bound as Spark sees it in the residual/row-level filter.
+    A raw numeric bound on a temporal column is in the STAT domain
+    (epoch micros / days) — handing the bare long to Spark would make
+    it an epoch-SECONDS cast, silently shifting the filter; wrap it in
+    the explicit constructor instead.  Everything else passes through
+    (Spark casts ISO strings and datetime objects natively)."""
+    if isinstance(v, (int, float)):
+        if type_name in ("timestamp", "timestamp_ntz"):
+            return F.timestamp_micros(F.lit(int(v)))
+        if type_name == "date":
+            return F.date_from_unix_date(F.lit(int(v)))
     return v
 
 
@@ -1078,15 +1097,20 @@ class TxLogTable:
                  else [tuple(w) for w in where_between]
                  if isinstance(where_between, (list, set))
                  else [tuple(where_between)])
+        residuals = []
         if preds:
             _schema = StructType.fromJson(json.loads(snap.schema_json))
         for col, lo, hi in preds:
             pcol = snap.phys(col)   # stats are keyed by physical name
             # temporal stats live in an integer domain (_stat_encode);
             # translate the bounds there for the manifest prune — the
-            # residual Spark filter below still sees the originals
+            # residual Spark filter below gets the originals (numeric
+            # temporal bounds re-wrapped so Spark reads them as the
+            # stat domain, not epoch seconds)
             _ft = (_schema[col].dataType.typeName()
                    if col in _schema.fieldNames() else None)
+            residuals.append((col, _residual_bound(lo, _ft),
+                              _residual_bound(hi, _ft)))
             lo, hi = _stat_bound(lo, _ft), _stat_bound(hi, _ft)
             if pcol in (snap.partition_by or []):
                 # partition column: EXACT per-file value in the
@@ -1111,7 +1135,7 @@ class TxLogTable:
         if key_between is not None:
             lo, hi = key_between
             df = df.filter(F.col(snap.key_col).between(lo, hi))
-        for col, lo, hi in preds:
+        for col, lo, hi in residuals:
             df = df.filter(F.col(col).between(lo, hi))
         return df
 
@@ -1802,9 +1826,12 @@ class TxLogTable:
             straddle = [p for p, r in v.items() if r == "straddle"]
             match_cond = F.lit(True)
             for col, lo0, hi0 in preds:
+                ft = (_schema[col].dataType.typeName()
+                      if col in _schema.fieldNames() else None)
                 match_cond = match_cond & \
-                    F.coalesce(F.col(col).between(lo0, hi0),
-                               F.lit(False))
+                    F.coalesce(F.col(col).between(
+                        _residual_bound(lo0, ft),
+                        _residual_bound(hi0, ft)), F.lit(False))
         actions = [{"commit": {"op": "DELETE", "mode": mode,
                                "files_dropped": len(drop_whole),
                                "files_rewritten":

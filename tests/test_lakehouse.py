@@ -1877,3 +1877,31 @@ def test_merge_partial_update_set(spark, tdir):
                                       "user_id long, name string"),
                 partial=True, order_by=("value",))
     assert t.fsck(deep=True) == []
+
+
+def test_temporal_bounds_as_raw_integers(spark, tdir):
+    """Raw numeric temporal bounds are in the STAT domain (epoch
+    micros / epoch days): both the manifest prune AND the row-level
+    residual must read them there — a bare long handed to Spark would
+    cast as epoch SECONDS and silently shift the filter by 10^6."""
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"),
+                          _temporal_df(spark), "user_id", n_files=8)
+    lo_us = 1704067200000000 + 96 * 3600 * 1_000_000   # 2024-01-05
+    hi_us = 1704067200000000 + 120 * 3600 * 1_000_000  # 2024-01-06
+    got = t.read(where_between=("ts", lo_us, hi_us))
+    expect = sorted(r["user_id"] for r in t.read().filter(
+        F.col("ts").between("2024-01-05", "2024-01-06")).collect())
+    assert sorted(r["user_id"] for r in got.collect()) == expect
+    assert expect and len(got.inputFiles()) <= 2
+    # epoch-days bounds on the date column
+    d_lo, d_hi = 19727, 19732                          # 2024-01-05..10
+    gd = t.read(where_between=("d", d_lo, d_hi))
+    ed = sorted(r["user_id"] for r in t.read().filter(
+        F.col("d").between("2024-01-05", "2024-01-10")).collect())
+    assert sorted(r["user_id"] for r in gd.collect()) == ed
+    # predicate DELETE with raw-integer bounds deletes the same band
+    m = t.delete_where(where_between=("ts", 0, hi_us))
+    kept = sorted(r["user_id"] for r in t.read().collect())
+    assert kept == sorted(r["user_id"] for r in _temporal_df(spark).filter(
+        ~F.coalesce(F.col("ts") <= "2024-01-06", F.lit(False))
+    ).collect())
