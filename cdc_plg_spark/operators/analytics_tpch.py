@@ -785,9 +785,13 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("n_name") == "NATION_7"))
     e4 = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                  * 10000 + F.lit(0.5)).cast("long")
-    nval = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-              .join(F.broadcast(n),
-                    F.col("s_nationkey") == F.col("n_nationkey"))
+    # reduce supplier to the one nation's slice BEFORE it broadcasts:
+    # the filtered dimension is the broadcast candidate, not the whole
+    # supplier table (which a 100x scale-up would make OOM-sized)
+    sn = s.join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+    nval = (li.join(F.broadcast(sn.select("s_suppkey")),
+                    li.l_suppkey == F.col("s_suppkey"), "left_semi")
               .groupBy(F.col("l_partkey").alias("p_partkey"))
               .agg(F.sum(e4).alias("value_e4")))
     total = nval.agg(F.sum("value_e4").alias("_t"),
@@ -830,9 +834,13 @@ def analytics_supplier_part_variety(spark: SparkSession,
                  & F.col("p_size").isin(5, 10, 15, 20, 25, 30)))
     bad = (load_table(spark, "supplier", sf_dir)
            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    # no broadcast hint on part: the size-IN filter keeps ~12% of a
+    # dimension that grows with SF — AQE picks broadcast when it IS
+    # small, and a forced hint would OOM at a 100x scale-up.  The
+    # blacklist stays hinted (bad suppliers are always tiny).
     return (li.join(F.broadcast(bad),
                     li.l_suppkey == bad.s_suppkey, "left_anti")
-              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(p, li.l_partkey == p.p_partkey)
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -881,7 +889,10 @@ def analytics_restock_candidates(spark: SparkSession,
     q_e4 = q_e4.cast("long")
     in95 = (F.col("l_shipdate") >= "1995-01-01") & \
            (F.col("l_shipdate") < "1996-01-01")
-    pairs = (li.join(F.broadcast(flagged),
+    # flagged ids are a name-prefix slice of part (~1/6, scales with
+    # SF) — no forced broadcast; AQE demotes to shuffle semi join
+    # when the slice outgrows the threshold
+    pairs = (li.join(flagged,
                      li.l_partkey == F.col("p_partkey"), "left_semi")
                .groupBy("l_suppkey", "l_partkey")
                .agg(F.sum(F.when(in95, q_e4).otherwise(0)).alias("_y"),
