@@ -24,6 +24,7 @@ import time
 def main() -> int:
     path, wid, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     part = len(sys.argv) > 4 and sys.argv[4] == "part"
+    chaos = len(sys.argv) > 4 and sys.argv[4] == "chaos"
 
     from pyspark.sql import SparkSession
 
@@ -37,6 +38,8 @@ def main() -> int:
              .getOrCreate())
     try:
         t = TxLogTable(spark, path)
+        if chaos:
+            return _chaos(t, spark, wid, iters)
         lo = 1000 + wid * 100
         for i in range(iters):
             if part:
@@ -78,6 +81,53 @@ def main() -> int:
         return 0
     finally:
         spark.stop()
+
+
+
+
+def _chaos(t, spark, wid: int, iters: int) -> int:
+    """Chaos mode: every format op the fourth r6 session added —
+    predicate DELETE (cow + dv) and RESTORE — raced across process
+    boundaries against merges/optimize/vacuum.  No content
+    expectation here (restores rewind by design); the parent asserts
+    log serializability + deep fsck instead.  Any exception other
+    than the documented conflict/validation outcomes is a failure."""
+    from cdc_plg_spark.lakehouse import ConflictError
+
+    rng = random.Random(1000 + wid)
+    lo = 1000 + wid * 100
+    for i in range(iters):
+        kind = rng.choice(("merge", "merge", "delete_pred",
+                           "restore", "optimize", "vacuum"))
+        try:
+            if kind == "merge":
+                src = spark.createDataFrame(
+                    [(lo + k, wid * 10000 + i) for k in range(10)],
+                    "user_id long, value long")
+                for _ in range(60):
+                    try:
+                        t.merge(src)
+                        break
+                    except ConflictError:
+                        time.sleep(random.random() * 0.2)
+            elif kind == "delete_pred":
+                vlo = rng.randint(0, 40000)
+                t.delete_where(
+                    where_between=("value", vlo, vlo + 5000),
+                    mode=rng.choice(("cow", "dv")))
+            elif kind == "restore":
+                vs = t._versions()
+                t.restore(rng.choice(vs[-3:]))
+            elif kind == "optimize":
+                t.optimize(small_bytes=1 << 30)
+            else:
+                # age guard: in-flight neighbors' files stay safe
+                t.vacuum(retain_last=3, min_age_s=3600)
+        except (ConflictError, ValueError):
+            # lost a commit race / target version truncated or
+            # vacuumed mid-flight — both documented outcomes
+            continue
+    return 0
 
 
 if __name__ == "__main__":

@@ -1905,3 +1905,39 @@ def test_temporal_bounds_as_raw_integers(spark, tdir):
     assert kept == sorted(r["user_id"] for r in _temporal_df(spark).filter(
         ~F.coalesce(F.col("ts") <= "2024-01-06", F.lit(False))
     ).collect())
+
+
+def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
+    """Process-boundary chaos soak for the fourth-session ops: 3 OS
+    processes race random MERGE / predicate-DELETE (cow+dv) / RESTORE
+    / OPTIMIZE / VACUUM against one table.  Content is unspecified by
+    design (restores rewind concurrent work); what must hold is the
+    format's integrity: every worker exits clean, the commit log is
+    contiguous, every surviving version replays, and deep fsck finds
+    nothing."""
+    import subprocess
+    import sys as _sys
+
+    path = os.path.join(tdir, "t")
+    make_table(spark, path, n=50, n_files=2)
+    script = os.path.join(os.path.dirname(__file__),
+                          "_txlog_race_worker.py")
+    env = dict(os.environ,
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [_sys.executable, script, path, str(w), "6", "chaos"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        cwd=tdir) for w in range(3)]
+    for w, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, \
+            f"chaos worker {w} rc={p.returncode}\n{out.decode()[-3000:]}"
+
+    t = TxLogTable(spark, path)
+    versions = t._versions()
+    assert versions == list(range(min(versions), max(versions) + 1))
+    assert t.snapshot().version >= 3          # the race did commit work
+    for v in versions:                        # every survivor replays
+        t.read(version=v).count()
+    assert t.fsck(deep=True) == []
