@@ -1941,3 +1941,43 @@ def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
     for v in versions:                        # every survivor replays
         t.read(version=v).count()
     assert t.fsck(deep=True) == []
+
+
+def test_stream_survives_schema_rewinding_restore(spark, tdir):
+    """A RESTORE that rewinds a schema widening while a txlog_changes
+    stream is mid-flight: the stream's schema is pinned at start (the
+    honest Spark limit), so post-restore commits in the NARROW schema
+    must surface with the vanished column as NULL — not crash, not
+    resurrect stale bytes."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    t = make_table(spark, os.path.join(tdir, "t"), n=20, n_files=1)
+    # v1: widening merge adds `extra`
+    wide = spark.createDataFrame([(1, -1, 77, "U")],
+                                 "user_id long, value long, "
+                                 "extra long, op string")
+    t.merge(wide, op_col="op")
+    ckpt = os.path.join(tdir, "ckpt")
+    out = os.path.join(tdir, "out")
+
+    def run():
+        q = (spark.readStream.format("txlog_changes")
+             .option("path", t.path).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return {(r["commit_version"], r["user_id"]):
+                (r["change_type"], r["extra"])
+                for r in spark.read.parquet(out).collect()}
+
+    first = run()                     # consumes v1 under the WIDE pin
+    assert first[(1, 1)] == ("U", 77)
+    t.restore(0)                      # v2: schema rewinds to narrow
+    t.merge(src(spark, [(2, -2, "U")]))          # v3: narrow commit
+    got = run()                       # same checkpoint, same wide pin
+    # the restore emits the un-update of key 1 (back to value 2,
+    # extra NULL) and the narrow commit surfaces with extra NULL
+    assert got[(2, 1)][1] is None
+    assert got[(3, 2)] == ("U", None)
