@@ -1737,6 +1737,64 @@ class TxLogTable:
             # plain appends interleaved — recompute against new snapshot
         raise ConflictError("merge retries exhausted")
 
+    def _classify_pred_files(self, snap: Snapshot, where_between):
+        """Classify live files against ANDed range predicates.
+
+        Returns (all_match, may_match, match_cond): files whose stats
+        PROVE every row matches every predicate (needs containment +
+        a zero null count for non-key columns — BETWEEN never matches
+        NULL), files that may hold matching rows, and the row-level
+        match condition (each BETWEEN NULL-coalesced to False, numeric
+        temporal bounds read in the stat domain).  Files whose stats
+        prove NO row matches appear in neither list."""
+        key = snap.key_col
+        preds = ([tuple(w) for w in where_between]
+                 if isinstance(where_between, (list, set))
+                 else [tuple(where_between)])
+        _schema = StructType.fromJson(json.loads(snap.schema_json))
+
+        def _verdict(s: dict) -> str:
+            all_match = True
+            for col, lo0, hi0 in preds:
+                pcol = snap.phys(col)
+                ft = (_schema[col].dataType.typeName()
+                      if col in _schema.fieldNames() else None)
+                plo, phi = _stat_bound(lo0, ft), _stat_bound(hi0, ft)
+                if pcol in (snap.partition_by or []):
+                    if not plo <= s["partition"][pcol] <= phi:
+                        return "keep"   # exact value: no row matches
+                elif pcol == snap.phys(key):
+                    if s["min_key"] > phi or s["max_key"] < plo:
+                        return "keep"
+                    if not (plo <= s["min_key"]
+                            and s["max_key"] <= phi):
+                        all_match = False   # keys are never NULL
+                else:
+                    rng = s.get("cols", {}).get(pcol)
+                    if rng is None:
+                        all_match = False   # unknown: must scan
+                    elif rng[0] > phi or rng[1] < plo:
+                        return "keep"
+                    elif not (len(rng) > 2 and rng[2] == 0
+                              and plo <= rng[0] and rng[1] <= phi):
+                        # containment without a zero null count
+                        # can't prove NULL rows absent
+                        all_match = False
+            return "all" if all_match else "may"
+
+        v = {p: _verdict(s) for p, s in snap.files.items()}
+        match_cond = F.lit(True)
+        for col, lo0, hi0 in preds:
+            ft = (_schema[col].dataType.typeName()
+                  if col in _schema.fieldNames() else None)
+            match_cond = match_cond & \
+                F.coalesce(F.col(col).between(
+                    _residual_bound(lo0, ft),
+                    _residual_bound(hi0, ft)), F.lit(False))
+        return ([p for p, r in v.items() if r == "all"],
+                [p for p, r in v.items() if r == "may"],
+                match_cond)
+
     def delete_where(self, key_between: tuple | None = None,
                      mode: str = "cow",
                      txn: tuple[str, int] | None = None,
@@ -1784,54 +1842,8 @@ class TxLogTable:
                         and s["max_key"] >= lo and s["min_key"] <= hi]
             match_cond = F.col(key).between(lo, hi)
         else:
-            preds = ([tuple(w) for w in where_between]
-                     if isinstance(where_between, (list, set))
-                     else [tuple(where_between)])
-            _schema = StructType.fromJson(json.loads(snap.schema_json))
-
-            def _verdict(s: dict) -> str:
-                # "drop": stats prove all rows match every predicate;
-                # "keep": some predicate provably matches no row;
-                # "straddle": anything in between
-                all_match = True
-                for col, lo0, hi0 in preds:
-                    pcol = snap.phys(col)
-                    ft = (_schema[col].dataType.typeName()
-                          if col in _schema.fieldNames() else None)
-                    plo, phi = _stat_bound(lo0, ft), _stat_bound(hi0, ft)
-                    if pcol in (snap.partition_by or []):
-                        if not plo <= s["partition"][pcol] <= phi:
-                            return "keep"   # exact value: no row matches
-                    elif pcol == snap.phys(key):
-                        if s["min_key"] > phi or s["max_key"] < plo:
-                            return "keep"
-                        if not (plo <= s["min_key"]
-                                and s["max_key"] <= phi):
-                            all_match = False   # keys are never NULL
-                    else:
-                        rng = s.get("cols", {}).get(pcol)
-                        if rng is None:
-                            all_match = False   # unknown: must scan
-                        elif rng[0] > phi or rng[1] < plo:
-                            return "keep"
-                        elif not (len(rng) > 2 and rng[2] == 0
-                                  and plo <= rng[0] and rng[1] <= phi):
-                            # containment without a zero null count
-                            # can't prove NULL rows absent
-                            all_match = False
-                return "drop" if all_match else "straddle"
-
-            v = {p: _verdict(s) for p, s in snap.files.items()}
-            drop_whole = [p for p, r in v.items() if r == "drop"]
-            straddle = [p for p, r in v.items() if r == "straddle"]
-            match_cond = F.lit(True)
-            for col, lo0, hi0 in preds:
-                ft = (_schema[col].dataType.typeName()
-                      if col in _schema.fieldNames() else None)
-                match_cond = match_cond & \
-                    F.coalesce(F.col(col).between(
-                        _residual_bound(lo0, ft),
-                        _residual_bound(hi0, ft)), F.lit(False))
+            drop_whole, straddle, match_cond = \
+                self._classify_pred_files(snap, where_between)
         actions = [{"commit": {"op": "DELETE", "mode": mode,
                                "files_dropped": len(drop_whole),
                                "files_rewritten":
