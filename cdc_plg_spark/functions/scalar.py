@@ -795,9 +795,8 @@ def decode_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Debezium / Maxwell wire decodes --------------------------------
 # The other two widely-deployed CDC JSON wire formats next to canal
 # (decode_canal_json above).  Implemented and pytest-verified in r6;
-# @register deferred to r7 so this round's driver budget drains the
-# stale-green backlog first (SURVEY "Round-7 candidates").  To
-# register: wrap with @register(name, oracle=<the _ORACLE below>).
+# registration landed r7 (the only two new registry ids this round, by
+# VERDICT r6's drain-budget plan).
 
 DECODE_DEBEZIUM_ORACLE = """
     SELECT event_id, user_id,
@@ -811,6 +810,8 @@ DECODE_DEBEZIUM_ORACLE = """
 """
 
 
+@register("decode_debezium_json", oracle=DECODE_DEBEZIUM_ORACLE,
+          tags=("cdc",))
 def decode_debezium_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-JSON envelope decode (README.md:17,75 — ordered row
     changes serialized as JSON; Debezium's `payload.before/after/
@@ -867,6 +868,8 @@ DECODE_MAXWELL_ORACLE = """
 """
 
 
+@register("decode_maxwell_json", oracle=DECODE_MAXWELL_ORACLE,
+          tags=("cdc",))
 def decode_maxwell_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maxwell-JSON decode — the third common CDC wire format
     (README.md:17,75).  Maxwell's envelope is flat: `database/table/

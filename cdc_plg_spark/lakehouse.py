@@ -116,7 +116,7 @@ import json
 import os
 import shutil
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from datetime import date as _date, datetime as _datetime, timezone as _tz
 
 from pyspark.sql import DataFrame, SparkSession
@@ -193,11 +193,16 @@ def _checks_referencing(checks: dict[str, str], col: str) -> list[str]:
     """Constraint names whose expression mentions `col` as a word —
     conservative (a string literal containing the name also matches),
     which errs toward refusing a rename/drop that would orphan a
-    constraint, never toward allowing one."""
+    constraint, never toward allowing one.  Backticks are stripped
+    before matching: a check written as  `value` >= 0  references
+    `value` exactly as the unquoted form does, and the lookbehind
+    would otherwise skip it (rename/drop would then orphan the
+    constraint and every later write would fail resolving it)."""
     import re
 
-    pat = re.compile(rf"(?<![\w.`]){re.escape(col)}(?![\w(])")
-    return sorted(n for n, e in checks.items() if pat.search(e))
+    pat = re.compile(rf"(?<![\w.]){re.escape(col)}(?![\w(])")
+    return sorted(n for n, e in checks.items()
+                  if pat.search(e.replace("`", "")))
 
 
 def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
@@ -231,7 +236,10 @@ def _bloom_positions(h1, h2, k: int, m: int):
 # both stats and predicate bounds to the same grid keeps containment
 # pruning conservative (floor(max) < floor(lo) ⇒ max < lo, and
 # floor(min) > floor(hi) ⇒ min > hi), so a matching row can never be
-# skipped.
+# skipped.  The OTHER direction — proving every row matches, used by
+# delete_where's whole-file drop — is NOT floor-sound at the boundary
+# (floor(max) <= floor(hi) !⇒ max <= hi for sub-µs values), so
+# _classify_pred_files requires STRICT containment on temporal columns.
 _TEMPORAL_STAT_TYPES = ("timestamp", "timestamp_ntz", "date")
 
 
@@ -340,9 +348,27 @@ def _footer_stats(path: str, cols: list[str]):
                 nulls[name] = None
             if name in dead:
                 continue
-            mn = _stat_encode(st.min) if st is not None and \
+            # ns-unit TIMESTAMP columns: the engine reads these as
+            # LONG nanoseconds (spark.sql.legacy.parquet.nanosAsLong —
+            # Spark has no ns timestamp type), so their stats must be
+            # the raw ns integers, NOT µs-floored epoch micros: a
+            # µs-domain stat against ns-long row values is off by
+            # 1000× and would mis-prune.  pyarrow surfaces ns stats as
+            # pandas Timestamps whose .value is exact ns; a build
+            # without that attribute (plain datetime = lossy) drops
+            # the column to the never-prune path instead.
+            _ns_unit = (st is not None and st.logical_type is not None
+                        and "timeUnit=nanoseconds"
+                        in str(st.logical_type))
+
+            def _enc(v):
+                if _ns_unit:
+                    return getattr(v, "value", None)
+                return _stat_encode(v)
+
+            mn = _enc(st.min) if st is not None and \
                 st.has_min_max else None
-            mx = _stat_encode(st.max) if st is not None and \
+            mx = _enc(st.max) if st is not None and \
                 st.has_min_max else None
             if (st is None or not st.has_min_max
                     or not isinstance(mn, (bool, int, float, str))
@@ -1655,11 +1681,13 @@ class TxLogTable:
                 schema_json = widened.json()
                 if mapping is not None:
                     mapping = _extend_mapping(snap, new_fields)
-                snap = Snapshot(snap.version, snap.files, snap.txns,
-                                schema_json, snap.key_col,
-                                mapping=mapping, retired=snap.retired,
-                                partition_by=snap.partition_by,
-                                bloom_bits=snap.bloom_bits)
+                # dataclasses.replace so EVERY other Snapshot field
+                # (checks, owns_root, future additions) rides through —
+                # a positional rebuild here once silently dropped
+                # `checks`, letting a widening merge commit rows that
+                # violate a CHECK constraint.
+                snap = _dc_replace(snap, schema_json=schema_json,
+                                   mapping=mapping)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
             missing = [c for c in cols if c not in s.columns]
@@ -1760,14 +1788,33 @@ class TxLogTable:
                 ft = (_schema[col].dataType.typeName()
                       if col in _schema.fieldNames() else None)
                 plo, phi = _stat_bound(lo0, ft), _stat_bound(hi0, ft)
+                # Temporal stats are µs-floored (epoch micros/days).
+                # Flooring is sound for the no-match/pruning direction
+                # only: a converted foreign file with ns-unit footers
+                # can hold a row just ABOVE hi inside the same floored
+                # µs (floor(max) <= floor(hi) !=> max <= hi), and
+                # symmetrically just below lo.  The all-rows-match
+                # proof (drop whole file with no data pass) therefore
+                # requires STRICT containment on temporal columns —
+                # boundary-exact files demote to the rewrite path,
+                # which filters row-by-row and stays correct.
+                _temporal = ft in _TEMPORAL_STAT_TYPES
+
+                def _contained(lo_s, hi_s) -> bool:
+                    if _temporal:
+                        return plo < lo_s and hi_s < phi
+                    return plo <= lo_s and hi_s <= phi
+
                 if pcol in (snap.partition_by or []):
+                    # hive partition value: every row reads back the
+                    # exact path value, so stat-domain equality is a
+                    # per-row proof even for temporal columns
                     if not plo <= s["partition"][pcol] <= phi:
                         return "keep"   # exact value: no row matches
                 elif pcol == snap.phys(key):
                     if s["min_key"] > phi or s["max_key"] < plo:
                         return "keep"
-                    if not (plo <= s["min_key"]
-                            and s["max_key"] <= phi):
+                    if not _contained(s["min_key"], s["max_key"]):
                         all_match = False   # keys are never NULL
                 else:
                     rng = s.get("cols", {}).get(pcol)
@@ -1776,7 +1823,7 @@ class TxLogTable:
                     elif rng[0] > phi or rng[1] < plo:
                         return "keep"
                     elif not (len(rng) > 2 and rng[2] == 0
-                              and plo <= rng[0] and rng[1] <= phi):
+                              and _contained(rng[0], rng[1])):
                         # containment without a zero null count
                         # can't prove NULL rows absent
                         all_match = False
@@ -2419,6 +2466,7 @@ class TxLogTable:
           INSIDE the manifest's claimed range, and row counts match.
         """
         out: list[str] = []
+        bloom_audit: list[tuple[str, str, int, int]] = []
         versions = self._versions()
         if not versions:
             return ["not a TxLog table (no log)"]
@@ -2514,38 +2562,58 @@ class TxLogTable:
                                    f"manifest range")
                 if bl is not None and os.path.exists(side) \
                         and os.path.getsize(side) == bl["m"] // 8:
-                    # bloom COMPLETENESS: every key physically in the
-                    # file must probe present — a false negative here
-                    # means MERGE would silently skip rewriting this
-                    # file and lose the update.  (Executors hash with
-                    # xxhash64; this check reuses the same JVM
-                    # function through a tiny local job, so the probe
-                    # can never drift from the build.)
-                    import numpy as np
-                    import pyarrow.parquet as pq
-
-                    with open(side, "rb") as fh:
-                        buf = np.frombuffer(fh.read(), dtype=np.uint8)
-                    keys = pq.read_table(
-                        full, columns=[pkey])[pkey].to_pylist()
-                    kt = ("string" if isinstance(keys[0], str)
-                          else "long")
-                    hdf = (self.spark.createDataFrame(
-                        [(k,) for k in keys], f"_k {kt}")
-                        .select(F.xxhash64("_k").alias("h1"),
-                                F.xxhash64("_k", F.lit(1)).alias("h2"))
-                        .toPandas())
-                    pos = _bloom_positions(
-                        hdf["h1"].to_numpy(np.int64),
-                        hdf["h2"].to_numpy(np.int64),
-                        bl["k"], bl["m"])
-                    hit = ((buf[pos >> 3]
-                            >> (pos & 7).astype(np.uint8)) & 1)
-                    misses = int((~hit.all(axis=1)).sum())
-                    if misses:
-                        out.append(
-                            f"{rel}: bloom INCOMPLETE — {misses} of "
-                            f"{len(keys)} keys probe absent (stale or "
-                            f"corrupt sidecar; merges would lose "
-                            f"updates)")
+                    bloom_audit.append((rel, full, bl["m"], bl["k"]))
+        if deep and bloom_audit:
+            out.extend(self._fsck_bloom_completeness(snap, bloom_audit))
         return out
+
+    def _fsck_bloom_completeness(
+            self, snap: Snapshot,
+            audit: list[tuple[str, str, int, int]]) -> list[str]:
+        """Deep-fsck bloom COMPLETENESS: every key physically in a
+        bloomed file must probe present — a false negative means MERGE
+        would silently skip rewriting that file and lose the update.
+
+        ONE distributed job over all audited files, the same shape as
+        the build (`_attach_blooms`): a column-pruned scan of just the
+        key column, JVM xxhash64 ×2 (so the probe can never drift from
+        the build), then each executor task reads ITS OWN file's
+        m/8-byte sidecar and probes in numpy.  Only the per-file miss
+        counts reach the driver — the audit scales with cluster width,
+        never serializing key columns through the driver (the earlier
+        per-file `toPandas()` loop was O(table rows) driver traffic).
+        """
+        pkey = snap.phys(snap.key_col)
+        params = {full: (m, k) for _, full, m, k in audit}
+        rel_of = {full: rel for rel, full, _, _ in audit}
+
+        def _probe(pdf):
+            import numpy as np
+            import pandas as pd
+
+            full = _fs_path(pdf["_f"].iloc[0])
+            m, k = params[full]
+            with open(full + ".bloom", "rb") as fh:
+                buf = np.frombuffer(fh.read(), dtype=np.uint8)
+            pos = _bloom_positions(pdf["_h1"].to_numpy(np.int64),
+                                   pdf["_h2"].to_numpy(np.int64), k, m)
+            hit = (buf[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            return pd.DataFrame({
+                "file": [full],
+                "misses": [int((~hit.all(axis=1)).sum())],
+                "rows": [len(pdf)]})
+
+        found = (self.spark.read.parquet(*params)
+                 .select(F.input_file_name().alias("_f"),
+                         F.xxhash64(pkey).alias("_h1"),
+                         F.xxhash64(pkey, F.lit(1)).alias("_h2"))
+                 .groupBy("_f")
+                 .applyInPandas(_probe,
+                                "file string, misses long, rows long")
+                 .filter(F.col("misses") > 0)
+                 .collect())   # audit-sized: one row per BAD file
+        return [f"{rel_of[_fs_path(r['file'])]}: bloom INCOMPLETE — "
+                f"{r['misses']} of {r['rows']} keys probe absent "
+                f"(stale or corrupt sidecar; merges would lose "
+                f"updates)"
+                for r in sorted(found, key=lambda r: r["file"])]

@@ -158,3 +158,50 @@ def test_constraint_name_and_expr_validated_at_create(spark, tdir):
     with pytest.raises(Exception):     # unresolvable column
         TxLogTable.create(spark, os.path.join(tdir, "t2"), df,
                           "user_id", checks={"c": "nope >= 0"})
+
+
+def test_widening_merge_still_enforces_checks(spark, tdir):
+    """A merge whose source ADDS a column rebuilds the working
+    snapshot for the schema-widening commit; that rebuild must carry
+    `checks` forward — a positional Snapshot reconstruction once
+    dropped them, silently committing a constraint-violating row on
+    exactly (and only) widening merges."""
+    t = mk(spark, os.path.join(tdir, "t"),
+           {"value_nonneg": "value >= 0"})
+    v0 = t.snapshot().version
+    src = spark.createDataFrame(
+        [(5, -7, "new", "U")],
+        "user_id long, value long, extra string, op string")
+    with pytest.raises(CheckViolation, match="value_nonneg"):
+        t.merge(src, op_col="op")
+    snap = t.snapshot()
+    assert snap.version == v0                      # nothing committed
+    assert "extra" not in t.read().columns         # DDL not published
+    assert t.read().filter(F.col("value") < 0).count() == 0
+    # a VALID widening merge commits, keeps the constraint live
+    ok = spark.createDataFrame(
+        [(5, 7, "new", "U")],
+        "user_id long, value long, extra string, op string")
+    t.merge(ok, op_col="op")
+    assert t.snapshot().checks == {"value_nonneg": "value >= 0"}
+    with pytest.raises(CheckViolation, match="value_nonneg"):
+        t.merge(spark.createDataFrame(
+            [(6, -1, "x", "U")],
+            "user_id long, value long, extra string, op string"),
+            op_col="op")
+
+
+def test_backticked_check_expr_blocks_rename_drop(spark, tdir):
+    """A CHECK written with backtick-quoted identifiers (`value` >= 0)
+    references the column exactly as the unquoted form does — rename/
+    drop must refuse it too, or the constraint is orphaned and every
+    later write fails resolving the old name."""
+    t = mk(spark, os.path.join(tdir, "t"),
+           {"value_nonneg": "`value` >= 0"})
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.rename_column("value", "amount")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        t.drop_column("value")
+    t.drop_check("value_nonneg")
+    t.rename_column("value", "amount")
+    assert "amount" in t.read().columns

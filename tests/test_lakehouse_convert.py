@@ -206,3 +206,54 @@ def test_convert_validation(spark, tdir):
         .coalesce(1).write.parquet(nulls)
     with pytest.raises(ValueError, match="NULL keys"):
         TxLogTable.convert(spark, nulls, "user_id")
+
+
+def test_convert_ns_unit_timestamps_stat_domain(spark, tdir):
+    """A foreign parquet file with TIMESTAMP(NANOS) columns: the
+    engine reads those as LONG nanoseconds (nanosAsLong — Spark has
+    no ns type), so the imported footer stats must be raw ns integers.
+    µs-floored stats (what naive _stat_encode produces from pyarrow's
+    Timestamp objects) would be 1000x off the row values and mis-prune
+    — and even in a µs-consistent domain, flooring breaks the
+    delete_where all-rows-match proof at the boundary (a row 500 ns
+    above `hi` shares hi's floored µs).  Both directions pinned here.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tdir, "t")
+    os.makedirs(path)
+    base = 1_700_000_000_000_000_000       # epoch ns
+    us = 1_000
+    # file A: keys 0-9, ts base .. base+9µs (+500ns each, sub-µs)
+    # file B: keys 10-19, ts base+100µs .. base+109µs (+500ns each)
+    for fname, k0, t0 in (("a.parquet", 0, base),
+                          ("b.parquet", 10, base + 100 * us)):
+        tb = pa.table({
+            "user_id": pa.array(range(k0, k0 + 10), type=pa.int64()),
+            "ts": pa.array([t0 + i * us + 500 for i in range(10)],
+                           type=pa.timestamp("ns"))})
+        pq.write_table(tb, os.path.join(path, fname))
+    t = TxLogTable.convert(spark, path, "user_id")
+    # stats landed in the ns domain the reader sees
+    snap = t.snapshot()
+    for s in snap.files.values():
+        lo_s, hi_s = s["cols"]["ts"][0], s["cols"]["ts"][1]
+        assert lo_s % 1000 == 500 and hi_s % 1000 == 500
+    # range read with ns bounds: exact rows (key 4's ts is 500 ns
+    # ABOVE the hi bound), file B pruned at the manifest
+    got = t.read(where_between=("ts", base, base + 4 * us))
+    assert sorted(r["user_id"] for r in got.collect()) == list(range(4))
+    assert len(got.inputFiles()) == 1
+    # delete boundary: hi lands between A's rows 4 and 5 — file A must
+    # NOT whole-drop (its max exceeds hi); rows above hi survive
+    m = t.delete_where(where_between=("ts", base, base + 4 * us + 700))
+    assert m["files_dropped"] == 0
+    assert sorted(r["user_id"] for r in t.read().collect()) == \
+        list(range(5, 20))
+    # whole-file drop still fires when the proof is exact
+    m2 = t.delete_where(where_between=("ts", base, base + 99 * us))
+    assert m2["files_dropped"] == 1
+    assert sorted(r["user_id"] for r in t.read().collect()) == \
+        list(range(10, 20))
+    assert t.fsck(deep=True) == []
