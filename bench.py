@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "sim_topk_search",           # brute-force cosine top-k
     "fn_string",                 # scalar function pipeline
     "decode_json_event",         # JSON envelope decode
+    "decode_canal_json",         # CDC wire decode (construct+parse, r7)
     "analytics_shipping_priority",  # TPC-H Q3 shape
     "analytics_nation_volume",      # TPC-H Q5 shape
     "analytics_sessionize_batch",   # gaps-and-islands sessionization
