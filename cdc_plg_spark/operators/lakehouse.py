@@ -1011,3 +1011,240 @@ def lakehouse_convert_cdc_roundtrip(spark: SparkSession,
         import shutil as _sh
         _sh.rmtree(ckpt, ignore_errors=True)
     return mv.read()
+
+
+# --- Format exhibits, implemented-not-yet-registered -----------------
+# Five lakehouse capabilities that are format-test-pinned today
+# (tests/test_lakehouse*.py) get driver-checkable query exhibits here,
+# following the Debezium/Maxwell deferral pattern: each has a pinned
+# LAKEHOUSE_*_ORACLE and a driver-style bit-exact compare in
+# tests/test_lakehouse_exhibits.py at two SFs.  @register is deferred
+# to r8 ON PURPOSE — a new id enters the driver rotation ahead of
+# stale greens, and r7's budget belongs to finishing the freshness
+# drain (VERDICT r6 #1).  To register: wrap each with
+# @register(name, oracle=<its _ORACLE>, tags=("lakehouse",)).
+
+LAKEHOUSE_BLOOM_POINT_ORACLE = """
+    SELECT CAST(1 AS BIGINT) AS rows_present,
+           ROUND(value, 4) AS value_present,
+           CAST(0 AS BIGINT) AS rows_absent,
+           TRUE AS bloom_beats_range,
+           TRUE AS absent_reads_zero_files
+    FROM events
+    WHERE event_id = (SELECT max(event_id) * 40 // 100 FROM events)
+"""
+
+
+def lakehouse_bloom_point_read(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MEASURED bloom point-read pruning through the real read path
+    (the per-file key bloom sidecar tier, like lakehouse_zorder_skipping
+    measures ZORDER): build a bloomed 16-file table keyed on event_id,
+    OPTIMIZE ZORDER on (event_id, user_id) — which deliberately widens
+    every file's key span, collapsing range-only pruning — then:
+
+    - point-read a PRESENT key: the manifest's [min,max] ranges admit
+      several z-clustered files, the bloom probe cuts the scan below
+      that (`bloom_beats_range`, from `inputFiles()` vs a manifest
+      range count — measured, not asserted);
+    - COW-delete another key and point-read it: the neighbors keep the
+      file's range spanning the deleted key, but the rewritten file's
+      rebuilt bloom excludes it, so the read touches ZERO files
+      (`absent_reads_zero_files`) — membership pruning where range
+      stats provably cannot help.
+
+    The present row's value is hash-checked against the raw events, so
+    the skip can never be bought with wrong data.  Exact file counts
+    wobble with range-partition sampling and belong to
+    tests/test_lakehouse_bloom.py; the booleans here are the
+    scale-invariant claims."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_bloom_pt_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev, "event_id",
+                          n_files=16, key_bloom_bits=10)
+    mx = ev.agg(F.max("event_id")).head()[0]    # 1 scalar: key choice
+    k_present = mx * 40 // 100
+    k_deleted = mx * 60 // 100
+    t.optimize(zorder_by=("event_id", "user_id"), target_files=16)
+    t.delete_where((k_deleted, k_deleted))
+
+    def _range_admits(k: int) -> int:
+        return sum(1 for s in t.snapshot().files.values()
+                   if s["min_key"] <= k <= s["max_key"])
+
+    pres = t.read(key_between=(k_present, k_present))
+    files_pres = len(pres.inputFiles())
+    files_abs = len(t.read(key_between=(k_deleted, k_deleted))
+                    .inputFiles())
+    return pres.agg(
+        F.count(F.lit(1)).alias("rows_present"),
+        F.round(F.max("value"), 4).alias("value_present")).select(
+        "rows_present", "value_present",
+        F.lit(0).cast("long").alias("rows_absent"),
+        F.lit(files_pres < _range_admits(k_present))
+         .alias("bloom_beats_range"),
+        F.lit(files_abs == 0 and _range_admits(k_deleted) >= 1)
+         .alias("absent_reads_zero_files"))
+
+
+LAKEHOUSE_TEMPORAL_SKIP_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS temporal_skips_half
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
+"""
+
+
+def lakehouse_temporal_skipping(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """MEASURED temporal data skipping: timestamp stats are stored
+    integer-encoded (epoch micros) in the manifest, and a time-range
+    read must prune at the manifest — the dominant skip dimension for
+    CDC tables at scale (retention reads, incremental backfills,
+    late-window reprocessing all carry time predicates).
+
+    The events fixture's event_id is assigned in arrival order, so the
+    create()'s key-range files are also time-banded — exactly what a
+    real append-mostly changelog table looks like.  A one-week
+    predicate (~23% of the fixture's span) must then touch at most
+    half the 16 files (`temporal_skips_half`, from `inputFiles()`);
+    the row count and id checksum come from the pruned read itself, so
+    skipping can never drop matching rows undetected.  Strict µs-floor
+    soundness for the bounds is pinned separately
+    (tests/test_lakehouse_convert.py ns-unit test)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_tskip_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev, "event_id",
+                          n_files=16)
+    got = t.read(where_between=("ts", "2024-01-08", "2024-01-15"))
+    files = len(got.inputFiles())
+    total = len(t.snapshot().files)
+    return got.agg(
+        F.count(F.lit(1)).alias("rows_matching"),
+        F.sum("event_id").alias("id_checksum")).select(
+        "rows_matching", "id_checksum",
+        F.lit(files * 2 <= total).alias("temporal_skips_half"))
+
+
+LAKEHOUSE_RETENTION_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS rows_kept,
+           CAST(sum(event_id) AS BIGINT) AS kept_checksum,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE ts <= TIMESTAMP '2024-01-10') AS feed_deletes,
+           TRUE AS dropped_whole_files
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10'
+"""
+
+
+def lakehouse_retention_delete(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The RETENTION SWEEP as a driver-checkable exhibit — `DELETE
+    WHERE ts <= horizon`, the daily job every 100 TB changelog table
+    runs: files whose stats PROVE every row is past retention drop
+    with no data pass at all (`dropped_whole_files`, from the commit's
+    own files_dropped counter — the property that makes retention
+    O(straddlers), not O(table)); straddling files rewrite
+    copy-on-write; and the change feed must report EVERY deleted row
+    (`feed_deletes`, counted from table_changes over the delete
+    commit, hash-checked against the raw events below the horizon —
+    a whole-file drop that skipped its delete events would fail here).
+    Survivor count + checksum come from the post-delete snapshot
+    read."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_retain_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev, "event_id",
+                          n_files=16)
+    m = t.delete_where(
+        where_between=("ts", "1970-01-01", "2024-01-10"))
+    feed_deletes = (t.table_changes(m["version"] - 1, m["version"])
+                    .filter(F.col("change_type") == "D").count())
+    return t.read().agg(
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum("event_id").alias("kept_checksum")).select(
+        "rows_kept", "kept_checksum",
+        F.lit(feed_deletes).cast("long").alias("feed_deletes"),
+        F.lit(m["files_dropped"] >= 1).alias("dropped_whole_files"))
+
+
+LAKEHOUSE_RESTORE_ORACLE = f"""
+    SELECT event_id, user_id, ROUND(value, 4) AS value,
+           TRUE AS restore_nets_empty
+    FROM events
+    WHERE ts < TIMESTAMP '{SPLIT_TS}'
+"""
+
+
+def lakehouse_restore_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION round trip — the bad-deploy rollback: seed a
+    table with the pre-{SPLIT} events, run a destructive MERGE (a
+    value-corrupting update for half the keys, deletes for a slice —
+    the botched job), then RESTORE to v0 in one metadata-only commit
+    and return the snapshot read, hash-checked against the ORIGINAL
+    seed — proving the rollback re-references the old files, DVs, and
+    schema exactly.  `restore_nets_empty` additionally pins the CDF
+    contract across the restore: replaying v0 content against the
+    post-restore head with exceptAll in both directions finds zero
+    divergence (the restore commit's change feed is exactly the
+    inverse diff, so history stays consistent for downstream
+    streams)."""
+    ev = load_table(spark, "events", sf_dir)
+    seed = ev.filter(F.col("ts") < SPLIT_TS).select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_restore_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), seed,
+                          "event_id", n_files=8)
+    v0 = t.snapshot().version
+    botched = seed.select(
+        "event_id", "user_id",
+        (F.col("value") * -999).alias("value"),
+        F.when(F.col("event_id") % 5 == 0, "D").otherwise("U")
+         .alias("op"))
+    t.merge(botched, op_col="op")
+    t.restore(version=v0)
+    got = t.read()
+    v0_read = t.read(version=v0)
+    nets_empty = (got.exceptAll(v0_read).count() == 0
+                  and v0_read.exceptAll(got).count() == 0)
+    return got.select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        F.lit(nets_empty).alias("restore_nets_empty"))
+
+
+LAKEHOUSE_PARTIAL_MERGE_ORACLE = """
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN event_id % 10 = 0 THEN value + 100
+                      ELSE value END, 4) AS value
+    FROM events
+"""
+
+
+def lakehouse_partial_merge(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Partial-column MERGE (UPDATE SET) — the sparse-CDC-event shape:
+    a source that ships ONLY the changed column (here `value`, for
+    every 10th key) merges with `partial=True`, and the table columns
+    ABSENT from the source (`user_id`) must keep their target values
+    on matched rows — column PRESENCE, not value, is the signal, so
+    "set NULL" and "unchanged" stay distinguishable.  The full
+    post-merge snapshot is hash-checked: a partial merge that nulled
+    the absent column, touched unmatched rows, or missed an update
+    all flip the hash.  (Default `partial=False` REJECTS such a
+    source — the silent full-row-replace footgun stays fenced;
+    pinned in tests/test_lakehouse.py.)"""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_partial_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev, "event_id",
+                          n_files=8)
+    sparse = (ev.filter(F.col("event_id") % 10 == 0)
+              .select("event_id",
+                      (F.col("value") + 100).alias("value")))
+    t.merge(sparse, partial=True)
+    return t.read().select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))

@@ -1,0 +1,72 @@
+"""Format-exhibit queries (operators/lakehouse.py tail section).
+
+Five lakehouse capabilities — bloom point reads, temporal skipping,
+retention predicate-DELETE, RESTORE round trip, partial-column MERGE —
+implemented as driver-checkable queries but deliberately NOT in the
+registry yet: registering them in r7 would take driver
+correctness-budget slots the stale-green freshness drain needs
+(VERDICT r6 #1).  r8 wraps them with @register using the
+LAKEHOUSE_*_ORACLE strings pinned here.  Until then this test runs the
+exact driver-style compare (assert_frames_match, bit-exact floats)
+against the same DuckDB oracle SQL at sf0.001 and sf0.01.
+"""
+from __future__ import annotations
+
+import pytest
+
+from cdc_plg_spark.operators.lakehouse import (
+    LAKEHOUSE_BLOOM_POINT_ORACLE,
+    LAKEHOUSE_PARTIAL_MERGE_ORACLE,
+    LAKEHOUSE_RESTORE_ORACLE,
+    LAKEHOUSE_RETENTION_ORACLE,
+    LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
+    lakehouse_bloom_point_read,
+    lakehouse_partial_merge,
+    lakehouse_restore_roundtrip,
+    lakehouse_retention_delete,
+    lakehouse_temporal_skipping,
+)
+from cdc_plg_spark.testing import assert_frames_match, duckdb_conn
+
+CASES = [
+    ("lakehouse_bloom_point_read", lakehouse_bloom_point_read,
+     LAKEHOUSE_BLOOM_POINT_ORACLE),
+    ("lakehouse_temporal_skipping", lakehouse_temporal_skipping,
+     LAKEHOUSE_TEMPORAL_SKIP_ORACLE),
+    ("lakehouse_retention_delete", lakehouse_retention_delete,
+     LAKEHOUSE_RETENTION_ORACLE),
+    ("lakehouse_restore_roundtrip", lakehouse_restore_roundtrip,
+     LAKEHOUSE_RESTORE_ORACLE),
+    ("lakehouse_partial_merge", lakehouse_partial_merge,
+     LAKEHOUSE_PARTIAL_MERGE_ORACLE),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle",
+                         CASES, ids=[c[0] for c in CASES])
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_exhibit_matches_oracle(spark, name, fn, oracle, sf_dir):
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    assert len(spark_pdf) > 0
+    con = duckdb_conn(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+
+
+def test_exhibit_booleans_are_measured_true(spark):
+    """The scale-claims (bloom beats range, temporal skip, whole-file
+    drop, restore nets empty) must hold as MEASURED booleans, not just
+    match an oracle that also says TRUE — a regression that flips one
+    to False would fail the oracle compare above too, but this spells
+    the claims out for the reader."""
+    sf = "/root/testdata/sf0.01"
+    b = lakehouse_bloom_point_read(spark, sf).head()
+    assert b["bloom_beats_range"] and b["absent_reads_zero_files"]
+    t = lakehouse_temporal_skipping(spark, sf).head()
+    assert t["temporal_skips_half"] and t["rows_matching"] > 0
+    r = lakehouse_retention_delete(spark, sf).head()
+    assert r["dropped_whole_files"] and r["feed_deletes"] > 0
