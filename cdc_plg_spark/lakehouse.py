@@ -138,6 +138,25 @@ class CheckViolation(ValueError):
     vacuum."""
 
 
+class UnsupportedProtocolError(RuntimeError):
+    """The table's protocol requires a newer client (the Delta-style
+    protocol-versioning contract): min_reader above READER_VERSION
+    blocks even reads; min_writer above WRITER_VERSION blocks every
+    mutation (incl. vacuum — an old client must never destroy files
+    whose reachability rules it may not understand) while reads keep
+    working.  This is how a format EVOLVES without silent corruption:
+    a future feature that old clients would mishandle bumps the floor,
+    and they fail loudly here instead of mis-reading or mis-writing."""
+
+
+# What THIS implementation can read/write.  A table's protocol floor
+# ([min_reader, min_writer], carried in meta actions and checkpoints,
+# default [1, 1]) is compared against these at snapshot replay (reads)
+# and in every mutator (writes).
+READER_VERSION = 1
+WRITER_VERSION = 1
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -173,6 +192,9 @@ class Snapshot:
     # data/, so vacuum sweeps the whole directory minus the log — the
     # table owns its root, like any Delta table directory.
     owns_root: bool = False
+    # protocol floor [min_reader, min_writer] this snapshot requires
+    # (Delta-style protocol versioning; absent in old logs = [1, 1])
+    protocol: list[int] = field(default_factory=lambda: [1, 1])
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -517,6 +539,7 @@ class TxLogTable:
             snap.bloom_bits = data.get("key_bloom_bits", 0)
             snap.checks = data.get("checks", {})
             snap.owns_root = data.get("owns_root", False)
+            snap.protocol = data.get("protocol", [1, 1])
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -563,6 +586,13 @@ class TxLogTable:
                         snap.checks = m.get("checks", snap.checks)
                         snap.owns_root = m.get("owns_root",
                                                snap.owns_root)
+                        snap.protocol = m.get("protocol", snap.protocol)
+        if snap.protocol[0] > READER_VERSION:
+            raise UnsupportedProtocolError(
+                f"table at {self.path!r} requires min_reader "
+                f"{snap.protocol[0]} as of version {snap.version}; "
+                f"this client reads protocol {READER_VERSION} — "
+                f"time travel BELOW the upgrade commit still works")
         return snap
 
     def _try_commit(self, version: int, actions: list[dict]) -> bool:
@@ -606,8 +636,66 @@ class TxLogTable:
                        "partition_by": snap.partition_by,
                        "key_bloom_bits": snap.bloom_bits,
                        "checks": snap.checks,
-                       "owns_root": snap.owns_root}, f)
+                       "owns_root": snap.owns_root,
+                       "protocol": snap.protocol}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
+
+    def _assert_writer(self, snap: Snapshot) -> None:
+        """Every mutator calls this on its working snapshot: a table
+        whose min_writer floor exceeds this client must stay readable
+        but reject ALL mutations (incl. vacuum — destroying files
+        under reachability rules a newer protocol may have changed is
+        the worst possible failure mode)."""
+        if snap.protocol[1] > WRITER_VERSION:
+            raise UnsupportedProtocolError(
+                f"table at {self.path!r} requires min_writer "
+                f"{snap.protocol[1]}; this client writes protocol "
+                f"{WRITER_VERSION} — reads still work")
+
+    def upgrade_protocol(self, min_reader: int | None = None,
+                         min_writer: int | None = None,
+                         allow_unsupported: bool = False) -> dict:
+        """Raise the table's protocol floor (one meta-only commit).
+
+        Monotonic by contract — a floor can never go back down
+        (clients cache no protocol state, so a downgrade would let a
+        previously-locked-out old client resume writing mid-history).
+        Raising a floor ABOVE what this client itself supports is
+        refused unless `allow_unsupported=True`, because the very next
+        operation on this handle would lock itself out — that flag
+        exists for staged migrations (bump first, roll clients after)
+        and for tests.  RESTORE never rewinds the protocol: restore's
+        meta carries no protocol key, so replay keeps the floor."""
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("upgrade_protocol on non-existent table")
+            self._assert_writer(snap)
+            cur_r, cur_w = snap.protocol
+            new_r = cur_r if min_reader is None else min_reader
+            new_w = cur_w if min_writer is None else min_writer
+            if new_r < cur_r or new_w < cur_w:
+                raise ValueError(
+                    f"protocol is monotonic: have [{cur_r}, {cur_w}], "
+                    f"refusing downgrade to [{new_r}, {new_w}]")
+            if not allow_unsupported and (new_r > READER_VERSION
+                                          or new_w > WRITER_VERSION):
+                raise ValueError(
+                    f"[{new_r}, {new_w}] exceeds this client's own "
+                    f"support [{READER_VERSION}, {WRITER_VERSION}] and "
+                    f"would lock it out; pass allow_unsupported=True "
+                    f"if that is the intent (staged migration)")
+            if [new_r, new_w] == snap.protocol:
+                return {"version": snap.version, "skipped": True,
+                        "protocol": snap.protocol}
+            actions = [{"commit": {"op": "UPGRADE_PROTOCOL",
+                                   "from": snap.protocol,
+                                   "to": [new_r, new_w]}},
+                       {"meta": {"protocol": [new_r, new_w]}}]
+            if self._try_commit(snap.version + 1, actions):
+                return {"version": snap.version + 1, "skipped": False,
+                        "protocol": [new_r, new_w]}
+        raise ConflictError("upgrade_protocol retries exhausted")
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL: manifest-derived table facts — no data
@@ -632,6 +720,8 @@ class TxLogTable:
             "key_bloom_bits": snap.bloom_bits or None,
             "checks": snap.checks or None,
             "converted": snap.owns_root or None,
+            "protocol": {"min_reader": snap.protocol[0],
+                         "min_writer": snap.protocol[1]},
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
@@ -1336,6 +1426,7 @@ class TxLogTable:
     def append(self, df: DataFrame, n_files: int | None = None,
                txn: tuple[str, int] | None = None) -> dict:
         snap = self.snapshot()
+        self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
         _phys_memo: dict[str, str] = {}
@@ -1386,6 +1477,7 @@ class TxLogTable:
             # have widened the schema with different columns, and
             # re-publishing our stale meta would silently drop them
             snap = self.snapshot()
+            self._assert_writer(snap)
             if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
                 return {"version": snap.version, "skipped": True}
             if (dict(snap.mapping) if snap.mapping else None) != mapping0:
@@ -1410,6 +1502,7 @@ class TxLogTable:
         for non-additive DDL)."""
         for _ in range(5):
             snap = self.snapshot()
+            self._assert_writer(snap)
             if snap.version < 0:
                 raise ValueError("rename on non-existent table")
             fields = StructType.fromJson(json.loads(snap.schema_json)).fields
@@ -1452,6 +1545,7 @@ class TxLogTable:
                              f"identifier")
         for _ in range(5):
             snap = self.snapshot()
+            self._assert_writer(snap)
             if snap.version < 0:
                 raise ValueError("add_check on non-existent table")
             if name in snap.checks:
@@ -1480,6 +1574,7 @@ class TxLogTable:
         """ALTER TABLE DROP CONSTRAINT — pure meta commit."""
         for _ in range(5):
             snap = self.snapshot()
+            self._assert_writer(snap)
             if name not in snap.checks:
                 raise ValueError(f"no constraint {name!r} "
                                  f"(have {sorted(snap.checks)})")
@@ -1508,6 +1603,7 @@ class TxLogTable:
         invariant hangs off it)."""
         for _ in range(5):
             snap = self.snapshot()
+            self._assert_writer(snap)
             if snap.version < 0:
                 raise ValueError("drop on non-existent table")
             if name == snap.key_col:
@@ -1654,6 +1750,7 @@ class TxLogTable:
         """
         for _ in range(5):
             snap = self.snapshot()
+            self._assert_writer(snap)
             if snap.version < 0:
                 raise ValueError("merge into non-existent table")
             if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -1876,6 +1973,7 @@ class TxLogTable:
             raise ValueError(
                 "pass exactly one of key_between / where_between")
         snap = self.snapshot()
+        self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True,
                     "files_dropped": 0, "files_rewritten": 0}
@@ -1970,6 +2068,7 @@ class TxLogTable:
         if as_of is not None:
             version = self.version_at(as_of)
         snap = self.snapshot()
+        self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True,
                     "files_removed": 0, "files_restored": 0}
@@ -2186,6 +2285,7 @@ class TxLogTable:
         full-layout rebuild — schedule it like any lakehouse ZORDER
         job."""
         snap = self.snapshot()
+        self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "files_compacted": 0,
                     "skipped": True}
@@ -2278,6 +2378,7 @@ class TxLogTable:
         paths; this format keeps the hive convention instead).
         Schedule it like a ZORDER."""
         snap = self.snapshot()
+        self._assert_writer(snap)
         if snap.version < 0:
             raise ValueError("repartition on non-existent table")
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -2349,6 +2450,10 @@ class TxLogTable:
         import time
 
         versions = self._versions()
+        if versions:
+            # writer-gated: an old client must never unlink files
+            # whose reachability a newer protocol may define differently
+            self._assert_writer(self.snapshot())
         keep = versions[-retain_last:]
         reachable: set[str] = set()
         owns_root = False
@@ -2496,6 +2601,11 @@ class TxLogTable:
             if ghost:
                 out.append(f"partition columns {ghost} not among live "
                            f"physical columns")
+        pr = snap.protocol
+        if (not isinstance(pr, list) or len(pr) != 2
+                or not all(isinstance(x, int) and x >= 1 for x in pr)):
+            out.append(f"malformed protocol {pr!r} (want "
+                       f"[min_reader>=1, min_writer>=1])")
         for rel, s in sorted(snap.files.items()):
             full = self._abs(rel)
             if pb:
