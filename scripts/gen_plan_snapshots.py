@@ -48,7 +48,8 @@ SNAPSHOT_QUERIES = [
     "analytics_linestatus_priority_mix", "analytics_large_volume_orders",
     "tfidf_keywords", "sim_topk_search", "sim_cosine_pairwise",
     "fn_string", "fn_array", "fn_map_higher_order", "decode_json_event",
-    "decode_canal_json", "mm_decode_ppm_real",
+    "decode_canal_json", "decode_debezium_json", "decode_maxwell_json",
+    "mm_decode_ppm_real",
     "fn_variant", "fn_try_arith", "analytics_cumulative_distinct_users",
     "analytics_shipping_priority", "analytics_nation_volume",
     "analytics_regional_trade", "analytics_sessionize_batch",

@@ -1,12 +1,11 @@
 """Debezium-JSON and Maxwell-JSON wire decodes (functions/scalar.py).
 
-These two are implemented but deliberately NOT in the registry yet —
-registering them in r6 would take driver correctness-budget slots the
-stale-green freshness drain needs (SURVEY "Round-7 candidates"); r7
-wraps them with @register using the DECODE_*_ORACLE strings pinned
-here.  Until then this test runs the exact driver-style compare
-(assert_frames_match, bit-exact floats) against the same DuckDB
-oracle SQL at sf0.001 and sf0.01.
+Registration was deferred from r6 (drain-budget protection) and
+landed in r7 with the DECODE_*_ORACLE strings pinned here, so the
+driver now checks both at sf0.01.  This test keeps the independent
+driver-style compare (assert_frames_match, bit-exact floats) against
+the same DuckDB oracle SQL at sf0.001 AND sf0.01 — two SFs, where the
+driver runs one.
 """
 from __future__ import annotations
 
