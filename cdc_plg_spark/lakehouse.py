@@ -1942,7 +1942,8 @@ class TxLogTable:
     def delete_where(self, key_between: tuple | None = None,
                      mode: str = "cow",
                      txn: tuple[str, int] | None = None,
-                     where_between=None) -> dict:
+                     where_between=None,
+                     dv_max_keys: int = 1_000_000) -> dict:
         """DELETE WHERE key BETWEEN lo AND hi — or, with
         `where_between=(col, lo, hi)` (or a list of tuples, ANDed),
         DELETE by arbitrary range predicates: `delete_where(
@@ -1968,7 +1969,18 @@ class TxLogTable:
           100 TB shape for a delete that grazes many files: COW would
           rewrite every grazed file; DV writes one log entry.  The DV
           here is a key list (keys are table-unique); a positional
-          bitmap is the same contract with a denser encoding."""
+          bitmap is the same contract with a denser encoding.
+
+        `dv_max_keys` makes the DV scale contract ENFORCED instead of
+        assumed: the key list lives inline in the commit log and is
+        pooled on the driver at read time, so it must stay
+        manifest-class — DVs are for targeted deletes between OPTIMIZE
+        runs, not bulk sweeps.  A dv-mode delete whose straddler match
+        count exceeds the cap raises with instructions to use
+        mode="cow" (whole-file drops cost nothing either way), rather
+        than silently growing the log and the driver's read-side
+        broadcast until something OOMs.  The count is one extra
+        column-pruned job over only the straddling files."""
         if (key_between is None) == (where_between is None):
             raise ValueError(
                 "pass exactly one of key_between / where_between")
@@ -1995,11 +2007,22 @@ class TxLogTable:
                                    0 if mode == "dv" else len(straddle)}},
                    *[{"remove": {"path": p}} for p in drop_whole]]
         if straddle and mode == "dv":
+            matched = (self._read_files_live(snap, straddle)
+                       .filter(match_cond)
+                       .select(F.input_file_name().alias("_f"), key))
+            n_match = matched.count()      # 1 scalar, executor-side
+            if n_match > dv_max_keys:
+                raise ValueError(
+                    f"dv delete matches {n_match} rows across "
+                    f"{len(straddle)} straddling files, over "
+                    f"dv_max_keys={dv_max_keys}: inline deletion "
+                    f"vectors must stay manifest-class (they ride the "
+                    f"log and the read-side broadcast).  Use "
+                    f"mode='cow' for bulk deletes, or raise the cap "
+                    f"deliberately if this table's readers can afford "
+                    f"it")
             # one read-only job: which LIVE keys per straddler match
-            hit = (self._read_files_live(snap, straddle)
-                   .filter(match_cond)
-                   .select(F.input_file_name().alias("_f"), key)
-                   .collect())   # DV-sized, the deleted-rows backlog
+            hit = matched.collect()  # DV-sized: cap-enforced above
             by_file: dict[str, list] = {}
             for r in hit:
                 rel = os.path.relpath(_fs_path(r["_f"]), self.path)

@@ -1981,3 +1981,23 @@ def test_stream_survives_schema_rewinding_restore(spark, tdir):
     # extra NULL) and the narrow commit surfaces with extra NULL
     assert got[(2, 1)][1] is None
     assert got[(3, 2)] == ("U", None)
+
+
+def test_dv_delete_cap_redirects_bulk_to_cow(spark, tdir):
+    """The inline-DV scale contract is ENFORCED: a dv-mode delete
+    whose straddler match count exceeds dv_max_keys raises (with a
+    cow redirect) instead of silently growing the log and the
+    read-side broadcast; the same delete in cow mode — and a capped
+    dv delete under a raised limit — both succeed."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=2)
+    with pytest.raises(ValueError, match="dv_max_keys"):
+        t.delete_where((10, 60), mode="dv", dv_max_keys=5)
+    # nothing committed, nothing deleted
+    assert t.read().count() == 100
+    # raised cap: the same delete lands as a DV
+    m = t.delete_where((10, 60), mode="dv", dv_max_keys=1000)
+    assert m["files_rewritten"] == 0
+    assert t.read().count() == 100 - 51
+    # bulk path: cow ignores the cap entirely
+    t.delete_where((0, 200), mode="cow", dv_max_keys=1)
+    assert t.read().count() == 0
