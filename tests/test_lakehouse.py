@@ -1944,11 +1944,16 @@ def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
 
 
 def test_stream_survives_schema_rewinding_restore(spark, tdir):
-    """A RESTORE that rewinds a schema widening while a txlog_changes
-    stream is mid-flight: the stream's schema is pinned at start (the
-    honest Spark limit), so post-restore commits in the NARROW schema
-    must surface with the vanished column as NULL — not crash, not
-    resurrect stale bytes."""
+    """A RESTORE that rewinds a schema widening across a txlog_changes
+    stream RESTART: each query start pins the table's head schema (the
+    honest Spark limit — schema() is asked once per start), so the
+    first run writes WIDE rows and the post-restore run re-pins NARROW
+    and writes rows without `extra` into the same sink dir.  Neither
+    run may crash or resurrect stale bytes; the sink dir legitimately
+    holds mixed schemas, so the verification read MUST use mergeSchema
+    — plain parquet schema inference samples one footer in
+    part-file-listing order (UUID names → order varies run to run),
+    which made this test flake when a narrow footer sorted first."""
     from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
 
     spark.dataSource.register(TxLogChangesSource)
@@ -1970,15 +1975,18 @@ def test_stream_survives_schema_rewinding_restore(spark, tdir):
         q.awaitTermination(180)
         return {(r["commit_version"], r["user_id"]):
                 (r["change_type"], r["extra"])
-                for r in spark.read.parquet(out).collect()}
+                for r in (spark.read.option("mergeSchema", "true")
+                          .parquet(out).collect())}
 
     first = run()                     # consumes v1 under the WIDE pin
     assert first[(1, 1)] == ("U", 77)
     t.restore(0)                      # v2: schema rewinds to narrow
     t.merge(src(spark, [(2, -2, "U")]))          # v3: narrow commit
-    got = run()                       # same checkpoint, same wide pin
-    # the restore emits the un-update of key 1 (back to value 2,
-    # extra NULL) and the narrow commit surfaces with extra NULL
+    got = run()                       # restart re-pins the NARROW head
+    # the restore emits the un-update of key 1 and the narrow commit's
+    # rows carry no `extra` at all — the merged read surfaces both as
+    # NULL, and the wide first-run rows keep their values
+    assert got[(1, 1)] == ("U", 77)
     assert got[(2, 1)][1] is None
     assert got[(3, 2)] == ("U", None)
 
