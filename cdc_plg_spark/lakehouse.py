@@ -2745,7 +2745,10 @@ class TxLogTable:
                                 "file string, misses long, rows long")
                  .filter(F.col("misses") > 0)
                  .collect())   # audit-sized: one row per BAD file
-        return [f"{rel_of[_fs_path(r['file'])]}: bloom INCOMPLETE — "
+        # _probe already returned decoded fs paths — re-applying
+        # _fs_path would mis-decode a literal '%' (escaped hive
+        # partition values), orphaning the rel_of lookup
+        return [f"{rel_of[r['file']]}: bloom INCOMPLETE — "
                 f"{r['misses']} of {r['rows']} keys probe absent "
                 f"(stale or corrupt sidecar; merges would lose "
                 f"updates)"

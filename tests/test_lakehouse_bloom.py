@@ -501,3 +501,28 @@ def test_bloom_bits_validated_at_create(spark, tdir):
     with pytest.raises(ValueError, match="key_bloom_bits"):
         TxLogTable.create(spark, os.path.join(tdir, "t2"), df,
                           "user_id", key_bloom_bits=-1)
+
+
+def test_deep_fsck_bloom_on_escaped_partition_values(spark, tdir):
+    """Bloom completeness audit on a hive-partitioned table whose
+    partition value contains a literal '%' (escaped to %25 on disk):
+    the executor probe's input_file_name round trip decodes ONCE —
+    a double decode would corrupt the path, orphan the manifest
+    lookup, and either KeyError or mis-attribute the finding.  Both
+    the healthy pass and the corruption finding must name the right
+    file."""
+    df = spark.range(0, 120).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("value"),
+        F.when(F.col("id") % 2 == 0, "a%b").otherwise("plain")
+         .alias("cat"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=2, partition_by=["cat"],
+                          key_bloom_bits=10)
+    assert t.fsck(deep=True) == []
+    victim = sorted(p for p in t.snapshot().files if "%25" in p)[0]
+    side = os.path.join(t.path, victim + ".bloom")
+    with open(side, "r+b") as f:
+        f.write(b"\x00" * (os.path.getsize(side) // 2))
+    finds = t.fsck(deep=True)
+    assert any("bloom INCOMPLETE" in f_ and victim in f_
+               for f_ in finds), finds
