@@ -92,9 +92,9 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # Queries whose IMPLEMENTATION materially changed this round: their old
 # driver-green rows no longer prove the current code, so they re-enter
 # the never-checked bucket.  Clear entries once the driver re-records
-# them.  (r6: sink_kafka went from computed-payload to a file-backed
-# broker ROUND TRIP — same id, new semantics.)
-_FORCE_RECHECK = {"sink_kafka"}
+# them.  (r6's sink_kafka broker rewrite was re-recorded green in
+# CORRECTNESS_r06, so the set is empty again.)
+_FORCE_RECHECK: set[str] = set()
 
 
 def _round_of(path: str) -> int:
