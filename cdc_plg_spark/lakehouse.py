@@ -95,6 +95,23 @@ public Delta protocol does it:
   `add_check` validates the whole existing table first; renaming or
   dropping a constrained column is refused until its constraints are
   dropped — the public Delta CHECK-constraint contract.
+- **Generated columns** (fixed at create): `create(generated={"col":
+  "expr"})` declares `col` as GENERATED ALWAYS AS (expr) over other
+  logical columns.  Every ingest (create/append/merge) computes the
+  column when the caller omits it and validates `col <=> expr`
+  against the landed bytes when the caller supplies it (same pass as
+  CHECK constraints — loud abort, never silent override or silent
+  trust); MERGE recomputes the after-image so a partial UPDATE that
+  moves a source column moves the generated value (and its hive
+  partition) with it.  When the column is also a partition column
+  and the expression is a recognized MONOTONE shape (date_format
+  with a big-endian pattern, year, fixed prefix, floor-div), a
+  read() predicate on the SOURCE column translates into a partition
+  prune — the Delta "partition pruning from generated columns"
+  contract, with the residual row filter keeping results exact when
+  the shape is unrecognized.  Tables with generated columns commit
+  protocol [1, 2]: a v1 writer would ingest without computing or
+  validating them, so it is locked out loudly while reads stay open.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -153,8 +170,17 @@ class UnsupportedProtocolError(RuntimeError):
 # ([min_reader, min_writer], carried in meta actions and checkpoints,
 # default [1, 1]) is compared against these at snapshot replay (reads)
 # and in every mutator (writes).
+#
+# Writer capability history (the same ladder public Delta climbs):
+#   1 — base format (appends/merge/DV/checks/column mapping/...)
+#   2 — GENERATED COLUMNS: a table created with `generated={col: expr}`
+#       sets min_writer=2, because a v1 writer would append/merge rows
+#       WITHOUT computing or validating the generated values —
+#       corrupting the col=expr invariant every derived partition
+#       prune relies on.  Readers are unaffected (the values are
+#       materialized in the data/paths), so min_reader stays 1.
 READER_VERSION = 1
-WRITER_VERSION = 1
+WRITER_VERSION = 2
 
 
 @dataclass
@@ -195,6 +221,17 @@ class Snapshot:
     # protocol floor [min_reader, min_writer] this snapshot requires
     # (Delta-style protocol versioning; absent in old logs = [1, 1])
     protocol: list[int] = field(default_factory=lambda: [1, 1])
+    # GENERATED columns (Delta-style, fixed at create): logical column
+    # name -> deterministic SQL expression over other LOGICAL columns.
+    # Every ingest write computes the column when the caller omits it
+    # and validates it (col <=> expr, loudly) when the caller supplies
+    # it; merge recomputes it on the after-image so a partial UPDATE of
+    # a source column can never strand a row under a stale partition
+    # value.  When the column is also a partition column and the
+    # expression is a recognized MONOTONE shape, read() translates a
+    # predicate on the SOURCE column into a partition prune (the
+    # Delta "partition pruning from generated columns" contract).
+    generated: dict[str, str] = field(default_factory=dict)
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -225,6 +262,81 @@ def _checks_referencing(checks: dict[str, str], col: str) -> list[str]:
     pat = re.compile(rf"(?<![\w.]){re.escape(col)}(?![\w(])")
     return sorted(n for n, e in checks.items()
                   if pat.search(e.replace("`", "")))
+
+
+# Function names whose presence disqualifies a generated-column
+# expression: a non-deterministic generator would make the col=expr
+# invariant unverifiable (recomputing it yields a different value).
+# Word-matched, conservative — a false positive refuses a create, a
+# false negative would corrupt, so the list errs broad.
+_NONDETERMINISTIC_FNS = (
+    "rand", "randn", "random", "uuid", "shuffle",
+    "monotonically_increasing_id", "current_timestamp", "current_date",
+    "current_timezone", "current_user", "now", "localtimestamp",
+    "input_file_name", "spark_partition_id",
+)
+
+# date_format patterns whose output order equals input order (big-endian
+# calendar fields, fixed width for 4-digit years) — the only formats the
+# derived partition prune trusts.  Monotonicity needs every year in the
+# queried range to render at 4 digits; `_generated_bounds` guards
+# [1000, 9999] at evaluation time.
+_MONOTONE_DATE_FMTS = ("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd HH")
+
+
+def _monotone_generator(expr: str):
+    """(source_col, kind) when `expr` is a recognized shape that is
+    MONOTONE NON-DECREASING in its single source column, else None.
+
+    This drives read()'s derived partition prune, where an unsound
+    answer silently drops matching files — so the allowlist holds only
+    shapes with a clean order argument:
+    - date_format(ts, <big-endian fmt>): fixed-width big-endian text,
+      order-preserving while years stay 4-digit (guarded at eval);
+    - year(ts): calendar years are ordered with the timeline;
+    - substring(s, 1, n) / substr: a fixed-length prefix never inverts
+      binary-lexicographic string order;
+    - floor(x / N), N a positive literal: scaling by a positive
+      constant then flooring is non-decreasing.
+    Everything else (month/day/hour alone, hash, abs, ...) returns
+    None and simply forfeits the derived prune — never correctness
+    (the residual row filter stays on either way)."""
+    import re
+
+    e = " ".join(expr.replace("`", "").strip().split())
+    m = re.fullmatch(
+        r"(?i:date_format)\(\s*(\w+)\s*,\s*'([^']+)'\s*\)", e)
+    if m and m.group(2) in _MONOTONE_DATE_FMTS:
+        return m.group(1), "date_format"
+    m = re.fullmatch(r"(?i:year)\(\s*(\w+)\s*\)", e)
+    if m:
+        return m.group(1), "year"
+    m = re.fullmatch(
+        r"(?i:substr(?:ing)?)\(\s*(\w+)\s*,\s*1\s*,\s*\d+\s*\)", e)
+    if m:
+        return m.group(1), "prefix"
+    m = re.fullmatch(
+        r"(?i:floor)\(\s*(\w+)\s*/\s*(\d+(?:\.\d+)?)\s*\)", e)
+    if m and float(m.group(2)) > 0:
+        return m.group(1), "floor_div"
+    return None
+
+
+def _apply_generated_ingest(df: DataFrame, generated: dict[str, str]):
+    """Ingest-edge handling of generated columns: a column the caller
+    OMITTED is computed from its expression; one the caller SUPPLIED
+    keeps the caller's values but gains an implicit CHECK
+    (`col <=> (expr)`) that the write path validates against the
+    landed bytes in the same pass as user CHECK constraints — loud
+    abort instead of silently overriding or silently trusting.
+    Returns (df, implicit_checks)."""
+    implicit: dict[str, str] = {}
+    for gc, ge in generated.items():
+        if gc in df.columns:
+            implicit[f"_generated_{gc}"] = f"`{gc}` <=> ({ge})"
+        else:
+            df = df.withColumn(gc, F.expr(ge))
+    return df, implicit
 
 
 def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
@@ -540,6 +652,7 @@ class TxLogTable:
             snap.checks = data.get("checks", {})
             snap.owns_root = data.get("owns_root", False)
             snap.protocol = data.get("protocol", [1, 1])
+            snap.generated = data.get("generated", {})
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -587,6 +700,8 @@ class TxLogTable:
                         snap.owns_root = m.get("owns_root",
                                                snap.owns_root)
                         snap.protocol = m.get("protocol", snap.protocol)
+                        snap.generated = m.get("generated",
+                                               snap.generated)
         if snap.protocol[0] > READER_VERSION:
             raise UnsupportedProtocolError(
                 f"table at {self.path!r} requires min_reader "
@@ -637,7 +752,8 @@ class TxLogTable:
                        "key_bloom_bits": snap.bloom_bits,
                        "checks": snap.checks,
                        "owns_root": snap.owns_root,
-                       "protocol": snap.protocol}, f)
+                       "protocol": snap.protocol,
+                       "generated": snap.generated}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def _assert_writer(self, snap: Snapshot) -> None:
@@ -722,6 +838,7 @@ class TxLogTable:
             "converted": snap.owns_root or None,
             "protocol": {"min_reader": snap.protocol[0],
                          "min_writer": snap.protocol[1]},
+            "generated": snap.generated or None,
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
@@ -1163,6 +1280,44 @@ class TxLogTable:
         return df.join(F.broadcast(self._key_df(snap, dv)),
                        on=snap.key_col, how="left_anti")
 
+    def _generated_prune_bounds(self, ge: str, src_col: str,
+                                src_dtype: str, lo, hi, kind: str):
+        """Evaluate a monotone generator on a predicate's two bounds:
+        returns (g(lo), g(hi)) — the partition-value interval a file
+        must intersect to possibly hold a matching row — or None when
+        the prune must be skipped (NULL bound, evaluation failure, or
+        a date_format range leaving the 4-digit-year domain where the
+        text ordering argument holds).  One 2-row local job; the
+        values come back in the exact type `_typed_part` stored for
+        the partition values (int for year/floor, str for text
+        shapes), so the manifest comparison is type-clean."""
+        from pyspark.sql import Column
+
+        def as_col(v):
+            c = v if isinstance(v, Column) else F.lit(v)
+            return c.cast(src_dtype)
+
+        try:
+            sel = [F.expr(ge).alias("_g")]
+            if kind == "date_format":
+                sel.append(F.year(F.col(src_col)).alias("_y"))
+            rows = (self.spark.range(2)
+                    .select(F.when(F.col("id") == 0, as_col(lo))
+                             .otherwise(as_col(hi)).alias(src_col))
+                    .select(*sel).collect())
+        except Exception:
+            return None     # un-evaluable bound: forfeit the prune
+        gs = [r["_g"] for r in rows]
+        if len(gs) != 2 or any(g is None for g in gs):
+            return None
+        if kind == "date_format":
+            ys = [r["_y"] for r in rows]
+            if any(y is None or not 1000 <= y <= 9999 for y in ys):
+                return None   # 4-digit-year monotonicity guard
+        # min/max instead of positional: robust to row order, and for
+        # a monotone g it IS (g(lo), g(hi))
+        return min(gs), max(gs)
+
     def read(self, version: int | None = None,
              key_between: tuple | None = None,
              where_between: tuple | None = None,
@@ -1245,6 +1400,34 @@ class TxLogTable:
                     rng = s.get("cols", {}).get(pcol)
                     return rng is None or (rng[1] >= lo and rng[0] <= hi)
                 files = {p: s for p, s in files.items() if _keep(s)}
+            # DERIVED partition prune (Delta's "partition pruning from
+            # generated columns"): a predicate on the SOURCE column of
+            # a monotone generated partition column also bounds the
+            # partition value — src in [lo,hi] => g(src) in
+            # [g(lo),g(hi)].  Unrecognized generator shapes just skip
+            # (the residual row filter keeps the result exact); a file
+            # with no partition entry is conservatively kept.
+            for gc, ge in (snap.generated or {}).items():
+                pgc = snap.phys(gc)
+                if pgc not in (snap.partition_by or []) or pgc == pcol:
+                    continue
+                mono = _monotone_generator(ge)
+                if (mono is None or mono[0] != col
+                        or col not in _schema.fieldNames()):
+                    continue
+                rb = self._generated_prune_bounds(
+                    ge, col, _schema[col].dataType.simpleString(),
+                    residuals[-1][1], residuals[-1][2], mono[1])
+                if rb is None:
+                    continue
+
+                def _gkeep(s: dict, pgc=pgc, glo=rb[0], ghi=rb[1]):
+                    v = s.get("partition", {}).get(pgc)
+                    try:
+                        return v is None or glo <= v <= ghi
+                    except TypeError:
+                        return True   # never let a prune break a read
+                files = {p: s for p, s in files.items() if _gkeep(s)}
         if not files:
             return self._empty_df(snap)
         df = self._read_files_live(snap, files)
@@ -1364,7 +1547,8 @@ class TxLogTable:
                key_col: str, n_files: int | None = None,
                partition_by: list[str] | None = None,
                key_bloom_bits: int = 0,
-               checks: dict[str, str] | None = None) -> "TxLogTable":
+               checks: dict[str, str] | None = None,
+               generated: dict[str, str] | None = None) -> "TxLogTable":
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
@@ -1374,6 +1558,50 @@ class TxLogTable:
                 f"key column {key_col!r} has type {kt}; the commit log "
                 f"stores key stats as JSON, so keys must be integral "
                 f"or string (wrap a timestamp key as unix micros)")
+        generated = dict(generated or {})
+        if generated:
+            import re as _re
+
+            base_names = [f_.name for f_ in df.schema.fields]
+            for gc, ge in generated.items():
+                if not gc.isidentifier():
+                    raise ValueError(
+                        f"generated column name {gc!r} must be an "
+                        f"identifier")
+                if gc == key_col:
+                    raise ValueError(
+                        f"key column {key_col!r} cannot be generated: "
+                        f"every format invariant (stats, pruning, "
+                        f"merge) hangs off caller-supplied keys")
+                if not isinstance(ge, str) or not ge.strip():
+                    raise ValueError(
+                        f"generated column {gc!r} needs a non-empty "
+                        f"SQL expression, got {ge!r}")
+                bad_fn = [fn for fn in _NONDETERMINISTIC_FNS
+                          if _re.search(rf"(?<!\w){fn}(?!\w)",
+                                        ge.replace("`", ""), _re.I)]
+                if bad_fn:
+                    raise ValueError(
+                        f"generated column {gc!r} uses "
+                        f"non-deterministic function(s) {bad_fn}: the "
+                        f"col=expr invariant must be recomputable")
+                chained = [g2 for g2 in generated
+                           if _checks_referencing({gc: ge}, g2)]
+                if chained:
+                    raise ValueError(
+                        f"generated column {gc!r} references generated "
+                        f"column(s) {chained}; generators may only use "
+                        f"plain columns (no chaining)")
+                try:
+                    df.select(F.expr(ge))
+                except Exception as e:
+                    raise ValueError(
+                        f"generated column {gc!r} expression {ge!r} "
+                        f"does not resolve against schema "
+                        f"{base_names}: {e}") from None
+            df, gen_implicit = _apply_generated_ingest(df, generated)
+        else:
+            gen_implicit = {}
         names = [f_.name for f_ in df.schema.fields]
         for pc in partition_by or []:
             if pc not in names:
@@ -1403,16 +1631,28 @@ class TxLogTable:
             if not cn.isidentifier():
                 raise ValueError(f"constraint name {cn!r} must be an "
                                  f"identifier")
+            if cn.startswith("_generated_"):
+                # reserved for the implicit col<=>expr validations —
+                # a user check under this name would silently collide
+                raise ValueError(
+                    f"constraint name {cn!r} uses the reserved "
+                    f"'_generated_' prefix")
             df.filter(F.expr(ce))   # parse/resolve now, fail at create
         adds = t._write_data(df, key_col, n_files,
                              partition_cols=list(partition_by or []),
                              bloom_bits=key_bloom_bits,
-                             checks=checks)
+                             checks={**checks, **gen_implicit})
         meta = {"schema": df.schema.json(), "key_col": key_col}
         if key_bloom_bits:
             meta["key_bloom_bits"] = key_bloom_bits
         if checks:
             meta["checks"] = checks
+        if generated:
+            meta["generated"] = generated
+            # a v1 writer would ingest without computing/validating
+            # the generated values — lock it out, loudly (reads stay
+            # open to everyone: the values are materialized)
+            meta["protocol"] = [1, 2]
         if partition_by:
             # physical names == logical names at create (mapping is
             # identity); directories and manifest keys stay on these
@@ -1429,6 +1669,12 @@ class TxLogTable:
         self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
+        # generated columns: compute the omitted ones BEFORE the
+        # every-table-column-present contract below (an omitted
+        # generated column is the expected calling convention, not a
+        # missing column); supplied ones get the implicit col<=>expr
+        # validation in the same landed-bytes pass as user CHECKs
+        df, gen_implicit = _apply_generated_ingest(df, snap.generated)
         _phys_memo: dict[str, str] = {}
 
         def _schema_meta(s: "Snapshot") -> list[dict]:
@@ -1463,7 +1709,7 @@ class TxLogTable:
                                 mapping=write_mapping,
                                 partition_cols=snap.logical_partition_by(),
                                 bloom_bits=snap.bloom_bits,
-                                checks=snap.checks)
+                                checks={**snap.checks, **gen_implicit})
         while True:
             actions = [{"commit": {"op": "APPEND"}}, *meta, *adds]
             if txn is not None:
@@ -1516,6 +1762,16 @@ class TxLogTable:
                 raise ValueError(
                     f"column {old!r} is referenced by CHECK "
                     f"constraint(s) {hit}; drop_check them first")
+            if old in snap.generated:
+                raise ValueError(
+                    f"cannot rename generated column {old!r}: its "
+                    f"generator binding is fixed at create")
+            ghit = _checks_referencing(snap.generated, old)
+            if ghit:
+                raise ValueError(
+                    f"column {old!r} is referenced by generated "
+                    f"column(s) {ghit}; their expressions are fixed "
+                    f"at create")
             mapping = dict(snap.mapping or {n: n for n in names})
             mapping[new] = mapping.pop(old)
             from pyspark.sql.types import StructField
@@ -1543,6 +1799,9 @@ class TxLogTable:
         if not name.isidentifier():
             raise ValueError(f"constraint name {name!r} must be an "
                              f"identifier")
+        if name.startswith("_generated_"):
+            raise ValueError(f"constraint name {name!r} uses the "
+                             f"reserved '_generated_' prefix")
         for _ in range(5):
             snap = self.snapshot()
             self._assert_writer(snap)
@@ -1621,6 +1880,16 @@ class TxLogTable:
                 raise ValueError(
                     f"column {name!r} is referenced by CHECK "
                     f"constraint(s) {hit}; drop_check them first")
+            if name in snap.generated:
+                raise ValueError(
+                    f"cannot drop generated column {name!r}: "
+                    f"generated columns are fixed at create")
+            ghit = _checks_referencing(snap.generated, name)
+            if ghit:
+                raise ValueError(
+                    f"column {name!r} is referenced by generated "
+                    f"column(s) {ghit}; their expressions are fixed "
+                    f"at create")
             mapping = dict(snap.mapping or {n: n for n in names})
             retired = [*snap.retired, mapping.pop(name)]
             schema = StructType([f_ for f_ in fields if f_.name != name])
@@ -1787,7 +2056,11 @@ class TxLogTable:
                                    mapping=mapping)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
-            missing = [c for c in cols if c not in s.columns]
+            # generated columns are exempt from the full-row contract:
+            # the after-image recomputes them, so an omitted one can
+            # never be silently nulled
+            missing = [c for c in cols if c not in s.columns
+                       and c not in snap.generated]
             if missing and not partial:
                 raise ValueError(
                     f"merge source must carry every table column; "
@@ -1803,6 +2076,32 @@ class TxLogTable:
                     raise ValueError(
                         f"order_by columns {ob_missing} must be in a "
                         f"partial merge source (resolution needs them)")
+            for gc, ge in snap.generated.items():
+                # a source that SUPPLIES a generated column is
+                # validated loudly up front (delete rows exempt — only
+                # their key matters); an omitted one is simply
+                # recomputed on the after-image below
+                if gc not in s.columns:
+                    continue
+                deps = [c for c in table_names
+                        if c != gc and _checks_referencing({gc: ge}, c)]
+                dep_missing = [c for c in deps if c not in s.columns]
+                if dep_missing:
+                    raise ValueError(
+                        f"merge source carries generated column {gc!r} "
+                        f"but not its source column(s) {dep_missing}; "
+                        f"drop {gc!r} (it is recomputed) or carry the "
+                        f"columns it derives from")
+                bad = (s.filter((F.col("_op") != "D")
+                                & F.expr(f"`{gc}` <=> ({ge})")
+                                .eqNullSafe(F.lit(False)))
+                       .limit(1).collect())
+                if bad:
+                    raise CheckViolation(
+                        f"merge source value for generated column "
+                        f"{gc!r} contradicts its expression {ge!r}, "
+                        f"e.g. {bad[0]}; omit the column to have it "
+                        f"computed")
             target = self._read_files_live(snap, touched)
             t_ = target.withColumn("_t", F.lit(1)).alias("t")
             s_ = s.withColumn("_s", F.lit(1)).alias("s")
@@ -1822,6 +2121,14 @@ class TxLogTable:
                           .alias(c)
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
+            # recompute generated columns on the AFTER-image (in-place
+            # projection, same codegen stage — no extra pass): a
+            # partial UPDATE that changes a source column must move
+            # the row's generated value (and hive partition) with it,
+            # and an unchanged row recomputes to the identical value
+            # (generators are deterministic by construction)
+            for gc, ge in snap.generated.items():
+                merged = merged.withColumn(gc, F.expr(ge))
             n_files = max(1, len(touched))
             adds = self._write_data(
                 merged, key, n_files, mapping=snap.mapping,
@@ -2128,7 +2435,10 @@ class TxLogTable:
                 "partition_by": old.partition_by,
                 "key_bloom_bits": old.bloom_bits,
                 "checks": old.checks,
-                "owns_root": snap.owns_root or old.owns_root}
+                "owns_root": snap.owns_root or old.owns_root,
+                # generated is fixed at create, so old == head; carried
+                # explicitly so a restore commit's meta stays complete
+                "generated": old.generated}
         actions = [{"commit": {"op": "RESTORE", "to_version": version,
                                "files_removed": len(snap.files),
                                "files_restored": len(adds)}},
@@ -2629,6 +2939,23 @@ class TxLogTable:
                 or not all(isinstance(x, int) and x >= 1 for x in pr)):
             out.append(f"malformed protocol {pr!r} (want "
                        f"[min_reader>=1, min_writer>=1])")
+        if snap.generated:
+            ghost_g = [g for g in snap.generated if g not in names]
+            if ghost_g:
+                out.append(f"generated column(s) {ghost_g} not in "
+                           f"schema {names}")
+            bad_g = [g for g, e in snap.generated.items()
+                     if not isinstance(e, str) or not e.strip()]
+            if bad_g:
+                out.append(f"generated column(s) {bad_g} have empty/"
+                           f"non-string expressions")
+            if (isinstance(pr, list) and len(pr) == 2
+                    and isinstance(pr[1], int) and pr[1] < 2):
+                out.append(
+                    f"table declares generated columns "
+                    f"{sorted(snap.generated)} but min_writer is "
+                    f"{pr[1]} — a v1 writer could ingest without "
+                    f"computing them")
         for rel, s in sorted(snap.files.items()):
             full = self._abs(rel)
             if pb:

@@ -327,9 +327,15 @@ def test_bloom_measured_write_amplification_sf01(spark):
         mb = tb.merge(src)
         mp = tp.merge(src)
         # 3 keys live in <= 3 files; range-only pruning must have
-        # degraded (z-layout) while the bloom stays near the true count
+        # degraded (z-layout) while the bloom stays near the true
+        # count.  The bloom bound budgets for false positives: at 10
+        # bits/key the per-probe FP rate is ~1%, and ~45 non-true
+        # (key, file) probes survive the range prune post-ZORDER, so
+        # E[FP] ~ 0.4 — two FPs (5 files) shows up in a few percent
+        # of runs (observed), four (7 files) is ~1e-4.  <= 6 keeps
+        # the exhibit sharp (vs >= 12 range-only) without the flake.
         assert mp["files_scanned"] >= 12            # ranges widened
-        assert mb["files_scanned"] <= 4, \
+        assert mb["files_scanned"] <= 6, \
             (mb["files_scanned"], mp["files_scanned"])
         got_b = {r["event_id"]: r["user_id"]
                  for r in tb.read().collect()}

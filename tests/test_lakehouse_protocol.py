@@ -20,9 +20,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.lakehouse import (
+    WRITER_VERSION,
     TxLogTable,
     UnsupportedProtocolError,
 )
+
+# the smallest writer floor that locks THIS client out
+LOCKOUT = WRITER_VERSION + 1
 
 
 @pytest.fixture()
@@ -56,11 +60,11 @@ def test_default_protocol_and_noop_upgrade(spark, tdir):
 def test_writer_floor_blocks_every_mutation_reads_work(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     before = sorted(r["user_id"] for r in t.read().collect())
-    t.upgrade_protocol(min_writer=2, allow_unsupported=True)
-    assert t.snapshot().protocol == [1, 2]
+    t.upgrade_protocol(min_writer=LOCKOUT, allow_unsupported=True)
+    assert t.snapshot().protocol == [1, LOCKOUT]
     # reads keep working
     assert sorted(r["user_id"] for r in t.read().collect()) == before
-    assert t.detail()["protocol"]["min_writer"] == 2
+    assert t.detail()["protocol"]["min_writer"] == LOCKOUT
     assert t.fsck(deep=True) == []
     # every mutator refuses, table bytes untouched
     s = src(spark, [(1, 99, "U")])
@@ -74,7 +78,7 @@ def test_writer_floor_blocks_every_mutation_reads_work(spark, tdir):
                lambda: t.add_check("c", "value >= 0"),
                lambda: t.repartition_layout(None),
                lambda: t.vacuum(min_age_s=0),
-               lambda: t.upgrade_protocol(min_writer=3,
+               lambda: t.upgrade_protocol(min_writer=LOCKOUT + 1,
                                           allow_unsupported=True)):
         with pytest.raises(UnsupportedProtocolError):
             op()
@@ -85,8 +89,7 @@ def test_reader_floor_blocks_head_not_history(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     v0 = t.snapshot().version
     t.merge(src(spark, [(1, 99, "U")]), op_col="op")
-    t.upgrade_protocol(min_reader=2, min_writer=2,
-                       allow_unsupported=True)
+    t.upgrade_protocol(min_reader=2, allow_unsupported=True)
     with pytest.raises(UnsupportedProtocolError, match="min_reader"):
         t.snapshot()
     with pytest.raises(UnsupportedProtocolError):
@@ -101,25 +104,25 @@ def test_upgrade_is_monotonic_and_guarded(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     # exceeding own support requires the explicit flag
     with pytest.raises(ValueError, match="allow_unsupported"):
-        t.upgrade_protocol(min_writer=2)
+        t.upgrade_protocol(min_writer=LOCKOUT)
     t.upgrade_protocol(min_reader=1, min_writer=1)     # no-op ok
     t2 = TxLogTable(spark, t.path)
-    t2.upgrade_protocol(min_writer=2, allow_unsupported=True)
+    t2.upgrade_protocol(min_writer=LOCKOUT, allow_unsupported=True)
     # downgrade refused even via a fresh handle... but the writer gate
     # fires first (the table is now write-locked for this client)
     with pytest.raises(UnsupportedProtocolError):
         TxLogTable(spark, t.path).upgrade_protocol(
-            min_writer=1, allow_unsupported=True)
+            min_writer=WRITER_VERSION, allow_unsupported=True)
 
 
 def test_protocol_survives_checkpoint_replay(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
-    t.upgrade_protocol(min_writer=2, allow_unsupported=True)
+    t.upgrade_protocol(min_writer=LOCKOUT, allow_unsupported=True)
     snap = t.snapshot()
     t._write_checkpoint(snap)
     fresh = TxLogTable(spark, t.path)          # new handle, replays log
     replayed = fresh.snapshot(snap.version)
-    assert replayed.protocol == [1, 2]
+    assert replayed.protocol == [1, LOCKOUT]
     with pytest.raises(UnsupportedProtocolError):
         fresh.merge(src(spark, [(1, 1, "U")]), op_col="op")
 
@@ -137,6 +140,6 @@ def test_restore_never_rewinds_protocol(spark, tdir):
     t.restore(version=v0)
     assert t.snapshot().protocol == [1, 1]
     # and explicitly: a restore below a writer upgrade keeps the floor
-    t.upgrade_protocol(min_writer=2, allow_unsupported=True)
+    t.upgrade_protocol(min_writer=LOCKOUT, allow_unsupported=True)
     with pytest.raises(UnsupportedProtocolError):
         t.restore(version=v0)
