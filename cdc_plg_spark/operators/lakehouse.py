@@ -1248,3 +1248,59 @@ def lakehouse_partial_merge(spark: SparkSession,
     t.merge(sparse, partial=True)
     return t.read().select(
         "event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+LAKEHOUSE_GENERATED_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS derived_prune_skips,
+           TRUE AS computed_matches_expr
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
+"""
+
+
+def lakehouse_generated_pruning(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """GENERATED partition column + derived prune, measured end to end
+    (lakehouse.py create(generated=...), protocol [1,2]): the table is
+    hive-partitioned on `event_date`, GENERATED ALWAYS AS
+    date_format(ts, 'yyyy-MM-dd') — the caller never supplies it; the
+    write path computes it.  A read carrying ONLY a predicate on the
+    SOURCE column `ts` must then prune at the manifest through the
+    generator (monotone big-endian date text): `derived_prune_skips`
+    checks, from `inputFiles()`, that every scanned file sits in a
+    matching date partition AND that non-matching partitions exist to
+    skip — the prune did real work.  `computed_matches_expr`
+    re-derives date_format(ts, ...) for every stored row and compares
+    it to the materialized column, so the computed values (and the
+    hive paths they chose) are verified against the expression, not
+    trusted.  Row count + id checksum come from the PRUNED read, so a
+    prune that dropped a matching file flips the hash."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_genpart_")
+    t = TxLogTable.create(
+        spark, os.path.join(d, "t"), ev, "event_id", n_files=8,
+        partition_by=["event_date"],
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    got = t.read(where_between=("ts", "2024-01-08", "2024-01-15"))
+    snap = t.snapshot()
+    from cdc_plg_spark.lakehouse import _fs_path
+
+    scanned = {os.path.relpath(_fs_path(f), t.path)
+               for f in got.inputFiles()}
+    in_range = {p for p, s in snap.files.items()
+                if "2024-01-08" <= s["partition"]["event_date"]
+                <= "2024-01-15"}
+    pruned_ok = (scanned <= in_range
+                 and len(in_range) < len(snap.files))
+    mismatches = t.read().filter(
+        F.col("event_date")
+        != F.date_format("ts", "yyyy-MM-dd")).count()
+    return got.agg(
+        F.count(F.lit(1)).alias("rows_matching"),
+        F.sum("event_id").alias("id_checksum")).select(
+        "rows_matching", "id_checksum",
+        F.lit(pruned_ok).alias("derived_prune_skips"),
+        F.lit(mismatches == 0).alias("computed_matches_expr"))

@@ -1,7 +1,8 @@
 """Format-exhibit queries (operators/lakehouse.py tail section).
 
-Five lakehouse capabilities — bloom point reads, temporal skipping,
-retention predicate-DELETE, RESTORE round trip, partial-column MERGE —
+Six lakehouse capabilities — bloom point reads, temporal skipping,
+retention predicate-DELETE, RESTORE round trip, partial-column MERGE,
+generated-column derived partition pruning —
 implemented as driver-checkable queries but deliberately NOT in the
 registry yet: registering them in r7 would take driver
 correctness-budget slots the stale-green freshness drain needs
@@ -16,11 +17,13 @@ import pytest
 
 from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_BLOOM_POINT_ORACLE,
+    LAKEHOUSE_GENERATED_ORACLE,
     LAKEHOUSE_PARTIAL_MERGE_ORACLE,
     LAKEHOUSE_RESTORE_ORACLE,
     LAKEHOUSE_RETENTION_ORACLE,
     LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
     lakehouse_bloom_point_read,
+    lakehouse_generated_pruning,
     lakehouse_partial_merge,
     lakehouse_restore_roundtrip,
     lakehouse_retention_delete,
@@ -39,6 +42,8 @@ CASES = [
      LAKEHOUSE_RESTORE_ORACLE),
     ("lakehouse_partial_merge", lakehouse_partial_merge,
      LAKEHOUSE_PARTIAL_MERGE_ORACLE),
+    ("lakehouse_generated_pruning", lakehouse_generated_pruning,
+     LAKEHOUSE_GENERATED_ORACLE),
 ]
 
 
@@ -70,3 +75,6 @@ def test_exhibit_booleans_are_measured_true(spark):
     assert t["temporal_skips_half"] and t["rows_matching"] > 0
     r = lakehouse_retention_delete(spark, sf).head()
     assert r["dropped_whole_files"] and r["feed_deletes"] > 0
+    g = lakehouse_generated_pruning(spark, sf).head()
+    assert g["derived_prune_skips"] and g["computed_matches_expr"]
+    assert g["rows_matching"] > 0
