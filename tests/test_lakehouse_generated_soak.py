@@ -1,0 +1,177 @@
+"""Soundness soak for the generated-column derived partition prune.
+
+The derived prune is the one place a bug SILENTLY DROPS ROWS (a wrong
+partition interval skips a file whose rows match), so beyond the
+fixed-point cases in test_lakehouse_generated.py this soak hammers it
+with seeded-random predicate bounds across every recognized generator
+shape — including inverted, empty, single-point, and boundary-straddling
+ranges — and requires bit-identical ids vs the unpruned full-scan
+filter every time.  Also pins the streaming path: the epoch-idempotent
+foreachBatch sink appending into a generated-partitioned table must
+compute the column per micro-batch (the CDC-changelog-to-hive shape).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import TxLogTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_gensoak_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+_BASE = dt.datetime(2023, 11, 20, tzinfo=dt.timezone.utc)
+_BASE_US = int(_BASE.timestamp()) * 1_000_000
+_SPAN_DAYS = 90     # crosses a year boundary: 2023-11-20 .. 2024-02-18
+
+
+def corpus(spark, n=600):
+    """ts spans a YEAR BOUNDARY (the hardest case for date-text and
+    year generators), name is a mixed-prefix string, v a long."""
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            (F.lit(_BASE_US)
+             + (F.col("id") % _SPAN_DAYS) * F.lit(86_400_000_000)
+             + (F.col("id") * 7919 % 86_400) * F.lit(1_000_000))
+            .cast("long")).alias("ts"),
+        F.concat(F.lit("doc-"),
+                 F.lpad((F.col("id") * 37 % 500).cast("string"), 4, "0"),
+                 F.lit("-x")).alias("name"),
+        ((F.col("id") * 13) % 5000).alias("v"))
+
+
+def _ids(df):
+    return sorted(r["k"] for r in df.select("k").collect())
+
+
+def _soak(t, base_df, cases):
+    """Every (col, lo, hi) case: pruned read == full-scan filter."""
+    full = t.read()
+    for col, lo, hi in cases:
+        got = _ids(t.read(where_between=(col, lo, hi)))
+        want = _ids(full.filter(F.col(col).between(lo, hi)))
+        assert got == want, (col, lo, hi, len(got), len(want))
+
+
+def test_date_format_generator_random_bounds(spark, tdir):
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), corpus(spark), "k", n_files=6,
+        partition_by=["event_date"],
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    rng = random.Random(20260815)
+    cases = []
+    for _ in range(25):
+        a = _BASE + dt.timedelta(seconds=rng.randrange(0, _SPAN_DAYS * 86_400))
+        b = _BASE + dt.timedelta(seconds=rng.randrange(0, _SPAN_DAYS * 86_400))
+        cases.append(("ts", a.replace(tzinfo=None), b.replace(tzinfo=None)))
+    # adversarial fixed cases: empty (inverted), point, exact-midnight
+    # boundaries, the year rollover, and the full span
+    cases += [
+        ("ts", dt.datetime(2024, 1, 5), dt.datetime(2023, 12, 1)),
+        ("ts", dt.datetime(2023, 12, 25), dt.datetime(2023, 12, 25)),
+        ("ts", dt.datetime(2023, 12, 31), dt.datetime(2024, 1, 1)),
+        ("ts", dt.datetime(2023, 11, 20), dt.datetime(2024, 2, 18)),
+        ("ts", dt.datetime(2025, 1, 1), dt.datetime(2026, 1, 1)),
+    ]
+    _soak(t, corpus(spark), cases)
+
+
+def test_year_and_floor_generators_random_bounds(spark, tdir):
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), corpus(spark), "k", n_files=6,
+        partition_by=["yr", "vb"],
+        generated={"yr": "year(ts)", "vb": "floor(v / 500)"})
+    rng = random.Random(4242)
+    cases = []
+    for _ in range(20):
+        lo, hi = rng.randrange(-100, 5200), rng.randrange(-100, 5200)
+        cases.append(("v", lo, hi))
+    cases += [("v", 499, 500), ("v", 500, 500), ("v", 0, 4999),
+              ("v", 5000, 100), ("v", -50, -1)]
+    for _ in range(10):
+        a = _BASE + dt.timedelta(days=rng.randrange(-40, _SPAN_DAYS + 40))
+        b = _BASE + dt.timedelta(days=rng.randrange(-40, _SPAN_DAYS + 40))
+        cases.append(("ts", a.replace(tzinfo=None), b.replace(tzinfo=None)))
+    _soak(t, corpus(spark), cases)
+
+
+def test_prefix_generator_random_bounds(spark, tdir):
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), corpus(spark), "k", n_files=6,
+        partition_by=["bucket"],
+        generated={"bucket": "substring(name, 1, 7)"})
+    rng = random.Random(99)
+    cases = []
+    for _ in range(20):
+        a = f"doc-{rng.randrange(0, 500):04d}"
+        b = f"doc-{rng.randrange(0, 500):04d}-x"
+        cases.append(("name", a, b) if a <= b else ("name", b, a))
+    cases += [("name", "doc-0000", "doc-0000-x"),       # single bucket
+              ("name", "a", "z"),                        # full span
+              ("name", "doc-0100-x", "doc-0100"),        # inverted
+              ("name", "e", "f")]                        # empty
+    _soak(t, corpus(spark), cases)
+
+
+def test_stacked_predicates_double_derived_prune(spark, tdir):
+    """Two predicates, each deriving into a DIFFERENT generated
+    partition column — the stacked CDC read shape."""
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), corpus(spark), "k", n_files=6,
+        partition_by=["yr", "vb"],
+        generated={"yr": "year(ts)", "vb": "floor(v / 500)"})
+    got = t.read(where_between=[("ts", "2024-01-01", "2024-02-18"),
+                                ("v", 1000, 2400)])
+    want = (t.read()
+            .filter(F.col("ts").between("2024-01-01", "2024-02-18"))
+            .filter(F.col("v").between(1000, 2400)))
+    assert _ids(got) == _ids(want)
+    assert len(_ids(got)) > 0
+
+
+def test_streaming_sink_computes_generated_column(spark, tdir):
+    """foreachBatch epoch-idempotent appends into a generated-
+    partitioned table: each micro-batch ships only (k, ts, name, v)
+    and the write path computes event_date — streaming CDC into hive
+    layout without the producer knowing the layout exists."""
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    seed = corpus(spark, 50)
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), seed, "k", n_files=2,
+        partition_by=["event_date"],
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    src_dir = os.path.join(tdir, "src")
+    corpus(spark, 80).filter(F.col("k") >= 50).write.parquet(src_dir)
+    stream = (spark.readStream.schema(
+        "k long, ts timestamp, name string, v long")
+        .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    def apply_batch(bdf, epoch):
+        TxLogTable(bdf.sparkSession, t.path).append(
+            bdf, txn=("gen_sink", epoch))
+
+    ckpt = os.path.join(tdir, "ckpt")
+    run_foreach_batch(stream, apply_batch, ckpt)
+    assert t.read().count() == 80
+    bad = t.read().filter(
+        F.col("event_date") != F.date_format("ts", "yyyy-MM-dd")).count()
+    assert bad == 0
+    # and the hive layout is real: a one-day read prunes to its files
+    snap = t.snapshot()
+    dates = {s["partition"]["event_date"] for s in snap.files.values()}
+    assert len(dates) > 10
+    assert t.fsck(deep=True) == []
