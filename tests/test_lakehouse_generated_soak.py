@@ -142,6 +142,103 @@ def test_stacked_predicates_double_derived_prune(spark, tdir):
     assert len(_ids(got)) > 0
 
 
+@pytest.mark.parametrize("seed", [7, 31])
+def test_random_ops_on_generated_table_match_dict_model(spark, tdir,
+                                                        seed):
+    """Model-based soak on a GENERATED-partitioned table: a random
+    interleaving of full MERGE / partial ts-moving MERGE / key DELETE
+    (cow and dv) / OPTIMIZE / RESTORE must keep the table equal to a
+    trivial dict model after every step AND keep the generated
+    invariant (event_date == date_format(ts)) — i.e. the engine keeps
+    computing/moving the generated value no matter which write path a
+    row arrives through.  Final deep fsck proves paths, manifest
+    partition values, and stats all still agree."""
+    rng = random.Random(seed)
+    base = [(k, dt.datetime(2024, 1, 1 + k % 20, 6, 0), k * 2)
+            for k in range(40)]
+    df = spark.createDataFrame(base, "k long, ts timestamp, v long")
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), df, "k", n_files=4,
+        partition_by=["event_date"],
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    model = {k: (ts, v) for k, ts, v in base}
+    history = {t.snapshot().version: dict(model)}
+
+    def rnd_ts():
+        return dt.datetime(2024, rng.randint(1, 6), rng.randint(1, 28),
+                           rng.randint(0, 23))
+
+    def check_head():
+        rows = t.read().collect()
+        got = {r["k"]: (r["ts"], r["v"]) for r in rows}
+        assert got == model
+        assert all(r["event_date"] == r["ts"].strftime("%Y-%m-%d")
+                   for r in rows)
+
+    for _ in range(10):
+        kind = rng.choices(
+            ("merge", "merge_partial_ts", "delete", "delete_dv",
+             "optimize", "restore"),
+            weights=(5, 4, 2, 2, 1, 1))[0]
+        if kind == "merge":
+            keys = rng.sample(range(60), rng.randint(1, 5))
+            rows, ops = [], {}
+            for k in keys:
+                op = rng.choice("IUD")
+                ts, v = rnd_ts(), rng.randint(-99, 99)
+                rows.append((k, ts, v, op))
+                ops[k] = (op, ts, v)
+            m = t.merge(spark.createDataFrame(
+                rows, "k long, ts timestamp, v long, op string"),
+                op_col="op")
+            for k, (op, ts, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = (ts, v)
+            history[m["version"]] = dict(model)
+        elif kind == "merge_partial_ts":
+            live = sorted(model)
+            if not live:
+                continue
+            keys = rng.sample(live, min(len(live), rng.randint(1, 4)))
+            rows = [(k, rnd_ts(), "U") for k in keys]
+            m = t.merge(spark.createDataFrame(
+                rows, "k long, ts timestamp, op string"),
+                op_col="op", partial=True)
+            for k, ts, _ in rows:
+                model[k] = (ts, model[k][1])    # ts moves, v kept
+            history[m["version"]] = dict(model)
+        elif kind in ("delete", "delete_dv"):
+            lo = rng.randint(0, 50)
+            hi = lo + rng.randint(0, 15)
+            dm = t.delete_where(
+                (lo, hi), mode="dv" if kind == "delete_dv" else "cow")
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+            history[dm["version"]] = dict(model)
+        elif kind == "optimize":
+            m = t.optimize(target_files=2)
+            if not m["skipped"]:
+                history[m["version"]] = dict(model)
+        else:
+            eligible = [v for v in t._versions() if v in history]
+            rv = rng.choice(eligible)
+            rm = t.restore(version=rv)
+            model = dict(history[rv])
+            history[rm["version"]] = dict(model)
+        check_head()
+
+    assert t.fsck(deep=True) == []
+    # every surviving recorded version still replays to its model
+    for v in t._versions():
+        if v in history:
+            got = {r["k"]: (r["ts"], r["v"])
+                   for r in t.read(version=v).collect()}
+            assert got == history[v], f"version {v} diverged"
+
+
 def test_streaming_sink_computes_generated_column(spark, tdir):
     """foreachBatch epoch-idempotent appends into a generated-
     partitioned table: each micro-batch ships only (k, ts, name, v)
