@@ -1400,16 +1400,20 @@ class TxLogTable:
                     rng = s.get("cols", {}).get(pcol)
                     return rng is None or (rng[1] >= lo and rng[0] <= hi)
                 files = {p: s for p, s in files.items() if _keep(s)}
-            # DERIVED partition prune (Delta's "partition pruning from
-            # generated columns"): a predicate on the SOURCE column of
-            # a monotone generated partition column also bounds the
-            # partition value — src in [lo,hi] => g(src) in
-            # [g(lo),g(hi)].  Unrecognized generator shapes just skip
-            # (the residual row filter keeps the result exact); a file
-            # with no partition entry is conservatively kept.
+            # DERIVED prune through generated columns (Delta's
+            # "partition pruning from generated columns", extended to
+            # column stats): a predicate on the SOURCE column of a
+            # monotone generator also bounds the generated value —
+            # src in [lo,hi] => g(src) in [g(lo),g(hi)] — so files
+            # prune by EXACT partition value when the generated column
+            # is in the layout, and by their per-file min/max stats
+            # when it is not (e.g. after repartition_layout(None)).
+            # Unrecognized generator shapes just skip (the residual
+            # row filter keeps the result exact); a file with no
+            # partition entry / no stats is conservatively kept.
             for gc, ge in (snap.generated or {}).items():
                 pgc = snap.phys(gc)
-                if pgc not in (snap.partition_by or []) or pgc == pcol:
+                if pgc == pcol:
                     continue
                 mono = _monotone_generator(ge)
                 if (mono is None or mono[0] != col
@@ -1420,11 +1424,17 @@ class TxLogTable:
                     residuals[-1][1], residuals[-1][2], mono[1])
                 if rb is None:
                     continue
+                part_gc = pgc in (snap.partition_by or [])
 
-                def _gkeep(s: dict, pgc=pgc, glo=rb[0], ghi=rb[1]):
-                    v = s.get("partition", {}).get(pgc)
+                def _gkeep(s: dict, pgc=pgc, glo=rb[0], ghi=rb[1],
+                           part=part_gc):
                     try:
-                        return v is None or glo <= v <= ghi
+                        if part:
+                            v = s.get("partition", {}).get(pgc)
+                            return v is None or glo <= v <= ghi
+                        rng = s.get("cols", {}).get(pgc)
+                        return rng is None or (rng[1] >= glo
+                                               and rng[0] <= ghi)
                     except TypeError:
                         return True   # never let a prune break a read
                 files = {p: s for p, s in files.items() if _gkeep(s)}

@@ -351,6 +351,38 @@ def test_repartition_layout_off_and_back(spark, tdir):
                for p in scanned)
 
 
+def test_stats_based_derived_prune_when_not_partitioned(spark, tdir):
+    """The derived prune also works through per-file COLUMN STATS when
+    the generated column is not (or no longer) in the hive layout —
+    same monotone argument, manifest min/max instead of exact
+    partition values."""
+    df = events_df(spark).withColumn(   # cluster ts with the key so
+        "ts", F.timestamp_micros(      # per-file event_date ranges
+            (F.lit(_BASE_US)           # are narrow (key-range files)
+             + (F.col("event_id") * F.lit(86_400_000_000) / 20)
+             ).cast("long")))
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), df, "event_id", n_files=8,
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    assert t.snapshot().partition_by is None
+    lo, hi = dt.datetime(2024, 3, 2), dt.datetime(2024, 3, 3, 23, 59)
+    got = t.read(where_between=("ts", lo, hi))
+    want = sorted(r["event_id"] for r in
+                  t.read().filter(F.col("ts").between(lo, hi)).collect())
+    assert sorted(r["event_id"] for r in got.collect()) == want
+    assert want
+    # the stats prune bit: files whose event_date range excludes
+    # [2024-03-02, 2024-03-03] were never listed
+    snap = t.snapshot()
+    scanned = {os.path.relpath(lh._fs_path(f), t.path)
+               for f in got.inputFiles()}
+    ok = {p for p, s in snap.files.items()
+          if (r_ := s["cols"].get("event_date")) is None
+          or (r_[1] >= "2024-03-02" and r_[0] <= "2024-03-03")}
+    assert scanned <= ok
+    assert len(ok) < len(snap.files)
+
+
 def test_checkpoint_json_carries_generated(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     snap = t.snapshot()
