@@ -2911,7 +2911,12 @@ class TxLogTable:
         - column-mapping coherence: mapping keys == schema fields,
           physical names unique, retired names disjoint from live;
         - deep: footer min/max of the key and every stat column lie
-          INSIDE the manifest's claimed range, and row counts match.
+          INSIDE the manifest's claimed range, and row counts match;
+        - deep: every GENERATED column satisfies col <=> expr on the
+          live data (one column-pruned distributed scan over the
+          generated columns and their sources — the invariant the
+          derived prune trusts; a violating row means some writer
+          bypassed the ingest contract).
         """
         out: list[str] = []
         bloom_audit: list[tuple[str, str, int, int]] = []
@@ -3035,6 +3040,22 @@ class TxLogTable:
                     bloom_audit.append((rel, full, bl["m"], bl["k"]))
         if deep and bloom_audit:
             out.extend(self._fsck_bloom_completeness(snap, bloom_audit))
+        if deep and snap.generated and snap.files and not out:
+            # generated-invariant audit: one distributed, column-pruned
+            # scan (Catalyst prunes to the generated columns + their
+            # sources); skipped when structural findings exist — a
+            # mis-manifested table would only produce noise here
+            viol = None
+            for gc, ge in snap.generated.items():
+                c = F.expr(f"`{gc}` <=> ({ge})").eqNullSafe(F.lit(False))
+                viol = c if viol is None else (viol | c)
+            n_bad = (self._read_files_live(snap, sorted(snap.files))
+                     .filter(viol).count())
+            if n_bad:
+                out.append(
+                    f"{n_bad} row(s) violate generated-column "
+                    f"expression(s) {sorted(snap.generated)} — some "
+                    f"writer bypassed the ingest contract")
         return out
 
     def _fsck_bloom_completeness(

@@ -383,6 +383,36 @@ def test_stats_based_derived_prune_when_not_partitioned(spark, tdir):
     assert len(ok) < len(snap.files)
 
 
+def test_deep_fsck_detects_generated_violation(spark, tdir):
+    """Simulate the exact failure protocol v2 exists to prevent — a
+    writer that commits rows WITHOUT honoring the generator (as a v1
+    client would if it ignored the floor): hand-craft a data file with
+    a wrong event_date and publish its add-action directly.  Deep fsck
+    must report the invariant violation; shallow fsck (manifest-only)
+    cannot see it."""
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), events_df(spark), "event_id",
+        n_files=2, generated=GEN)       # unpartitioned: pure data case
+    assert t.fsck(deep=True) == []
+    bad_dir = os.path.join(t.path, "data", "bypass")
+    (spark.createDataFrame(
+        [(5000, dt.datetime(2024, 3, 9, 6, 0), 1, "1999-01-01")],
+        "event_id long, ts timestamp, value long, event_date string")
+     .coalesce(1).write.parquet(bad_dir))
+    f = [x for x in os.listdir(bad_dir) if x.endswith(".parquet")][0]
+    rel = os.path.join("data", "bypass", f)
+    snap = t.snapshot()
+    assert t._try_commit(snap.version + 1, [
+        {"commit": {"op": "ROGUE_APPEND"}},
+        {"add": {"path": rel, "rows": 1,
+                 "bytes": os.path.getsize(os.path.join(t.path, rel)),
+                 "min_key": 5000, "max_key": 5000, "cols": {}}}])
+    assert t.fsck() == []               # manifest-level: looks healthy
+    findings = t.fsck(deep=True)
+    assert len(findings) == 1
+    assert "generated" in findings[0] and "1 row" in findings[0]
+
+
 def test_checkpoint_json_carries_generated(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     snap = t.snapshot()
