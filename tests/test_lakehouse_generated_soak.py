@@ -239,6 +239,35 @@ def test_random_ops_on_generated_table_match_dict_model(spark, tdir,
             assert got == history[v], f"version {v} diverged"
 
 
+def test_change_feed_reports_partition_move_as_update(spark, tdir):
+    """A partial merge that moves a row's ts (and therefore its
+    generated hive partition — physically a remove from one directory
+    and an add in another) must surface in the change feed as ONE
+    key-level update with consistent images, never as a spurious
+    delete+insert pair."""
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), corpus(spark, 60), "k",
+        n_files=3, partition_by=["event_date"],
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    v0 = t.snapshot().version
+    old = t.read(key_between=(7, 7)).collect()[0]
+    new_ts = dt.datetime(2025, 5, 5, 5, 5)
+    m = t.merge(spark.createDataFrame(
+        [(7, new_ts, "U")], "k long, ts timestamp, op string"),
+        op_col="op", partial=True)
+    ch = t.table_changes(v0, m["version"]).collect()
+    assert [(r["change_type"], r["k"]) for r in ch] == [("U", 7)]
+    assert ch[0]["event_date"] == "2025-05-05"
+    imgs = {r["change_type"]: r for r in
+            t.table_changes(v0, m["version"], full_images=True)
+             .filter(F.col("k") == 7).collect()}
+    assert set(imgs) == {"U_pre", "U_post"}
+    assert imgs["U_pre"]["event_date"] == old["event_date"]
+    assert imgs["U_pre"]["v"] == old["v"]
+    assert imgs["U_post"]["event_date"] == "2025-05-05"
+    assert imgs["U_post"]["v"] == old["v"]     # partial: v untouched
+
+
 def test_streaming_sink_computes_generated_column(spark, tdir):
     """foreachBatch epoch-idempotent appends into a generated-
     partitioned table: each micro-batch ships only (k, ts, name, v)
