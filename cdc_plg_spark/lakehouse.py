@@ -322,6 +322,50 @@ def _monotone_generator(expr: str):
     return None
 
 
+# lossless implicit-widening ladders for ingest type conformance
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLOAT_WIDTH = {"float": 1, "double": 2}
+
+
+def _conform_types(df: DataFrame, table_fields, ctx: str) -> DataFrame:
+    """Make an ingest DataFrame's dtypes match the table schema for
+    every column both sides share: a source column NARROWER on the
+    integral/float ladder is up-cast (lossless); any other mismatch is
+    REFUSED loudly.  Without this, a merge source carrying the key as
+    BIGINT against an INT-keyed table wrote INT64 parquet under the
+    table's pinned INT schema — the commit succeeded and every later
+    read failed with PARQUET_COLUMN_DATA_TYPE_MISMATCH (reproduced);
+    silently down-casting instead would wrap values.  Columns the
+    table doesn't declare (schema-widening extras, `_op`) pass
+    through untouched."""
+    casts = {}
+    for f_ in table_fields:
+        if f_.name not in df.columns:
+            continue
+        have = df.schema[f_.name].dataType
+        if have == f_.dataType:
+            continue
+        hn, wn = have.typeName(), f_.dataType.typeName()
+        ok = ((hn in _INT_WIDTH and wn in _INT_WIDTH
+               and _INT_WIDTH[hn] <= _INT_WIDTH[wn])
+              or (hn in _FLOAT_WIDTH and wn in _FLOAT_WIDTH
+                  and _FLOAT_WIDTH[hn] <= _FLOAT_WIDTH[wn]))
+        if not ok:
+            raise ValueError(
+                f"{ctx} column {f_.name!r} has type {hn} but the "
+                f"table declares {wn}: only lossless integral/float "
+                f"widening is implicit — cast the source explicitly "
+                f"(a silent down-cast would wrap values; a wider "
+                f"write would break the table's pinned read schema)")
+        casts[f_.name] = f_.dataType
+    if not casts:
+        return df
+    return df.select(*[
+        F.col(f_.name).cast(casts[f_.name]).alias(f_.name)
+        if f_.name in casts else F.col(f_.name)
+        for f_ in df.schema.fields])
+
+
 def _apply_generated_ingest(df: DataFrame, generated: dict[str, str]):
     """Ingest-edge handling of generated columns: a column the caller
     OMITTED is computed from its expression; one the caller SUPPLIED
@@ -337,6 +381,23 @@ def _apply_generated_ingest(df: DataFrame, generated: dict[str, str]):
         else:
             df = df.withColumn(gc, F.expr(ge))
     return df, implicit
+
+
+def _bloom_key_canon(c, type_name: str):
+    """The ONE canonical hash domain for bloom sidecars: integral keys
+    hash as LONG, string keys as STRING — applied identically at build
+    (`_attach_blooms`), probe (`_candidate_files`), and audit
+    (`_fsck_bloom_completeness`).  Spark's xxhash64 is width-sensitive
+    (xxhash64(CAST(5 AS INT)) != xxhash64(CAST(5 AS BIGINT))), so
+    hashing each site's native dtype let a merge source carrying the
+    key at a different integral width probe in the wrong domain:
+    bloom FALSE NEGATIVES → files silently not rewritten → duplicate
+    keys (reproduced before this canon existed).  Casting every site
+    to one domain makes the sidecars dtype-agnostic — and makes a
+    future integral key-type widening bloom-safe for free."""
+    return (c.cast("long")
+            if type_name in ("long", "integer", "short", "byte")
+            else c.cast("string"))
 
 
 def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
@@ -1115,10 +1176,13 @@ class TxLogTable:
             os.replace(tmp, full + ".bloom")
             return pd.DataFrame({"file": [full], "m": [m], "k": [k]})
 
-        rows = (self.spark.read.parquet(out_dir)
+        scan = self.spark.read.parquet(out_dir)
+        kc = _bloom_key_canon(F.col(key_col),
+                              scan.schema[key_col].dataType.typeName())
+        rows = (scan
                 .select(F.input_file_name().alias("_f"),
-                        F.xxhash64(key_col).alias("_h1"),
-                        F.xxhash64(key_col, F.lit(1)).alias("_h2"))
+                        F.xxhash64(kc).alias("_h1"),
+                        F.xxhash64(kc, F.lit(1)).alias("_h2"))
                 .groupBy("_f")
                 .applyInPandas(_build, "file string, m long, k long")
                 .collect())   # manifest-sized: one row per new file
@@ -1679,6 +1743,9 @@ class TxLogTable:
         self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return {"version": snap.version, "skipped": True}
+        df = _conform_types(
+            df, StructType.fromJson(json.loads(snap.schema_json)).fields,
+            "append source")
         # generated columns: compute the omitted ones BEFORE the
         # every-table-column-present contract below (an omitted
         # generated column is the expected calling convention, not a
@@ -1958,10 +2025,16 @@ class TxLogTable:
                       F.col("_k").between(F.col("_min_key"),
                                           F.col("_max_key"))))
         plain = hits.filter(F.col("_bm").isNull()).select("_file")
+        # hash in the canonical domain (kt is the TABLE key's class
+        # from the manifest) — a source carrying the key at a
+        # different integral width must probe the same bits the build
+        # set, or present keys probe absent and their files are
+        # silently skipped
+        kcanon = _bloom_key_canon(F.col("_k"), kt)
         probe_in = (hits.filter(F.col("_bm").isNotNull())
                     .select("_file", "_bm", "_bk",
-                            F.xxhash64("_k").alias("_h1"),
-                            F.xxhash64("_k", F.lit(1)).alias("_h2")))
+                            F.xxhash64(kcanon).alias("_h1"),
+                            F.xxhash64(kcanon, F.lit(1)).alias("_h2")))
         table_path = self.path
 
         def _probe(pdf):
@@ -2035,8 +2108,12 @@ class TxLogTable:
             if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
                 return {"version": snap.version, "skipped": True}
             key = snap.key_col
-            touched = self._candidate_files(snap, source, key)
-            s = source
+            source_c = _conform_types(
+                source,
+                StructType.fromJson(json.loads(snap.schema_json)).fields,
+                "merge source")
+            touched = self._candidate_files(snap, source_c, key)
+            s = source_c
             if op_col is None:
                 s = s.withColumn("_op", F.lit("U"))
             else:
@@ -3094,10 +3171,13 @@ class TxLogTable:
                 "misses": [int((~hit.all(axis=1)).sum())],
                 "rows": [len(pdf)]})
 
-        found = (self.spark.read.parquet(*params)
+        ascan = self.spark.read.parquet(*params)
+        kc = _bloom_key_canon(F.col(pkey),
+                              ascan.schema[pkey].dataType.typeName())
+        found = (ascan
                  .select(F.input_file_name().alias("_f"),
-                         F.xxhash64(pkey).alias("_h1"),
-                         F.xxhash64(pkey, F.lit(1)).alias("_h2"))
+                         F.xxhash64(kc).alias("_h1"),
+                         F.xxhash64(kc, F.lit(1)).alias("_h2"))
                  .groupBy("_f")
                  .applyInPandas(_probe,
                                 "file string, misses long, rows long")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
@@ -1083,7 +1084,8 @@ def test_multiprocess_writer_race(spark, tdir):
     for w, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
         assert p.returncode == 0, \
-            f"worker {w} rc={p.returncode}\n{out.decode()[-3000:]}"
+            f"worker {w} rc={p.returncode}\n" \
+            f"{_worker_failure_report(out)}"
 
     t = TxLogTable(spark, path)
     got = {r["user_id"]: r["value"] for r in t.read().collect()}
@@ -1932,7 +1934,8 @@ def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
     for w, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
         assert p.returncode == 0, \
-            f"chaos worker {w} rc={p.returncode}\n{out.decode()[-3000:]}"
+            f"chaos worker {w} rc={p.returncode}\n" \
+            f"{_worker_failure_report(out)}"
 
     t = TxLogTable(spark, path)
     versions = t._versions()
@@ -2009,3 +2012,14 @@ def test_dv_delete_cap_redirects_bulk_to_cow(spark, tdir):
     # bulk path: cow ignores the cap entirely
     t.delete_where((0, 200), mode="cow", dv_max_keys=1)
     assert t.read().count() == 0
+
+
+def _worker_failure_report(out: bytes) -> str:
+    """Forensics-friendly failure text: the FIRST exception line (the
+    3000-char tail used to cut off the exception class — observed in
+    the r7 contention flake, where only mid-stack parquet frames
+    survived) plus a generous tail."""
+    txt = out.decode(errors="replace")
+    first = next((ln for ln in txt.splitlines()
+                  if re.search(r"(Exception|Error)\b", ln)), "")
+    return f"first-error: {first}\n...\n{txt[-8000:]}"

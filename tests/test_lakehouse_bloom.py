@@ -532,3 +532,60 @@ def test_deep_fsck_bloom_on_escaped_partition_values(spark, tdir):
     finds = t.fsck(deep=True)
     assert any("bloom INCOMPLETE" in f_ and victim in f_
                for f_ in finds), finds
+
+
+def test_merge_source_with_narrower_key_dtype_still_rewrites(spark,
+                                                             tdir):
+    """Canonical bloom hash domain: Spark's xxhash64 is width-sensitive
+    (xxhash64(INT 5) != xxhash64(BIGINT 5)), so before the canon a
+    merge source carrying the key as INT probed a LONG-keyed table's
+    sidecars in the wrong domain — every present key probed ABSENT,
+    the true file was never rewritten, and the upsert landed as a
+    DUPLICATE key (reproduced).  Build, probe, and audit now all hash
+    the key cast to one canonical class (integral → long)."""
+    t = make_btable(spark, os.path.join(tdir, "t"), n=200, n_files=4)
+    src_int = spark.createDataFrame(
+        [(5, -99, 0, "U")], "user_id int, value long, grp long, op string")
+    m = t.merge(src_int, op_col="op")
+    assert m["files_scanned"] == 1          # the true file, via bloom
+    rows = t.read().filter("user_id = 5").collect()
+    assert [(r["user_id"], r["value"]) for r in rows] == [(5, -99)]
+    assert t.read().count() == 200          # no duplicate key
+    # point read probes the same canonical domain
+    assert len(t.read(key_between=(5, 5)).inputFiles()) == 1
+    assert t.fsck(deep=True) == []          # audit agrees with build
+
+
+def test_int_key_table_blooms_and_wider_source_refused(spark, tdir):
+    """A table whose declared key IS a narrow integral type builds and
+    probes in the same canonical domain (int-keyed roundtrip), and a
+    source WIDER than the table is refused loudly: before the
+    `_conform_types` gate, merging a BIGINT-keyed source into this
+    INT-keyed table committed INT64 parquet under the table's pinned
+    INT read schema — the commit succeeded and every later read died
+    with PARQUET_COLUMN_DATA_TYPE_MISMATCH (reproduced)."""
+    df = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("user_id"),
+        (F.col("id") * 2).alias("value"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=4, key_bloom_bits=10)
+    # same-width source: bloom prune + upsert work on the int key
+    src = spark.createDataFrame(
+        [(7, -1, "U"), (250, -2, "U")],
+        "user_id int, value long, op string")
+    m = t.merge(src, op_col="op")
+    assert 1 <= m["files_scanned"] <= 2
+    got = {r["user_id"]: r["value"] for r in t.read().collect()}
+    assert got[7] == -1 and got[250] == -2
+    assert t.read().count() == 300
+    assert t.fsck(deep=True) == []
+    # wider-than-table source: refused before anything lands
+    v = t.snapshot().version
+    wide = spark.createDataFrame(
+        [(8, -3, "U")], "user_id long, value long, op string")
+    with pytest.raises(ValueError, match="lossless"):
+        t.merge(wide, op_col="op")
+    with pytest.raises(ValueError, match="lossless"):
+        t.append(wide.drop("op"))
+    assert t.snapshot().version == v
+    assert t.read().count() == 300      # table still readable, intact

@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import tempfile
 
@@ -364,7 +365,8 @@ def test_multiprocess_writer_race_partitioned(spark, tdir):
     for w, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
         assert p.returncode == 0, \
-            f"worker {w} rc={p.returncode}\n{out.decode()[-3000:]}"
+            f"worker {w} rc={p.returncode}\n" \
+            f"{_worker_failure_report(out)}"
 
     t = TxLogTable(spark, path)
     got = {r["user_id"]: (r["value"], r["bucket"])
@@ -481,3 +483,14 @@ def test_random_ops_partitioned_match_dict_model(spark, tdir, pseed):
             got = {r["user_id"]: (r["value"], r["cat"])
                    for r in t.read(version=v).collect()}
             assert got == history[v], f"version {v} diverged"
+
+
+def _worker_failure_report(out: bytes) -> str:
+    """Forensics-friendly failure text: the FIRST exception line (the
+    3000-char tail used to cut off the exception class — observed in
+    the r7 contention flake, where only mid-stack parquet frames
+    survived) plus a generous tail."""
+    txt = out.decode(errors="replace")
+    first = next((ln for ln in txt.splitlines()
+                  if re.search(r"(Exception|Error)\b", ln)), "")
+    return f"first-error: {first}\n...\n{txt[-8000:]}"
