@@ -112,6 +112,18 @@ public Delta protocol does it:
   the shape is unrecognized.  Tables with generated columns commit
   protocol [1, 2]: a v1 writer would ingest without computing or
   validating them, so it is locked out loudly while reads stay open.
+- **Type widening** (`widen_column_type`): lossless widening
+  (byte→short→int→long, float→double) as a pure META commit — old
+  files keep their narrow physical encoding, the pinned read schema
+  up-casts at scan time, manifest stats stay in the same JSON domain,
+  and the canonical bloom hash domain makes even KEY widening
+  sidecar-safe.  Ingests may keep shipping the narrow dtype (sources
+  conform via lossless up-cast; any other mismatch refuses loudly).
+  The commit raises min_reader to 2 — the table can now hold files
+  whose footer type differs from the schema, which pre-widening
+  readers were never tested against (the public Delta type-widening
+  reader-feature discipline); time travel below the commit stays
+  open to all readers.
 - **Deletion vectors (merge-on-read)**: `delete_where(mode="dv")`
   appends a `dv` action listing the deleted keys per straddling file
   instead of rewriting it — no parquet written; readers anti-join the
@@ -171,7 +183,9 @@ class UnsupportedProtocolError(RuntimeError):
 # default [1, 1]) is compared against these at snapshot replay (reads)
 # and in every mutator (writes).
 #
-# Writer capability history (the same ladder public Delta climbs):
+# Capability history (the same ladder public Delta climbs):
+#
+# Writer:
 #   1 — base format (appends/merge/DV/checks/column mapping/...)
 #   2 — GENERATED COLUMNS: a table created with `generated={col: expr}`
 #       sets min_writer=2, because a v1 writer would append/merge rows
@@ -179,8 +193,29 @@ class UnsupportedProtocolError(RuntimeError):
 #       corrupting the col=expr invariant every derived partition
 #       prune relies on.  Readers are unaffected (the values are
 #       materialized in the data/paths), so min_reader stays 1.
-READER_VERSION = 1
+# Reader:
+#   1 — base format (pinned-schema scans, stats pruning, DV, CDF, ...)
+#   2 — TYPE WIDENING: `widen_column_type` leaves old data files at
+#       their narrow physical encoding under a widened logical schema
+#       (Spark up-casts INT32 parquet into a LongType column at scan),
+#       so a table can hold files whose footer-declared type differs
+#       from the schema.  Pre-widening readers were never tested
+#       against that possibility (a reader that trusts footer types
+#       would mis-handle it), so the widening commit raises
+#       min_reader to 2 — the same reader-feature discipline public
+#       Delta applies to its type widening.
+READER_VERSION = 2
 WRITER_VERSION = 2
+
+# lossless widening lattice for widen_column_type: every edge keeps
+# the manifest stat domain (JSON ints / floats) and every old value
+# exactly representable.  date→timestamp is deliberately ABSENT: date
+# stats live in epoch DAYS and timestamp stats in epoch MICROS, so
+# that widening would silently poison time-range pruning.
+_WIDEN_OK = {"byte": ("short", "integer", "long"),
+             "short": ("integer", "long"),
+             "integer": ("long",),
+             "float": ("double",)}
 
 
 @dataclass
@@ -1866,6 +1901,84 @@ class TxLogTable:
                 self._maybe_checkpoint(self.snapshot(snap.version + 1))
                 return {"version": snap.version + 1}
         raise ConflictError("rename retries exhausted")
+
+    def widen_column_type(self, name: str, new_type: str) -> dict:
+        """ALTER TABLE ALTER COLUMN TYPE — LOSSLESS WIDENING ONLY, as
+        a pure META commit at ANY table size (the public Delta
+        type-widening contract): old data files keep their narrow
+        physical encoding, the pinned read schema up-casts at scan
+        time (Spark reads INT32 parquet into a LongType column
+        natively — probed), manifest stats stay in the same JSON
+        domain, and the canonical bloom hash domain (integral → long
+        at build AND probe) makes even KEY widening sidecar-safe.
+        Subsequent ingests may keep shipping the narrow dtype —
+        `_conform_types` up-casts them — or the wide one.
+
+        The commit raises the protocol floor to [2, 2]: the table can
+        now hold files whose footer-declared type differs from the
+        schema, a possibility pre-widening readers were never tested
+        against, so they fail loudly instead of guessing (time travel
+        BELOW the widening commit still works — those snapshots are
+        all-narrow).
+
+        Refused for: non-widening edges (long→int would wrap,
+        int→double would round above 2^53, date→timestamp would
+        poison the temporal stat domain), partition columns (hive
+        path typing is load-bearing), and generated columns (their
+        type is derived from the expression, not declared)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        for _ in range(5):
+            snap = self.snapshot()
+            self._assert_writer(snap)
+            if snap.version < 0:
+                raise ValueError("widen on non-existent table")
+            fields = StructType.fromJson(
+                json.loads(snap.schema_json)).fields
+            names = [f_.name for f_ in fields]
+            if name not in names:
+                raise ValueError(f"no column {name!r} (have {names})")
+            cur = next(f_ for f_ in fields if f_.name == name)
+            cur_t = cur.dataType.typeName()
+            if new_type == cur_t:
+                return {"version": snap.version, "skipped": True}
+            if new_type not in _WIDEN_OK.get(cur_t, ()):
+                raise ValueError(
+                    f"cannot widen {name!r} from {cur_t} to "
+                    f"{new_type!r}: only lossless edges "
+                    f"{_WIDEN_OK} are supported (narrowing wraps, "
+                    f"int→float rounds, temporal crossings change "
+                    f"the stat domain)")
+            if snap.phys(name) in (snap.partition_by or []):
+                raise ValueError(
+                    f"cannot widen partition column {name!r}: the "
+                    f"hive directory typing is load-bearing")
+            if name in snap.generated:
+                raise ValueError(
+                    f"cannot widen generated column {name!r}: its "
+                    f"type is derived from its expression")
+            schema = StructType([
+                StructField(f_.name,
+                            _parse_datatype_string(new_type)
+                            if f_.name == name else f_.dataType,
+                            f_.nullable, f_.metadata)
+                for f_ in fields])
+            proto = [max(snap.protocol[0], 2), max(snap.protocol[1], 2)]
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "widen",
+                            "column": name, "from": cur_t,
+                            "to": new_type}},
+                {"meta": {"schema": schema.json(),
+                          "key_col": snap.key_col,
+                          "protocol": proto,
+                          **({"column_mapping": snap.mapping,
+                              "retired_physical": snap.retired}
+                             if snap.mapping is not None else {})}}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1, "skipped": False,
+                        "from": cur_t, "to": new_type}
+        raise ConflictError("widen retries exhausted")
 
     def add_check(self, name: str, expr: str) -> dict:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the

@@ -20,13 +20,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_plg_spark.lakehouse import (
+    READER_VERSION,
     WRITER_VERSION,
     TxLogTable,
     UnsupportedProtocolError,
 )
 
-# the smallest writer floor that locks THIS client out
+# the smallest floors that lock THIS client out
 LOCKOUT = WRITER_VERSION + 1
+LOCKOUT_R = READER_VERSION + 1
 
 
 @pytest.fixture()
@@ -89,7 +91,7 @@ def test_reader_floor_blocks_head_not_history(spark, tdir):
     t = mk(spark, os.path.join(tdir, "t"))
     v0 = t.snapshot().version
     t.merge(src(spark, [(1, 99, "U")]), op_col="op")
-    t.upgrade_protocol(min_reader=2, allow_unsupported=True)
+    t.upgrade_protocol(min_reader=LOCKOUT_R, allow_unsupported=True)
     with pytest.raises(UnsupportedProtocolError, match="min_reader"):
         t.snapshot()
     with pytest.raises(UnsupportedProtocolError):
