@@ -1014,7 +1014,7 @@ def lakehouse_convert_cdc_roundtrip(spark: SparkSession,
 
 
 # --- Format exhibits, implemented-not-yet-registered -----------------
-# Five lakehouse capabilities that are format-test-pinned today
+# Seven lakehouse capabilities that are format-test-pinned today
 # (tests/test_lakehouse*.py) get driver-checkable query exhibits here,
 # following the Debezium/Maxwell deferral pattern: each has a pinned
 # LAKEHOUSE_*_ORACLE and a driver-style bit-exact compare in
@@ -1304,3 +1304,49 @@ def lakehouse_generated_pruning(spark: SparkSession,
         "rows_matching", "id_checksum",
         F.lit(pruned_ok).alias("derived_prune_skips"),
         F.lit(mismatches == 0).alias("computed_matches_expr"))
+
+
+LAKEHOUSE_WIDENING_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum,
+           TRUE AS widen_moved_zero_bytes,
+           TRUE AS old_files_read_wide
+    FROM events
+"""
+
+
+def lakehouse_type_widening(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TYPE WIDENING as a driver-checkable exhibit (lakehouse.py
+    widen_column_type, reader protocol v2): seed a table whose
+    user_id is INT (narrow), widen it to LONG in one META-ONLY commit
+    — `widen_moved_zero_bytes` checks the live file set is IDENTICAL
+    before and after (zero data movement at any table size, the whole
+    point of the feature) — then read the table back through the
+    widened schema and hash-check count + checksums against the raw
+    events: the narrow INT32 parquet bytes must surface exactly as
+    LONG values (`old_files_read_wide` pins the schema actually
+    changed and every live file predates the widen, so the scan-edge
+    up-cast, not a rewrite, produced the values)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("int").alias("user_id"),  # narrow seed
+        "value")
+    d = tempfile.mkdtemp(prefix="lh_widen_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev,
+                          "event_id", n_files=8)
+    files_before = set(t.snapshot().files)
+    t.widen_column_type("user_id", "long")
+    snap = t.snapshot()
+    zero_moved = set(snap.files) == files_before
+    got = t.read()
+    wide = (got.schema["user_id"].dataType.typeName() == "long"
+            and snap.protocol == [2, 2])
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_checksum"),
+        F.sum("user_id").alias("user_checksum")).select(
+        "n_rows", "id_checksum", "user_checksum",
+        F.lit(zero_moved).alias("widen_moved_zero_bytes"),
+        F.lit(wide and zero_moved).alias("old_files_read_wide"))

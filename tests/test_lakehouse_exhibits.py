@@ -1,8 +1,8 @@
 """Format-exhibit queries (operators/lakehouse.py tail section).
 
-Six lakehouse capabilities — bloom point reads, temporal skipping,
+Seven lakehouse capabilities — bloom point reads, temporal skipping,
 retention predicate-DELETE, RESTORE round trip, partial-column MERGE,
-generated-column derived partition pruning —
+generated-column derived partition pruning, type widening —
 implemented as driver-checkable queries but deliberately NOT in the
 registry yet: registering them in r7 would take driver
 correctness-budget slots the stale-green freshness drain needs
@@ -22,12 +22,14 @@ from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_RESTORE_ORACLE,
     LAKEHOUSE_RETENTION_ORACLE,
     LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
+    LAKEHOUSE_WIDENING_ORACLE,
     lakehouse_bloom_point_read,
     lakehouse_generated_pruning,
     lakehouse_partial_merge,
     lakehouse_restore_roundtrip,
     lakehouse_retention_delete,
     lakehouse_temporal_skipping,
+    lakehouse_type_widening,
 )
 from cdc_plg_spark.testing import assert_frames_match, duckdb_conn
 
@@ -44,6 +46,8 @@ CASES = [
      LAKEHOUSE_PARTIAL_MERGE_ORACLE),
     ("lakehouse_generated_pruning", lakehouse_generated_pruning,
      LAKEHOUSE_GENERATED_ORACLE),
+    ("lakehouse_type_widening", lakehouse_type_widening,
+     LAKEHOUSE_WIDENING_ORACLE),
 ]
 
 
@@ -78,3 +82,5 @@ def test_exhibit_booleans_are_measured_true(spark):
     g = lakehouse_generated_pruning(spark, sf).head()
     assert g["derived_prune_skips"] and g["computed_matches_expr"]
     assert g["rows_matching"] > 0
+    w = lakehouse_type_widening(spark, sf).head()
+    assert w["widen_moved_zero_bytes"] and w["old_files_read_wide"]
