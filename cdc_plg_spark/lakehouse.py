@@ -3284,9 +3284,20 @@ class TxLogTable:
                 "misses": [int((~hit.all(axis=1)).sum())],
                 "rows": [len(pdf)]})
 
-        ascan = self.spark.read.parquet(*params)
-        kc = _bloom_key_canon(F.col(pkey),
-                              ascan.schema[pkey].dataType.typeName())
+        # explicit single-column schema, typed from the HEAD snapshot:
+        # after a key type widening the audited files hold MIXED
+        # physical widths, so schema inference (which samples one
+        # footer) would fail on the other width — the pinned wide type
+        # up-casts every file, exactly like the read path
+        from pyspark.sql.types import StructField
+        key_f = next(
+            f_ for f_ in StructType.fromJson(
+                json.loads(snap.schema_json)).fields
+            if f_.name == snap.key_col)
+        ascan = self.spark.read.schema(
+            StructType([StructField(pkey, key_f.dataType, True)])
+        ).parquet(*params)
+        kc = _bloom_key_canon(F.col(pkey), key_f.dataType.typeName())
         found = (ascan
                  .select(F.input_file_name().alias("_f"),
                          F.xxhash64(kc).alias("_h1"),

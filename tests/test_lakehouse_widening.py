@@ -217,3 +217,32 @@ def test_checkpoint_replay_keeps_widened_schema(spark, tdir):
     sch = {f["name"]: f["type"] for f in
            __import__("json").loads(re_.schema_json)["fields"]}
     assert sch["v"] == "long"
+
+
+def test_widen_on_converted_table(spark, tdir):
+    """The realistic migration pair: CONVERT an existing foreign
+    parquet directory by reference (zero rewrite), then WIDEN a column
+    as the domain outgrows its type — still zero data movement, and
+    the foreign narrow files read back exactly through the widened
+    schema."""
+    raw = os.path.join(tdir, "foreign")
+    (spark.range(0, 200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 3).cast("int").alias("v"))
+     .repartition(3).write.parquet(raw))
+    t = TxLogTable.convert(spark, raw, "k")
+    files0 = set(t.snapshot().files)
+    t.widen_column_type("v", "long")
+    snap = t.snapshot()
+    assert set(snap.files) == files0
+    assert snap.protocol == [2, 2]
+    got = t.read()
+    assert got.schema["v"].dataType.typeName() == "long"
+    assert {r["k"]: r["v"] for r in got.collect()} == \
+        {k: k * 3 for k in range(200)}
+    # ingest keeps working on the adopted-and-widened table
+    t.merge(spark.createDataFrame(
+        [(500, 9_000_000_000, "U")], "k int, v long, op string"),
+        op_col="op")
+    assert t.read().count() == 201
+    assert t.fsck(deep=True) == []
