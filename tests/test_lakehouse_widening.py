@@ -246,3 +246,29 @@ def test_widen_on_converted_table(spark, tdir):
         op_col="op")
     assert t.read().count() == 201
     assert t.fsck(deep=True) == []
+
+
+def test_dv_delete_and_zorder_after_key_widening(spark, tdir):
+    """The remaining write-path interactions with a widened KEY:
+    merge-on-read deletes (DV keys recorded post-widen anti-join
+    through the head LONG type against narrow files) and an OPTIMIZE
+    ZORDER over mixed-width files (reads pin the head schema, the
+    rewrite lands wide), ending in a clean deep fsck."""
+    df = spark.range(0, 200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("int").alias("v"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k",
+                          n_files=4)
+    t.widen_column_type("k", "long")
+    t.widen_column_type("v", "long")
+    d = t.delete_where((10, 14), mode="dv")      # DV over narrow files
+    assert d["files_dv"] >= 1 if "files_dv" in d else True
+    assert t.read().count() == 195
+    assert sorted(r["k"] for r in
+                  t.read(key_between=(8, 16)).collect()) == \
+        [8, 9, 15, 16]
+    t.optimize(zorder_by=("k", "v"), target_files=2)  # mixed → wide
+    assert t.read().count() == 195
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {k: k * 2 for k in range(200) if not 10 <= k <= 14}
+    assert t.fsck(deep=True) == []
