@@ -1013,16 +1013,13 @@ def lakehouse_convert_cdc_roundtrip(spark: SparkSession,
     return mv.read()
 
 
-# --- Format exhibits, implemented-not-yet-registered -----------------
-# Seven lakehouse capabilities that are format-test-pinned today
-# (tests/test_lakehouse*.py) get driver-checkable query exhibits here,
-# following the Debezium/Maxwell deferral pattern: each has a pinned
-# LAKEHOUSE_*_ORACLE and a driver-style bit-exact compare in
-# tests/test_lakehouse_exhibits.py at two SFs.  @register is deferred
-# to r8 ON PURPOSE — a new id enters the driver rotation ahead of
-# stale greens, and r7's budget belongs to finishing the freshness
-# drain (VERDICT r6 #1).  To register: wrap each with
-# @register(name, oracle=<its _ORACLE>, tags=("lakehouse",)).
+# --- Format exhibits ---------------------------------------------------
+# Seven lakehouse capabilities that are format-test-pinned
+# (tests/test_lakehouse*.py) as driver-checkable query exhibits: each has
+# a pinned LAKEHOUSE_*_ORACLE and a driver-style bit-exact compare in
+# tests/test_lakehouse_exhibits.py at two SFs.  Implemented in r7 with
+# @register deferred to protect that round's freshness drain
+# (VERDICT r6 #1); registered r8 per VERDICT r7 task 1.
 
 LAKEHOUSE_BLOOM_POINT_ORACLE = """
     SELECT CAST(1 AS BIGINT) AS rows_present,
@@ -1035,6 +1032,8 @@ LAKEHOUSE_BLOOM_POINT_ORACLE = """
 """
 
 
+@register("lakehouse_bloom_point_read", oracle=LAKEHOUSE_BLOOM_POINT_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_bloom_point_read(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """MEASURED bloom point-read pruning through the real read path
@@ -1097,6 +1096,8 @@ LAKEHOUSE_TEMPORAL_SKIP_ORACLE = """
 """
 
 
+@register("lakehouse_temporal_skipping",
+          oracle=LAKEHOUSE_TEMPORAL_SKIP_ORACLE, tags=("lakehouse",))
 def lakehouse_temporal_skipping(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """MEASURED temporal data skipping: timestamp stats are stored
@@ -1140,6 +1141,8 @@ LAKEHOUSE_RETENTION_ORACLE = """
 """
 
 
+@register("lakehouse_retention_delete", oracle=LAKEHOUSE_RETENTION_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_retention_delete(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """The RETENTION SWEEP as a driver-checkable exhibit — `DELETE
@@ -1179,6 +1182,8 @@ LAKEHOUSE_RESTORE_ORACLE = f"""
 """
 
 
+@register("lakehouse_restore_roundtrip", oracle=LAKEHOUSE_RESTORE_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_restore_roundtrip(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """RESTORE TO VERSION round trip — the bad-deploy rollback: seed a
@@ -1224,6 +1229,8 @@ LAKEHOUSE_PARTIAL_MERGE_ORACLE = """
 """
 
 
+@register("lakehouse_partial_merge", oracle=LAKEHOUSE_PARTIAL_MERGE_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_partial_merge(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Partial-column MERGE (UPDATE SET) — the sparse-CDC-event shape:
@@ -1260,6 +1267,8 @@ LAKEHOUSE_GENERATED_ORACLE = """
 """
 
 
+@register("lakehouse_generated_pruning", oracle=LAKEHOUSE_GENERATED_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_generated_pruning(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """GENERATED partition column + derived prune, measured end to end
@@ -1316,6 +1325,8 @@ LAKEHOUSE_WIDENING_ORACLE = """
 """
 
 
+@register("lakehouse_type_widening", oracle=LAKEHOUSE_WIDENING_ORACLE,
+          tags=("lakehouse",))
 def lakehouse_type_widening(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """TYPE WIDENING as a driver-checkable exhibit (lakehouse.py

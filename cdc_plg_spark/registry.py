@@ -133,17 +133,21 @@ def _ordered() -> list[Query]:
     recheck immediately; (1) queries with no driver row yet; (2) queries
     green only under a pre-migration read path (round <
     _TRUSTED_GREEN_MIN_ROUND) — re-verify; (3) trusted driver-green
-    queries.  The sort is stable, so registration (module-priority) order
-    holds within a bucket.
+    queries.  Within bucket 3 the secondary key is the LATEST-CHECK ROUND
+    (oldest first), so freshness rotation is automatic: once the stale
+    buckets drain, the driver budget refills with the longest-unverified
+    greens instead of whatever module registration order favored
+    (VERDICT r7 task 2).  The sort is stable, so registration
+    (module-priority) order still breaks ties within a round.
     """
     rows = _driver_rows()
 
-    def bucket(q: Query) -> int:
+    def key(q: Query) -> tuple[int, int]:
         if q.name in _FORCE_RECHECK:
-            return 1
+            return (1, 0)
         hit = rows.get(q.name)
         if hit is None:
-            return 1
+            return (1, 0)
         rnd, r = hit
         # a rows-only pass only counts for queries that still have no
         # oracle: once a query GAINS an oracle, its old weak row no
@@ -153,10 +157,10 @@ def _ordered() -> list[Query]:
             and q.oracle is None
         )
         if not green:
-            return 1 if r.get("err") == "no_oracle" else 0
-        return 3 if rnd >= _TRUSTED_GREEN_MIN_ROUND else 2
+            return (1, 0) if r.get("err") == "no_oracle" else (0, 0)
+        return (3, rnd) if rnd >= _TRUSTED_GREEN_MIN_ROUND else (2, rnd)
 
-    return sorted(_REGISTRY.values(), key=bucket)
+    return sorted(_REGISTRY.values(), key=key)
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -3,13 +3,12 @@
 Seven lakehouse capabilities — bloom point reads, temporal skipping,
 retention predicate-DELETE, RESTORE round trip, partial-column MERGE,
 generated-column derived partition pruning, type widening —
-implemented as driver-checkable queries but deliberately NOT in the
-registry yet: registering them in r7 would take driver
-correctness-budget slots the stale-green freshness drain needs
-(VERDICT r6 #1).  r8 wraps them with @register using the
-LAKEHOUSE_*_ORACLE strings pinned here.  Until then this test runs the
-exact driver-style compare (assert_frames_match, bit-exact floats)
-against the same DuckDB oracle SQL at sf0.001 and sf0.01.
+implemented in r7 as driver-checkable queries (registration deferred
+then to protect the freshness drain, VERDICT r6 #1) and REGISTERED in
+r8 with the LAKEHOUSE_*_ORACLE strings pinned here (VERDICT r7 task 1).
+This test runs the exact driver-style compare (assert_frames_match,
+bit-exact floats) against the same DuckDB oracle SQL at sf0.001 and
+sf0.01 — the local twin of the driver's CORRECTNESS row.
 """
 from __future__ import annotations
 
