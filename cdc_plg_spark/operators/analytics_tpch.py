@@ -605,14 +605,16 @@ def analytics_linestatus_priority_mix(spark: SparkSession,
 )
 def analytics_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
-    with their customers — the classic aggregate-then-rejoin (the
-    HAVING set is tiny, so the second lineitem pass joins against a
-    broadcast of qualifying keys).  Quantities aggregate in exact 1e-2
-    integer units.
+    with their customers — the classic aggregate-then-rejoin.
+    Quantities aggregate in exact 1e-2 integer units.
 
     Scale: lineitem is scanned twice but shuffled once per scan on
-    l_orderkey; the qualifying-order set after HAVING is orders-of-
-    magnitude smaller than the fact and broadcasts into both rejoins."""
+    l_orderkey.  No forced broadcast of the qualifying-order set: the
+    HAVING threshold keeps a FIXED FRACTION of orders, so the set
+    grows linearly with SF — AQE broadcasts it while it is small
+    (it sees the real post-aggregate size at runtime) and falls back
+    to a shuffle join instead of OOM at a 100x scale-up (same
+    discipline as the r6 Q11/Q16/Q20 hint removals)."""
     li = load_table(spark, "lineitem", sf_dir)
     qty_e2 = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     big = (li.groupBy("l_orderkey")
@@ -621,7 +623,7 @@ def analytics_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame
            .select("l_orderkey"))
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
-    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
                   F.col("o_orderkey") == F.col("lk"))
@@ -822,11 +824,14 @@ def analytics_supplier_part_variety(spark: SparkSession,
     """TPC-H Q16 shape (parts/supplier relationship): how many
     DISTINCT suppliers can provide each (brand, type, size) bucket,
     excluding blacklisted suppliers — the NOT-IN-subquery → anti-join
-    rewrite plus a grouped count-distinct.  The blacklist (negative
-    balance stands in for the spec's complaint-comment scan; the
-    fixture has no comment column) is supplier-sized, so the anti
-    join broadcasts; the count-distinct expands to (keys, suppkey)
-    distinct then counts — two exchanges total, both on group keys."""
+    rewrite plus a grouped count-distinct; the count-distinct expands
+    to (keys, suppkey) distinct then counts.  No broadcast hint on
+    EITHER build side: the size-IN filter keeps ~12% of part and the
+    negative-balance blacklist a fixed fraction of supplier — both
+    grow linearly with SF, so a forced hint OOMs at a 100x scale-up.
+    AQE broadcasts each while it is actually small and degrades to
+    shuffle joins otherwise (same discipline as the r6 Q11/Q20 hint
+    removals)."""
     li = load_table(spark, "lineitem", sf_dir)
     p = (load_table(spark, "part", sf_dir)
          .filter((F.col("p_brand") != "Brand#13")
@@ -834,12 +839,7 @@ def analytics_supplier_part_variety(spark: SparkSession,
                  & F.col("p_size").isin(5, 10, 15, 20, 25, 30)))
     bad = (load_table(spark, "supplier", sf_dir)
            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
-    # no broadcast hint on part: the size-IN filter keeps ~12% of a
-    # dimension that grows with SF — AQE picks broadcast when it IS
-    # small, and a forced hint would OOM at a 100x scale-up.  The
-    # blacklist stays hinted (bad suppliers are always tiny).
-    return (li.join(F.broadcast(bad),
-                    li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
               .join(p, li.l_partkey == p.p_partkey)
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
@@ -901,6 +901,7 @@ def analytics_restock_candidates(spark: SparkSession,
                .filter((F.col("_n") >= 2)
                        & (F.col("_y") * 2 > F.col("_all")))
                .select("l_suppkey").distinct())
-    return (s.join(F.broadcast(pairs),
-                   s.s_suppkey == pairs.l_suppkey, "left_semi")
+    # qualifying suppliers are a fixed fraction of a growing dimension
+    # too — no hint here either; AQE sees the real post-aggregate size
+    return (s.join(pairs, s.s_suppkey == pairs.l_suppkey, "left_semi")
              .select("s_suppkey", "s_name"))

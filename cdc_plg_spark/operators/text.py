@@ -176,8 +176,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tf-idf top-3 terms: explode → tf counts → doc-freq
-    join (broadcast — vocabulary is small relative to the corpus) →
-    per-source top-k window."""
+    join → per-source top-k window.
+
+    No broadcast hint on the doc-frequency relation: it is
+    VOCABULARY-sized, and a web-scale corpus's vocabulary (typos,
+    unicode junk, code tokens) reaches billions of distinct tokens —
+    a forced broadcast OOMs exactly when the corpus gets interesting.
+    AQE picks broadcast while the vocab is actually small and degrades
+    to a shuffle join instead of failing.  The 1-row n_sources
+    aggregate stays hinted (provably bounded)."""
     d = load_table(spark, "documents", sf_dir)
     tok = d.select("source", F.explode(_toks()).alias("token"))
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -185,7 +192,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (source, token), so this avoids a second explode over the corpus
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_sources = d.select(F.countDistinct("source").alias("n_sources"))
-    scored = (tf.join(F.broadcast(df), "token")
+    scored = (tf.join(df, "token")
                 .crossJoin(F.broadcast(n_sources))
                 .select("source", "token",
                         F.round(F.col("tf") * F.log(F.col("n_sources")
