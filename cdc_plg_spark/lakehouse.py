@@ -309,7 +309,18 @@ _NONDETERMINISTIC_FNS = (
     "monotonically_increasing_id", "current_timestamp", "current_date",
     "current_timezone", "current_user", "now", "localtimestamp",
     "input_file_name", "spark_partition_id",
+    # escape hatches into arbitrary (session/JVM-dependent) code —
+    # reflect("java.lang.System","nanoTime") passes a word blocklist
+    # of time functions while still being nondeterministic
+    "reflect", "java_method",
 )
+
+# unix_timestamp()/to_unix_timestamp() are current-time ONLY when
+# called with zero args; with a column argument they are deterministic
+# and legitimate in a generator, so they get a call-shape check
+# instead of a word-blocklist entry.
+_ZERO_ARG_NOW_PAT = (r"(?i)(?<!\w)(?:unix_timestamp|to_unix_timestamp"
+                     r"|current_timestamp|now|localtimestamp)\s*\(\s*\)")
 
 # date_format patterns whose output order equals input order (big-endian
 # calendar fields, fixed width for 4-digit years) — the only formats the
@@ -355,6 +366,30 @@ def _monotone_generator(expr: str):
     if m and float(m.group(2)) > 0:
         return m.group(1), "floor_div"
     return None
+
+
+# Source dtypes under which each recognized generator shape's
+# monotonicity argument actually holds.  The shapes above are monotone
+# in the source's NATIVE ordering domain; when the predicate column's
+# dtype orders differently, the derived prune is UNSOUND: g = floor(s/2)
+# over a STRING s orders numerically while the residual filter and s's
+# own stats order lexicographically — `s BETWEEN '1' AND '5'` matches
+# '10', yet g('10')=5 is outside [g('1'),g('5')]=[0,2], so a file
+# holding only s='10' would be pruned and its matching row silently
+# dropped (ADVICE r7, reproduced).  A mismatch just forfeits the prune.
+_GENERATOR_SRC_TYPES = {
+    "floor_div": ("byte", "short", "integer", "long", "float", "double",
+                  "decimal"),
+    "year": ("date", "timestamp", "timestamp_ntz"),
+    "date_format": ("date", "timestamp", "timestamp_ntz"),
+    "prefix": ("string",),
+}
+
+
+def _generator_dtype_ok(kind: str, src_type_name: str) -> bool:
+    """True when the generator shape's ordering domain matches the
+    source column's native ordering (see _GENERATOR_SRC_TYPES)."""
+    return src_type_name in _GENERATOR_SRC_TYPES.get(kind, ())
 
 
 # lossless implicit-widening ladders for ingest type conformance
@@ -433,6 +468,18 @@ def _bloom_key_canon(c, type_name: str):
     return (c.cast("long")
             if type_name in ("long", "integer", "short", "byte")
             else c.cast("string"))
+
+
+# Version tag of the canonical bloom hash domain, recorded in every
+# add-action's bloom entry at build time.  A sidecar built under a
+# DIFFERENT domain (pre-canon code hashed narrow-integral keys at their
+# native width) would probe false-negative under the current canon —
+# merges would silently skip the true files and land duplicate keys —
+# so probe and audit treat an absent/mismatched tag as NO sidecar:
+# fail OPEN (file stays a candidate), and deep fsck flags it for an
+# OPTIMIZE rebuild instead of mis-auditing it as incomplete
+# (ADVICE r7).  Bump when the canon changes.
+_BLOOM_DOMAIN = 1
 
 
 def _bloom_params(n_rows: int, bits_per_key: int) -> tuple[int, int]:
@@ -1226,7 +1273,8 @@ class TxLogTable:
         for a in adds:
             mk = meta.get(a["add"]["path"])
             if mk is not None:
-                a["add"]["bloom"] = {"m": mk[0], "k": mk[1]}
+                a["add"]["bloom"] = {"m": mk[0], "k": mk[1],
+                                     "domain": _BLOOM_DOMAIN}
         return adds
 
     def _write_stats_fallback(self, out_dir: str, rel_dir: str,
@@ -1518,6 +1566,14 @@ class TxLogTable:
                 if (mono is None or mono[0] != col
                         or col not in _schema.fieldNames()):
                     continue
+                # the shape must also be monotone in the source's
+                # NATIVE ordering — floor(s/2) over a STRING s orders
+                # numerically while the residual filter orders
+                # lexicographically, so trusting it would prune files
+                # that hold matching rows (_GENERATOR_SRC_TYPES)
+                if not _generator_dtype_ok(
+                        mono[1], _schema[col].dataType.typeName()):
+                    continue
                 rb = self._generated_prune_bounds(
                     ge, col, _schema[col].dataType.simpleString(),
                     residuals[-1][1], residuals[-1][2], mono[1])
@@ -1694,6 +1750,12 @@ class TxLogTable:
                         f"generated column {gc!r} uses "
                         f"non-deterministic function(s) {bad_fn}: the "
                         f"col=expr invariant must be recomputable")
+                if _re.search(_ZERO_ARG_NOW_PAT, ge.replace("`", "")):
+                    raise ValueError(
+                        f"generated column {gc!r} calls a zero-arg "
+                        f"current-time function: the col=expr "
+                        f"invariant would drift on every ingest and "
+                        f"only deep fsck would notice")
                 chained = [g2 for g2 in generated
                            if _checks_referencing({gc: ge}, g2)]
                 if chained:
@@ -1957,6 +2019,21 @@ class TxLogTable:
                 raise ValueError(
                     f"cannot widen generated column {name!r}: its "
                     f"type is derived from its expression")
+            ghit = _checks_referencing(snap.generated, name)
+            if ghit:
+                # mirror rename/drop: for a type-tracking generator
+                # (g = v + 1, g pinned INT at create), widening v makes
+                # every later ingest recompute g at the WIDE type —
+                # _apply_generated_ingest runs after _conform_types, so
+                # the computed column lands INT64 parquet under g's
+                # pinned INT read schema: commit succeeds, every
+                # subsequent read fails (ADVICE r7, reproduced)
+                raise ValueError(
+                    f"cannot widen column {name!r}: generated "
+                    f"column(s) {ghit} reference it, and their "
+                    f"computed type would drift from the declared "
+                    f"schema (later ingests would land wide parquet "
+                    f"under the pinned narrow read schema)")
             schema = StructType([
                 StructField(f_.name,
                             _parse_datatype_string(new_type)
@@ -2126,9 +2203,17 @@ class TxLogTable:
             return sorted(r["_file"] for r in hits)
         kt = "long" if isinstance(
             next(iter(snap.files.values()))["min_key"], int) else "string"
+
+        def _usable_bloom(s: dict) -> dict:
+            # a sidecar whose hash-domain tag is absent or mismatched
+            # was built under a DIFFERENT canon — probing it here would
+            # false-negative; treat as no sidecar (fail OPEN)
+            b = s.get("bloom") or {}
+            return b if b.get("domain") == _BLOOM_DOMAIN else {}
+
         stats_rows = [(p, s["min_key"], s["max_key"],
-                       (s.get("bloom") or {}).get("m"),
-                       (s.get("bloom") or {}).get("k"))
+                       _usable_bloom(s).get("m"),
+                       _usable_bloom(s).get("k"))
                       for p, s in snap.files.items()]
         stats_df = self.spark.createDataFrame(
             stats_rows, f"_file string, _min_key {kt}, _max_key {kt}, "
@@ -3227,7 +3312,18 @@ class TxLogTable:
                                    f"manifest range")
                 if bl is not None and os.path.exists(side) \
                         and os.path.getsize(side) == bl["m"] // 8:
-                    bloom_audit.append((rel, full, bl["m"], bl["k"]))
+                    if bl.get("domain") == _BLOOM_DOMAIN:
+                        bloom_audit.append((rel, full, bl["m"], bl["k"]))
+                    else:
+                        # built under a different hash canon: probes
+                        # fail open (file always a merge candidate),
+                        # and auditing it with the CURRENT canon would
+                        # mis-report completeness — flag for rebuild
+                        out.append(
+                            f"{rel}: bloom sidecar hash domain "
+                            f"{bl.get('domain')!r} != current "
+                            f"{_BLOOM_DOMAIN} — probes fail open; "
+                            f"OPTIMIZE to rebuild the sidecar")
         if deep and bloom_audit:
             out.extend(self._fsck_bloom_completeness(snap, bloom_audit))
         if deep and snap.generated and snap.files and not out:

@@ -589,3 +589,54 @@ def test_int_key_table_blooms_and_wider_source_refused(spark, tdir):
         t.append(wide.drop("op"))
     assert t.snapshot().version == v
     assert t.read().count() == 300      # table still readable, intact
+
+
+def test_untagged_bloom_domain_fails_open(spark, tdir):
+    """ADVICE r7 (low): the canonical bloom hash domain is versioned in
+    each add-action's bloom entry.  A sidecar whose tag is absent (or
+    from another canon) was built hashing a DIFFERENT domain — probing
+    it with the current canon false-negatives, merges skip the true
+    files, and duplicate keys land.  Probe must treat such entries as
+    NO sidecar (fail OPEN to range pruning) and deep fsck must flag
+    them for rebuild instead of mis-auditing completeness."""
+    import json as _json
+
+    t = make_btable(spark, os.path.join(tdir, "t"), n=200, n_files=2)
+    # simulate a pre-versioning writer: strip the domain tag from
+    # every committed bloom entry (sidecar bytes untouched)
+    for fn in os.listdir(t.log_dir):
+        p = os.path.join(t.log_dir, fn)
+        if not fn.endswith(".json"):
+            continue
+        lines = []
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = _json.loads(line)
+                if "add" in a and "bloom" in a.get("add", {}):
+                    a["add"]["bloom"].pop("domain", None)
+                lines.append(_json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    t2 = TxLogTable(spark, t.path)
+    snap = t2.snapshot()
+    assert all("domain" not in (s.get("bloom") or {})
+               for s in snap.files.values())   # strip really happened
+    probe = spark.createDataFrame([(5,)], "user_id long")
+    range_hits = sorted(p for p, s in snap.files.items()
+                        if s["min_key"] <= 5 <= s["max_key"])
+    # fail OPEN: every range-admitted file stays a candidate (a
+    # domain-blind probe would narrow this to the bloom hits)
+    assert t2._candidate_files(snap, probe, "user_id") == range_hits
+    # merge still lands exactly once — no duplicate key
+    t2.merge(bsrc(spark, [(5, -1, 5, "U")]), op_col="op")
+    rows = t2.read().filter(F.col("user_id") == 5).collect()
+    assert len(rows) == 1 and rows[0]["value"] == -1
+    # deep fsck: flags the stale domain, never a false INCOMPLETE
+    finds = t2.fsck(deep=True)
+    assert any("hash domain" in f_ for f_ in finds), finds
+    assert not any("INCOMPLETE" in f_ for f_ in finds), finds
+    # OPTIMIZE rebuilds tagged sidecars and clears the finding
+    t2.optimize(target_files=2)
+    assert t2.fsck(deep=True) == []

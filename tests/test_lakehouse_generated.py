@@ -421,3 +421,70 @@ def test_checkpoint_json_carries_generated(spark, tdir):
     with open(ckpt) as f:
         data = json.load(f)
     assert data["generated"] == GEN
+
+
+def test_derived_prune_gated_on_source_dtype(spark, tdir):
+    """ADVICE r7 (medium): a recognized generator SHAPE is only
+    monotone in its source's NATIVE ordering.  g = floor(s / 2) over a
+    STRING s orders numerically while the residual filter (and s's own
+    stats) order lexicographically: `s BETWEEN '1' AND '5'` matches
+    '10', but g('10')=5 is outside [g('1'),g('5')]=[0,2] — trusting
+    the shape pruned the file holding s='10' and silently dropped its
+    matching rows.  The dtype gate must forfeit the prune instead."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        # keys 0-49: s in '1'..'5' (g in [0,2]); keys 50-99: s='10'
+        # (g=5) — create()'s key-range split puts them in separate
+        # files, so the unsound prune would drop the whole second file
+        F.when(F.col("id") < 50,
+               (F.col("id") % 5 + 1).cast("string"))
+         .otherwise(F.lit("10")).alias("s"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k",
+                          n_files=2,
+                          generated={"g": "floor(s / 2)"})
+    pruned = t.read(where_between=("s", "1", "5"))
+    full = t.read().filter(F.col("s").between("1", "5"))
+    assert pruned.count() == full.count() == 100  # '10' matches lex
+    assert pruned.filter(F.col("s") == "10").count() == 50
+    assert (pruned.exceptAll(full).count() == 0
+            and full.exceptAll(pruned).count() == 0)
+
+
+def test_derived_prune_still_works_on_aligned_dtype(spark, tdir):
+    """The dtype gate must not kill the legitimate prune: the same
+    floor-div shape over a NUMERIC source still skips files."""
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").alias("n"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k",
+                          n_files=4,
+                          generated={"g": "floor(n / 10)"})
+    got = t.read(where_between=("n", 0, 9))
+    assert len(got.inputFiles()) < len(t.snapshot().files)
+    assert sorted(r["n"] for r in got.collect()) == list(range(10))
+
+
+def test_nondeterministic_generator_escape_hatches_refused(spark,
+                                                           tdir):
+    """ADVICE r7 (low): zero-arg unix_timestamp() (current time) and
+    reflect/java_method (arbitrary JVM calls) must fail create()
+    validation — a nondeterministic generator drifts the col=expr
+    invariant silently on every ingest.  unix_timestamp(ts) WITH an
+    argument is deterministic and stays allowed."""
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("ts"))
+    for bad in ("unix_timestamp()", "to_unix_timestamp()",
+                "reflect('java.lang.System', 'nanoTime')",
+                "java_method('java.lang.System', 'nanoTime')",
+                "k + unix_timestamp( )"):
+        with pytest.raises(ValueError,
+                           match="non-deterministic|current-time"):
+            TxLogTable.create(
+                spark, os.path.join(tdir, "bad"), base, "k",
+                generated={"g": bad})
+    # positive control: the one-arg form is deterministic
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "ok"), base, "k",
+        generated={"g": "unix_timestamp(ts)"})
+    assert t.read().filter("g <> unix_timestamp(ts)").count() == 0
+    assert t.fsck(deep=True) == []

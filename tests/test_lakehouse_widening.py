@@ -272,3 +272,30 @@ def test_dv_delete_and_zorder_after_key_widening(spark, tdir):
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == {k: k * 2 for k in range(200) if not 10 <= k <= 14}
     assert t.fsck(deep=True) == []
+
+
+def test_widen_refused_when_generated_references_column(spark, tdir):
+    """ADVICE r7 (high): widening a column that a GENERATED expression
+    REFERENCES must be refused, mirroring rename/drop.  For a
+    type-tracking generator (g = v + 1, g pinned INT at create),
+    widening v to LONG would make every later ingest recompute g at
+    LongType — _apply_generated_ingest runs AFTER _conform_types, so
+    the computed column lands INT64 parquet under g's pinned INT read
+    schema: the commit succeeds and all subsequent reads fail with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH, the exact class _conform_types
+    exists to prevent."""
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).cast("int").alias("v"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df, "k",
+                          generated={"g": "v + 1"})
+    with pytest.raises(ValueError, match="reference"):
+        t.widen_column_type("v", "long")
+    # the table stays healthy and fully usable after the refusal
+    t.append(spark.range(50, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).cast("int").alias("v")))
+    got = t.read()
+    assert got.count() == 60
+    assert got.filter("g <> v + 1").count() == 0
+    assert t.fsck(deep=True) == []
