@@ -754,8 +754,20 @@ def decode_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     access, string→numeric casts back to typed columns.  The oracle
     computes the same result from the raw events, so a lossy
     stringify, a wrong op mapping, or a dropped `old` image all
-    hash-fail.  One parse per row, JVM-side end to end."""
+    hash-fail.  One parse per row, JVM-side end to end.
+
+    Parallelism guard: the sf0.1 events fixture is ONE single-row-group
+    parquet file, so the scan yields one partition and the (CPU-bound)
+    construct+parse chain runs on one core while the rest idle — the
+    bench's concurrent-wall floor.  When the scan gives fewer
+    partitions than the cluster has slots, redistribute once before
+    the JSON work (a 100k-row shuffle buys a 32-way parse); on a real
+    cluster the scan already yields >= cores splits and no shuffle is
+    added."""
     ev = load_table(spark, "events", sf_dir)
+    if (ev.rdd.getNumPartitions()
+            < spark.sparkContext.defaultParallelism):
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
     is_i = F.col("event_type") == "signup"
     is_d = F.col("event_type") == "error"
     row_map = F.create_map(
