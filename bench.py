@@ -82,6 +82,17 @@ LAKEHOUSE_QUERIES = [
 ]
 N_LAKE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_LAKE_RUNS", "3"))
 
+# LSH near-dup section (VERDICT r7 #8): the full MinHash+LSH dataflow —
+# shingle explode → band hash → bucket self-join with the salted
+# heavy-hitter triangle — is the band-explode shuffle shape the headline
+# suite lacks.  Tracked in its OWN section: at sf0.1 it runs ~20x the
+# headline wall (the 2701-doc bucket is 54% of the corpus), so putting
+# it in the wall would mask regressions in the other 24 queries; the
+# headline suite stays frozen for round-over-round comparability.
+# One warmed run per engine (the 30-60s scale makes medians of 5
+# prohibitive and run-to-run variance is <5% at this duration).
+LSH_QUERY = "dedup_fuzzy_minhash_checked"
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -227,6 +238,25 @@ def main() -> None:
     except Exception:
         pass
 
+    # LSH band-explode section (separate from the headline wall)
+    lsh: dict = {}
+    if LSH_QUERY in entries:
+        run_spark(LSH_QUERY)                 # warm
+        lsh["spark_sec"] = round(_median_time(
+            lambda: run_spark(LSH_QUERY), n=1), 4)
+        try:
+            import duckdb as _dk2
+
+            xcon = _dk2.connect()
+            duck_views(xcon)
+            xcon.execute(f"SET threads TO {int(CPUS)}")
+            sql = entries[LSH_QUERY].oracle
+            lsh["duckdb_sec"] = round(_median_time(
+                lambda: xcon.execute(sql).fetchall(), n=1), 4)
+            lsh["ratio"] = round(lsh["spark_sec"] / lsh["duckdb_sec"], 3)
+        except Exception:
+            pass
+
     duck_seq_total = round(sum(duck.values()), 4) if duck else None
     duck_best = (min(x for x in (duck_seq_total, duck_wall) if x is not None)
                  if duck else None)
@@ -259,6 +289,15 @@ def main() -> None:
                             / sum(lake_duck.values()), 3)
                       if lake and lake_duck and sum(lake_duck.values())
                       else None),
+        },
+        "minhash_lsh": {
+            "note": ("full MinHash+LSH near-dup dataflow (band-explode "
+                     "shuffle + salted heavy-hitter self-join) vs its "
+                     "DuckDB twin — own section so the 30s-scale query "
+                     "can't mask headline-wall regressions; one warmed "
+                     "run per engine"),
+            "query": LSH_QUERY,
+            **lsh,
         },
         "cpus": int(CPUS),
     }
