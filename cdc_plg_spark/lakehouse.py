@@ -436,6 +436,58 @@ def _conform_types(df: DataFrame, table_fields, ctx: str) -> DataFrame:
         for f_ in df.schema.fields])
 
 
+def _validate_generated_exprs(generated: dict[str, str], df: DataFrame,
+                              key_col: str) -> None:
+    """Shared create()/convert() hygiene for GENERATED ALWAYS AS
+    declarations: identifier names, non-key, non-empty deterministic
+    expressions (word blocklist + zero-arg current-time shapes), no
+    generator chaining, and resolvable against the base schema
+    (`df` carries the SOURCE columns the expressions may use)."""
+    import re as _re
+
+    base_names = [f_.name for f_ in df.schema.fields]
+    for gc, ge in generated.items():
+        if not gc.isidentifier():
+            raise ValueError(
+                f"generated column name {gc!r} must be an identifier")
+        if gc == key_col:
+            raise ValueError(
+                f"key column {key_col!r} cannot be generated: every "
+                f"format invariant (stats, pruning, merge) hangs off "
+                f"caller-supplied keys")
+        if not isinstance(ge, str) or not ge.strip():
+            raise ValueError(
+                f"generated column {gc!r} needs a non-empty SQL "
+                f"expression, got {ge!r}")
+        bad_fn = [fn for fn in _NONDETERMINISTIC_FNS
+                  if _re.search(rf"(?<!\w){fn}(?!\w)",
+                                ge.replace("`", ""), _re.I)]
+        if bad_fn:
+            raise ValueError(
+                f"generated column {gc!r} uses non-deterministic "
+                f"function(s) {bad_fn}: the col=expr invariant must "
+                f"be recomputable")
+        if _re.search(_ZERO_ARG_NOW_PAT, ge.replace("`", "")):
+            raise ValueError(
+                f"generated column {gc!r} calls a zero-arg "
+                f"current-time function: the col=expr invariant would "
+                f"drift on every ingest and only deep fsck would "
+                f"notice")
+        chained = [g2 for g2 in generated
+                   if _checks_referencing({gc: ge}, g2)]
+        if chained:
+            raise ValueError(
+                f"generated column {gc!r} references generated "
+                f"column(s) {chained}; generators may only use plain "
+                f"columns (no chaining)")
+        try:
+            df.select(F.expr(ge))
+        except Exception as e:
+            raise ValueError(
+                f"generated column {gc!r} expression {ge!r} does not "
+                f"resolve against schema {base_names}: {e}") from None
+
+
 def _apply_generated_ingest(df: DataFrame, generated: dict[str, str]):
     """Ingest-edge handling of generated columns: a column the caller
     OMITTED is computed from its expression; one the caller SUPPLIED
@@ -1608,6 +1660,7 @@ class TxLogTable:
     @classmethod
     def convert(cls, spark: SparkSession, path: str, key_col: str,
                 partition_schema: dict[str, str] | None = None,
+                generated: dict[str, str] | None = None,
                 ) -> "TxLogTable":
         """CONVERT TO TXLOG: adopt an existing parquet directory as a
         table BY REFERENCE — no data is read or rewritten, the
@@ -1628,7 +1681,24 @@ class TxLogTable:
         outside `data/`, so vacuum on a converted table sweeps the
         whole directory (minus the log) the way it owns any native
         table's — don't keep unrelated files in a converted table's
-        directory, exactly as with Delta."""
+        directory, exactly as with Delta.
+
+        `generated={col: expr}` formalizes ALREADY-MATERIALIZED
+        derived columns as GENERATED ALWAYS AS at adoption time — the
+        common migration: an upstream job laid the directory out by a
+        derived column (dt=date_format(ts,...) hive dirs, a bucketing
+        column), and converting it should carry that contract forward
+        so every later ingest recomputes/validates the column and
+        reads derive partition prunes from predicates on the source.
+        Because convert is BY REFERENCE (no rewrite), the column must
+        already exist in the imported files or be a declared partition
+        column; the existing data is VALIDATED against col <=> expr in
+        ONE column-pruned distributed scan BEFORE the commit (the same
+        price add_check charges) and the convert refuses on the first
+        violating row — a wrong declaration must never enter the
+        manifest, because the derived prune would then silently drop
+        matching files.  Like create(), a generated table commits
+        writer protocol [1, 2]."""
         t = cls(spark, path)
         if t._versions():
             raise ValueError(f"table already exists: {path}")
@@ -1661,6 +1731,37 @@ class TxLogTable:
         if kt not in ("long", "integer", "short", "byte", "string"):
             raise ValueError(f"key column {key_col!r} has type {kt}; "
                              f"keys must be integral or string")
+        generated = dict(generated or {})
+        if generated:
+            _validate_generated_exprs(
+                generated, spark.createDataFrame([], schema), key_col)
+            missing_gc = [gc for gc in generated if gc not in names]
+            if missing_gc:
+                raise ValueError(
+                    f"generated column(s) {missing_gc} are not in the "
+                    f"imported schema {names}: convert is BY REFERENCE "
+                    f"(no rewrite), so a generated column must already "
+                    f"be materialized in the files or declared in "
+                    f"partition_schema")
+            # validate col <=> expr over the EXISTING data before the
+            # commit — one column-pruned distributed scan per column
+            # (Catalyst prunes to gc + its sources); a wrong
+            # declaration must refuse here, because once in the
+            # manifest the derived prune would silently drop files
+            full_df = (spark.read.option("basePath", path).parquet(path)
+                       if pschema else spark.read.parquet(path))
+            for gc, ge in generated.items():
+                decl = schema[gc].dataType.simpleString()
+                bad = (full_df.filter(
+                    ~F.col(gc).cast(decl).eqNullSafe(
+                        F.expr(f"CAST(({ge}) AS {decl})")))
+                    .limit(1).collect())
+                if bad:
+                    raise CheckViolation(
+                        f"imported data violates generated column "
+                        f"{gc!r} = ({ge}): {bad[0]} — fix the "
+                        f"declaration or rewrite the offending files "
+                        f"before converting")
         stat_types = ("long", "integer", "short", "byte", "double",
                       "float", "string", "boolean",
                       *_TEMPORAL_STAT_TYPES)
@@ -1698,6 +1799,11 @@ class TxLogTable:
             }})
         meta = {"schema": schema.json(), "key_col": key_col,
                 "owns_root": True}
+        if generated:
+            meta["generated"] = generated
+            # same writer floor as create(): a v1 writer would ingest
+            # without computing/validating the generated values
+            meta["protocol"] = [1, 2]
         if pschema:
             meta["partition_by"] = sorted(pschema)
         actions = [{"commit": {"op": "CONVERT",
@@ -1725,51 +1831,7 @@ class TxLogTable:
                 f"or string (wrap a timestamp key as unix micros)")
         generated = dict(generated or {})
         if generated:
-            import re as _re
-
-            base_names = [f_.name for f_ in df.schema.fields]
-            for gc, ge in generated.items():
-                if not gc.isidentifier():
-                    raise ValueError(
-                        f"generated column name {gc!r} must be an "
-                        f"identifier")
-                if gc == key_col:
-                    raise ValueError(
-                        f"key column {key_col!r} cannot be generated: "
-                        f"every format invariant (stats, pruning, "
-                        f"merge) hangs off caller-supplied keys")
-                if not isinstance(ge, str) or not ge.strip():
-                    raise ValueError(
-                        f"generated column {gc!r} needs a non-empty "
-                        f"SQL expression, got {ge!r}")
-                bad_fn = [fn for fn in _NONDETERMINISTIC_FNS
-                          if _re.search(rf"(?<!\w){fn}(?!\w)",
-                                        ge.replace("`", ""), _re.I)]
-                if bad_fn:
-                    raise ValueError(
-                        f"generated column {gc!r} uses "
-                        f"non-deterministic function(s) {bad_fn}: the "
-                        f"col=expr invariant must be recomputable")
-                if _re.search(_ZERO_ARG_NOW_PAT, ge.replace("`", "")):
-                    raise ValueError(
-                        f"generated column {gc!r} calls a zero-arg "
-                        f"current-time function: the col=expr "
-                        f"invariant would drift on every ingest and "
-                        f"only deep fsck would notice")
-                chained = [g2 for g2 in generated
-                           if _checks_referencing({gc: ge}, g2)]
-                if chained:
-                    raise ValueError(
-                        f"generated column {gc!r} references generated "
-                        f"column(s) {chained}; generators may only use "
-                        f"plain columns (no chaining)")
-                try:
-                    df.select(F.expr(ge))
-                except Exception as e:
-                    raise ValueError(
-                        f"generated column {gc!r} expression {ge!r} "
-                        f"does not resolve against schema "
-                        f"{base_names}: {e}") from None
+            _validate_generated_exprs(generated, df, key_col)
             df, gen_implicit = _apply_generated_ingest(df, generated)
         else:
             gen_implicit = {}
