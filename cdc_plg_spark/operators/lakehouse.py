@@ -1361,3 +1361,83 @@ def lakehouse_type_widening(spark: SparkSession,
         "n_rows", "id_checksum", "user_checksum",
         F.lit(zero_moved).alias("widen_moved_zero_bytes"),
         F.lit(wide and zero_moved).alias("old_files_read_wide"))
+
+
+LAKEHOUSE_CONVERT_GENERATED_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS adopted_by_reference,
+           TRUE AS derived_prune_skips,
+           TRUE AS wrong_decl_refused
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
+"""
+
+
+@register("lakehouse_convert_generated",
+          oracle=LAKEHOUSE_CONVERT_GENERATED_ORACLE, tags=("lakehouse",))
+def lakehouse_convert_generated(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """GENERATED columns declared at CONVERT time (r8, lakehouse.py
+    convert(generated=...)): an upstream job laid a parquet directory
+    out by a derived column (event_date=... hive dirs, written by
+    plain Spark here), and adoption BY REFERENCE formalizes that
+    contract — after validating col<=>expr over the existing files
+    pre-commit.  Measured claims:
+
+    - `adopted_by_reference`: the manifest's live files are EXACTLY
+      the parquet files that were on disk before the convert — no
+      data was read back or rewritten to gain the contract;
+    - `wrong_decl_refused`: a convert declaring a WRONG generator
+      (ts shifted a day) must raise before any commit — in the
+      manifest it would let the derived prune silently drop matching
+      files — and leave the directory adoptable by the correct
+      declaration (measured by attempting it first);
+    - `derived_prune_skips`: after the convert, a read carrying ONLY
+      a `ts` predicate prunes the imported hive partitions through
+      the generator at the manifest, with real skipped partitions.
+
+    Row count + id checksum come from the pruned read, so a prune
+    that dropped a matching imported file flips the hash."""
+    from cdc_plg_spark.lakehouse import CheckViolation, _fs_path
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_cvtgen_")
+    raw = os.path.join(d, "t")
+    (ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+       .repartitionByRange(4, "event_id")
+       .write.partitionBy("event_date").parquet(raw))
+    on_disk = {os.path.relpath(os.path.join(dp, f), raw)
+               for dp, _, fs in os.walk(raw)
+               for f in fs if f.endswith(".parquet")}
+    wrong_refused = False
+    try:
+        TxLogTable.convert(
+            spark, raw, "event_id",
+            partition_schema={"event_date": "string"},
+            generated={"event_date":
+                       "date_format(ts + interval 1 day, 'yyyy-MM-dd')"})
+    except CheckViolation:
+        wrong_refused = True
+    t = TxLogTable.convert(
+        spark, raw, "event_id",
+        partition_schema={"event_date": "string"},
+        generated={"event_date": "date_format(ts, 'yyyy-MM-dd')"})
+    snap = t.snapshot()
+    by_ref = set(snap.files) == on_disk and snap.protocol == [1, 2]
+    got = t.read(where_between=("ts", "2024-01-08", "2024-01-15"))
+    scanned = {os.path.relpath(_fs_path(f), t.path)
+               for f in got.inputFiles()}
+    in_range = {p for p, s in snap.files.items()
+                if "2024-01-08" <= s["partition"]["event_date"]
+                <= "2024-01-15"}
+    pruned_ok = (scanned <= in_range
+                 and len(in_range) < len(snap.files))
+    return got.agg(
+        F.count(F.lit(1)).alias("rows_matching"),
+        F.sum("event_id").alias("id_checksum")).select(
+        "rows_matching", "id_checksum",
+        F.lit(by_ref).alias("adopted_by_reference"),
+        F.lit(pruned_ok).alias("derived_prune_skips"),
+        F.lit(wrong_refused).alias("wrong_decl_refused"))

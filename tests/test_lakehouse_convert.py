@@ -356,3 +356,44 @@ def test_convert_generated_validation_refuses(spark, tdir):
         spark, path, "user_id", partition_schema={"dt": "string"},
         generated={"dt": "date_format(ts, 'yyyy-MM-dd')"})
     assert t.read().count() == 240
+
+
+def test_convert_ns_stat_table_then_widen(spark, tdir):
+    """Composition across BOTH migration features (SURVEY r8
+    candidate): adopt a foreign dir whose ts column is TIMESTAMP(NANOS)
+    — stats kept as raw ns integers — then WIDEN an int column as a
+    pure meta commit.  The widen must not move bytes, must not disturb
+    the ns stat domain (temporal pruning stays exact at sub-µs
+    boundaries), and the narrow INT32 parquet must surface as LONG."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tdir, "t")
+    os.makedirs(path)
+    base = 1_700_000_000_000_000_000
+    us = 1_000
+    for fname, k0, t0 in (("a.parquet", 0, base),
+                          ("b.parquet", 10, base + 100 * us)):
+        tb = pa.table({
+            "user_id": pa.array(range(k0, k0 + 10), type=pa.int64()),
+            "v": pa.array([k0 + i for i in range(10)],
+                          type=pa.int32()),
+            "ts": pa.array([t0 + i * us + 500 for i in range(10)],
+                           type=pa.timestamp("ns"))})
+        pq.write_table(tb, os.path.join(path, fname))
+    t = TxLogTable.convert(spark, path, "user_id")
+    files0 = set(t.snapshot().files)
+    t.widen_column_type("v", "long")
+    snap = t.snapshot()
+    assert set(snap.files) == files0          # zero movement
+    assert snap.protocol == [2, 2]
+    got = t.read()
+    assert got.schema["v"].dataType.typeName() == "long"
+    # ns stat domain untouched by the widen: sub-µs pruning stays exact
+    pruned = t.read(where_between=("ts", base, base + 4 * us))
+    assert sorted(r["user_id"] for r in pruned.collect()) == \
+        list(range(4))
+    assert len(pruned.inputFiles()) == 1
+    assert {r["user_id"]: r["v"] for r in got.collect()} == \
+        {k: k for k in range(20)}
+    assert t.fsck(deep=True) == []

@@ -16,6 +16,7 @@ import pytest
 
 from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_BLOOM_POINT_ORACLE,
+    LAKEHOUSE_CONVERT_GENERATED_ORACLE,
     LAKEHOUSE_GENERATED_ORACLE,
     LAKEHOUSE_PARTIAL_MERGE_ORACLE,
     LAKEHOUSE_RESTORE_ORACLE,
@@ -23,6 +24,7 @@ from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
     LAKEHOUSE_WIDENING_ORACLE,
     lakehouse_bloom_point_read,
+    lakehouse_convert_generated,
     lakehouse_generated_pruning,
     lakehouse_partial_merge,
     lakehouse_restore_roundtrip,
@@ -47,6 +49,8 @@ CASES = [
      LAKEHOUSE_GENERATED_ORACLE),
     ("lakehouse_type_widening", lakehouse_type_widening,
      LAKEHOUSE_WIDENING_ORACLE),
+    ("lakehouse_convert_generated", lakehouse_convert_generated,
+     LAKEHOUSE_CONVERT_GENERATED_ORACLE),
 ]
 
 
