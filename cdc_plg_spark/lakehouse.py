@@ -1719,6 +1719,17 @@ class TxLogTable:
         file_schema = spark.read.parquet(t._abs(rels[0])).schema
         from pyspark.sql.types import (LongType, StringType,
                                        StructField)
+        dup = [pc for pc in pschema
+               if pc in {f_.name for f_ in file_schema.fields}]
+        if dup:
+            # write.partitionBy drops the column from the file bytes;
+            # a hand-built layout that kept it would otherwise import
+            # a duplicate-named schema and poison every later read
+            raise ValueError(
+                f"partition column(s) {dup} also exist inside the "
+                f"parquet files: a hive layout must carry partition "
+                f"values in paths ONLY — rewrite the files without "
+                f"the column before converting")
         part_fields = [StructField(
             pc, StringType() if pt == "string" else LongType(), True)
             for pc, pt in pschema.items()]

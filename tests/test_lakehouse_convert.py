@@ -397,3 +397,24 @@ def test_convert_ns_stat_table_then_widen(spark, tdir):
     assert {r["user_id"]: r["v"] for r in got.collect()} == \
         {k: k for k in range(20)}
     assert t.fsck(deep=True) == []
+
+
+def test_convert_refuses_partition_column_inside_files(spark, tdir):
+    """A hand-built hive layout that KEPT the partition column in the
+    file bytes (write.partitionBy drops it; foreign writers may not)
+    must refuse at convert — appending path-derived part_fields to the
+    file schema would import a duplicate-named column and poison every
+    later read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(tdir, "t")
+    sub = os.path.join(path, "dt=2024-03-01")
+    os.makedirs(sub)
+    tb = pa.table({
+        "user_id": pa.array(range(10), type=pa.int64()),
+        "dt": pa.array(["2024-03-01"] * 10)})     # kept in the bytes
+    pq.write_table(tb, os.path.join(sub, "a.parquet"))
+    with pytest.raises(ValueError, match="paths ONLY"):
+        TxLogTable.convert(spark, path, "user_id",
+                           partition_schema={"dt": "string"})
