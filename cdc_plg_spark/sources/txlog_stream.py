@@ -294,7 +294,21 @@ class TxLogChangesReader(DataSourceStreamReader):
             for c in cols:            # pre-DDL files lack new columns
                 if c not in df.columns:
                     df[c] = None
-            return df[cols]
+            df = df[cols]
+            # canonicalize timestamps to UTC-aware BEFORE the diff: a
+            # CONVERTed table mixes foreign annotations (INT96 / NTZ
+            # read tz-NAIVE by pyarrow) with the engine's own
+            # TIMESTAMP_MICROS (tz-aware) files.  Un-normalized, the
+            # old/new comparison below sees naive != aware for the
+            # SAME instant and emits a phantom update for every
+            # unchanged row of a rewritten foreign file (reproduced);
+            # concatenating them also breaks the final to_datetime.
+            # The session is UTC-pinned, so naive values are UTC
+            # instants and utc=True is value-preserving.
+            for f in fields:
+                if f.dataType.typeName() == "timestamp":
+                    df[f.name] = pd.to_datetime(df[f.name], utc=True)
+            return df
 
         old, new = load(partition.removed), load(partition.added)
         # deletion-vector context (mirrors TxLogTable.table_changes):
@@ -362,10 +376,17 @@ class TxLogChangesReader(DataSourceStreamReader):
             if tn in _pd_int:
                 out[f.name] = out[f.name].astype(_pd_int[tn])
             elif tn == "timestamp":
-                # Spark rejects Arrow ns timestamps; pin to µs UTC
-                col = pd.to_datetime(out[f.name])
-                if col.dt.tz is None:
-                    col = col.dt.tz_localize("UTC")
+                # Spark rejects Arrow ns timestamps; pin to µs UTC.
+                # utc=True, not tz_localize: the old/new images come
+                # from DIFFERENT parquet files, and a CONVERTed
+                # foreign file can carry isAdjustedToUTC opposite to
+                # the engine's own writes — the object column then
+                # MIXES tz-aware and naive values and a plain
+                # to_datetime raises ("Cannot mix tz-aware with
+                # tz-naive").  The session is pinned UTC everywhere,
+                # so naive values are UTC instants and utc=True
+                # normalizes both kinds to the same domain.
+                col = pd.to_datetime(out[f.name], utc=True)
                 out[f.name] = col.astype("datetime64[us, UTC]")
         yield pa.RecordBatch.from_pandas(
             out.reset_index(drop=True), preserve_index=False)

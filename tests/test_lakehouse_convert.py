@@ -418,3 +418,57 @@ def test_convert_refuses_partition_column_inside_files(spark, tdir):
     with pytest.raises(ValueError, match="paths ONLY"):
         TxLogTable.convert(spark, path, "user_id",
                            partition_schema={"dt": "string"})
+
+
+def test_cdf_stream_over_mixed_timestamp_annotations(spark, tdir):
+    """A CONVERTed table legitimately holds files whose parquet
+    timestamp annotation differs from the engine's own writes: a seed
+    dir written under INT96 (a vanilla session's default
+    outputTimestampType) reads back TZ-NAIVE in pyarrow, while engine
+    merge files (TIMESTAMP_MICROS, isAdjustedToUTC) read TZ-AWARE.
+    The streaming CDF source's executor-side diff then carries BOTH
+    kinds in one column — reproduced: a plain pd.to_datetime raised
+    'Cannot mix tz-aware with tz-naive' and killed the stream.  The
+    session is UTC-pinned, so both kinds are the same instants;
+    utc=True normalization must make the stream succeed bit-exactly."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    path = os.path.join(tdir, "t")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.sql(
+            "SELECT id AS user_id, "
+            "timestamp_micros(CAST(1704067200000000 + id * 1000000 "
+            "AS LONG)) AS ts, id * 2 AS value FROM range(0, 40)"
+        ).repartitionByRange(2, "user_id").write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    t = TxLogTable.convert(spark, path, "user_id")
+    src = spark.sql(
+        "SELECT id AS user_id, "
+        "timestamp_micros(CAST(1704067200000000 + id * 1000000 "
+        "AS LONG)) AS ts, -1L AS value FROM range(0, 5)")
+    t.merge(src)          # engine write: TIMESTAMP_MICROS, tz-aware
+    out = os.path.join(tdir, "out")
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).option("fullImages", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out).filter(
+        F.col("commit_version") == 1)
+    pre = {(r["user_id"], r["value"], r["ts"].isoformat())
+           for r in got.filter(F.col("change_type") == "U_pre")
+           .collect()}
+    post = {(r["user_id"], r["value"])
+            for r in got.filter(F.col("change_type") == "U_post")
+            .collect()}
+    assert post == {(k, -1) for k in range(5)}
+    # before-images carry the INT96 file's values as the SAME UTC
+    # instants the engine wrote (naive == UTC by session pin;
+    # collect() returns session-naive datetimes)
+    assert pre == {(k, 2 * k, f"2024-01-01T00:00:{k:02d}")
+                   for k in range(5)}
