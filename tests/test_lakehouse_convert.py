@@ -472,3 +472,65 @@ def test_cdf_stream_over_mixed_timestamp_annotations(spark, tdir):
     # collect() returns session-naive datetimes)
     assert pre == {(k, 2 * k, f"2024-01-01T00:00:{k:02d}")
                    for k in range(5)}
+
+
+def test_streaming_sink_into_converted_generated_table(spark, tdir):
+    """The full migration-to-live-pipeline composition for
+    convert(generated=...): an upstream-written hive dir is adopted
+    with its derived column formalized, then a STREAM keeps appending
+    micro-batches that ship only the source columns — the write path
+    must compute event_date per epoch (idempotently), land the rows
+    in the right hive partitions, and the change-feed stream over the
+    grown table must replay every commit — across seed files whose
+    parquet timestamp annotation may differ from the engine's own
+    (the tz-canonicalization pin, composed end to end)."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    spark.dataSource.register(TxLogChangesSource)
+    path = os.path.join(tdir, "t")
+    write_derived(spark, path, n=120, partition_by=["dt"])
+    t = TxLogTable.convert(
+        spark, path, "user_id", partition_schema={"dt": "string"},
+        generated={"dt": "date_format(ts, 'yyyy-MM-dd')"})
+    v0_files = len(t.snapshot().files)
+    # stream ships (user_id, ts, value) ONLY — no dt column
+    src_dir = os.path.join(tdir, "src")
+    base_us = 1_709_251_200_000_000
+    spark.range(1000, 1060).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(base_us) + (F.col("id") % 3) * F.lit(86_400_000_000))
+            .cast("long")).alias("ts"),
+        (F.col("id") * 2).alias("value")).write.parquet(src_dir)
+    stream = (spark.readStream.schema(
+        "user_id long, ts timestamp, value long")
+        .option("maxFilesPerTrigger", 1).parquet(src_dir))
+
+    def apply_batch(bdf, epoch):
+        TxLogTable(bdf.sparkSession, t.path).append(
+            bdf, txn=("cvt_gen_sink", epoch))
+
+    run_foreach_batch(stream, apply_batch, os.path.join(tdir, "ckpt"))
+    assert t.read().count() == 180
+    assert t.read().filter(
+        F.col("dt") != F.date_format("ts", "yyyy-MM-dd")).count() == 0
+    # appended rows landed in real hive partitions beyond the seed's
+    assert len(t.snapshot().files) > v0_files
+    # the change feed replays every commit incl. over the mixed-
+    # annotation seed (tz canonicalization pin, streaming face)
+    out = os.path.join(tdir, "changes")
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(tdir, "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    ch = spark.read.parquet(out)
+    # v0 (the CONVERT) is the base image — the feed starts at commit 1
+    # (same contract as a native CREATE), so exactly the streamed
+    # appends replay, one I per appended row, dt images included
+    assert ch.filter(F.col("change_type") == "I").count() == 60
+    assert ch.filter(F.col("user_id") >= 1000).filter(
+        F.col("dt") != F.date_format("ts", "yyyy-MM-dd")).count() == 0
+    assert t.fsck(deep=True) == []
