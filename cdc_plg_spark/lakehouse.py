@@ -267,6 +267,15 @@ class Snapshot:
     # predicate on the SOURCE column into a partition prune (the
     # Delta "partition pruning from generated columns" contract).
     generated: dict[str, str] = field(default_factory=dict)
+    # column DEFAULT values (Delta-style allowColumnDefaults, added
+    # via add_column): logical column name -> constant deterministic
+    # SQL expression.  A WRITE-side feature only: an ingest frame that
+    # OMITS the column gets the default materialized (cast to the
+    # declared type); rows already on disk keep reading NULL (their
+    # files predate the column — the public Delta semantic, no read-
+    # path change, no reader-floor bump).  Presence-based like partial
+    # merge: a supplied column keeps caller values incl. explicit NULL.
+    defaults: dict[str, str] = field(default_factory=dict)
 
     def phys(self, logical: str) -> str:
         return (self.mapping or {}).get(logical, logical)
@@ -503,6 +512,23 @@ def _apply_generated_ingest(df: DataFrame, generated: dict[str, str]):
         else:
             df = df.withColumn(gc, F.expr(ge))
     return df, implicit
+
+
+def _apply_defaults_ingest(df: DataFrame, defaults: dict[str, str],
+                           table_fields) -> DataFrame:
+    """Materialize column DEFAULTs for table columns ABSENT from an
+    ingest frame (cast to the declared type so the landed parquet
+    matches the pinned read schema).  Presence-based, like partial
+    merge and generated columns: a supplied column keeps the caller's
+    values, including explicit NULLs — column PRESENCE is the signal,
+    never the value."""
+    if not defaults:
+        return df
+    types = {f_.name: f_.dataType for f_ in table_fields}
+    for c, de in defaults.items():
+        if c not in df.columns and c in types:
+            df = df.withColumn(c, F.expr(de).cast(types[c]))
+    return df
 
 
 def _bloom_key_canon(c, type_name: str):
@@ -848,6 +874,7 @@ class TxLogTable:
             snap.owns_root = data.get("owns_root", False)
             snap.protocol = data.get("protocol", [1, 1])
             snap.generated = data.get("generated", {})
+            snap.defaults = data.get("defaults", {})
             start = ckpts[-1] + 1
         for v in versions:
             if v < start or v > head:
@@ -897,6 +924,7 @@ class TxLogTable:
                         snap.protocol = m.get("protocol", snap.protocol)
                         snap.generated = m.get("generated",
                                                snap.generated)
+                        snap.defaults = m.get("defaults", snap.defaults)
         if snap.protocol[0] > READER_VERSION:
             raise UnsupportedProtocolError(
                 f"table at {self.path!r} requires min_reader "
@@ -948,7 +976,8 @@ class TxLogTable:
                        "checks": snap.checks,
                        "owns_root": snap.owns_root,
                        "protocol": snap.protocol,
-                       "generated": snap.generated}, f)
+                       "generated": snap.generated,
+                       "defaults": snap.defaults}, f)
         os.replace(tmp, os.path.join(self.log_dir, _ckpt_name(snap.version)))
 
     def _assert_writer(self, snap: Snapshot) -> None:
@@ -1034,6 +1063,7 @@ class TxLogTable:
             "protocol": {"min_reader": snap.protocol[0],
                          "min_writer": snap.protocol[1]},
             "generated": snap.generated or None,
+            "defaults": snap.defaults or None,
             "num_partitions": (len({tuple(sorted(
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
@@ -1916,11 +1946,16 @@ class TxLogTable:
         df = _conform_types(
             df, StructType.fromJson(json.loads(snap.schema_json)).fields,
             "append source")
+        # DEFAULTs fill omitted columns first (a generated expression
+        # may legitimately derive from a defaulted column), then
         # generated columns: compute the omitted ones BEFORE the
         # every-table-column-present contract below (an omitted
         # generated column is the expected calling convention, not a
         # missing column); supplied ones get the implicit col<=>expr
         # validation in the same landed-bytes pass as user CHECKs
+        df = _apply_defaults_ingest(
+            df, snap.defaults,
+            StructType.fromJson(json.loads(snap.schema_json)).fields)
         df, gen_implicit = _apply_generated_ingest(df, snap.generated)
         _phys_memo: dict[str, str] = {}
 
@@ -2031,7 +2066,14 @@ class TxLogTable:
                             "from": old, "to": new}},
                 {"meta": {"schema": schema.json(), "key_col": key,
                           "column_mapping": mapping,
-                          "retired_physical": snap.retired}}]
+                          "retired_physical": snap.retired,
+                          # DEFAULTs are keyed by logical name; a
+                          # rename re-keys the entry (constant exprs
+                          # reference no columns, so values carry)
+                          **({"defaults": {(new if k == old else k): v
+                                           for k, v in
+                                           snap.defaults.items()}}
+                             if old in snap.defaults else {})}}]
             if self._try_commit(snap.version + 1, actions):
                 self._maybe_checkpoint(self.snapshot(snap.version + 1))
                 return {"version": snap.version + 1}
@@ -2129,6 +2171,98 @@ class TxLogTable:
                 return {"version": snap.version + 1, "skipped": False,
                         "from": cur_t, "to": new_type}
         raise ConflictError("widen retries exhausted")
+
+    def add_column(self, name: str, dtype: str,
+                   default: str | None = None) -> dict:
+        """ALTER TABLE ADD COLUMN [DEFAULT expr] — a pure META commit
+        at any table size.  Existing files simply lack the physical
+        column and keep reading NULL for it (the public Delta
+        column-default semantic: defaults are a WRITE-side feature —
+        no old bytes change, no reader floor rises).  With `default`,
+        every subsequent ingest that OMITS the column materializes
+        the default (cast to `dtype`) into the landed files; a
+        supplied column always wins, including explicit NULLs.
+
+        `default` must be a CONSTANT deterministic expression — it
+        may not reference columns (each ROW would then need its own
+        value, which is a generated column's job, fixed at create)
+        and may not call current-time/random functions (two ingests
+        would disagree about the "same" default).  Validated by
+        actually evaluating `CAST((expr) AS dtype)` once, driver-side.
+
+        The commit raises the writer floor to 2 when a default is
+        declared: a v1 writer would land NULL (via its own
+        missing-column error path at best) where this table's
+        contract says the default — lock it out loudly.  Re-adding a
+        DROPPED column takes a fresh physical name via column
+        mapping, so the old bytes can never resurrect."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        if not name.isidentifier():
+            raise ValueError(f"column name {name!r} must be an "
+                             f"identifier")
+        try:
+            dt = _parse_datatype_string(dtype)
+        except Exception:
+            raise ValueError(f"unparseable type {dtype!r}") from None
+        if default is not None:
+            if not isinstance(default, str) or not default.strip():
+                raise ValueError(
+                    f"default for {name!r} must be a non-empty SQL "
+                    f"expression string, got {default!r}")
+            import re as _re
+
+            bad_fn = [fn for fn in _NONDETERMINISTIC_FNS
+                      if _re.search(rf"(?<!\w){fn}(?!\w)",
+                                    default.replace("`", ""), _re.I)]
+            if bad_fn or _re.search(_ZERO_ARG_NOW_PAT,
+                                    default.replace("`", "")):
+                raise ValueError(
+                    f"default for {name!r} uses non-deterministic "
+                    f"function(s) {bad_fn or ['<current-time>']}: two "
+                    f"ingests would disagree about the same default")
+            try:
+                # constant-only SELECT: a column reference fails to
+                # resolve here, which is exactly the contract
+                self.spark.sql(
+                    f"SELECT CAST(({default}) AS {dtype}) AS _d"
+                ).collect()
+            except Exception as e:
+                raise ValueError(
+                    f"default for {name!r} must be a constant "
+                    f"expression castable to {dtype!r}: {e}") from None
+        for _ in range(5):
+            snap = self.snapshot()
+            self._assert_writer(snap)
+            if snap.version < 0:
+                raise ValueError("add_column on non-existent table")
+            fields = StructType.fromJson(
+                json.loads(snap.schema_json)).fields
+            if name in [f_.name for f_ in fields]:
+                raise ValueError(f"column {name!r} already exists")
+            mapping, retired = snap.mapping, snap.retired
+            if mapping is not None:
+                mapping = _extend_mapping(
+                    snap, [StructField(name, dt, True)])
+            schema = StructType([*fields, StructField(name, dt, True)])
+            meta_d = {"schema": schema.json(), "key_col": snap.key_col,
+                      **({"column_mapping": mapping,
+                          "retired_physical": retired}
+                         if mapping is not None else {})}
+            if default is not None:
+                meta_d["defaults"] = {**snap.defaults, name: default}
+                meta_d["protocol"] = [snap.protocol[0],
+                                      max(snap.protocol[1], 2)]
+            actions = [
+                {"commit": {"op": "ALTER", "alter": "add_column",
+                            "column": name, "type": dtype,
+                            **({"default": default}
+                               if default is not None else {})}},
+                {"meta": meta_d}]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1}
+        raise ConflictError("add_column retries exhausted")
 
     def add_check(self, name: str, expr: str) -> dict:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
@@ -2239,7 +2373,13 @@ class TxLogTable:
                 {"meta": {"schema": schema.json(),
                           "key_col": snap.key_col,
                           "column_mapping": mapping,
-                          "retired_physical": retired}}]
+                          "retired_physical": retired,
+                          # a dropped column's DEFAULT goes with it
+                          # (re-adding the name starts clean)
+                          **({"defaults": {k: v for k, v in
+                                           snap.defaults.items()
+                                           if k != name}}
+                             if name in snap.defaults else {})}}]
             if self._try_commit(snap.version + 1, actions):
                 self._maybe_checkpoint(self.snapshot(snap.version + 1))
                 return {"version": snap.version + 1}
@@ -2414,6 +2554,16 @@ class TxLogTable:
                                    mapping=mapping)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
+            # a FULL merge source omitting a DEFAULTed column gets the
+            # default materialized up front — the completed source row
+            # then replaces the target row under the normal full-row
+            # contract (per-row keep-target semantics is partial's
+            # job); partial merges instead default only INSERT rows,
+            # in the select below
+            if not partial:
+                s = _apply_defaults_ingest(
+                    s, snap.defaults,
+                    StructType.fromJson(json.loads(schema_json)).fields)
             # generated columns are exempt from the full-row contract:
             # the after-image recomputes them, so an omitted one can
             # never be silently nulled
@@ -2470,12 +2620,27 @@ class TxLogTable:
                     F.col("t._t").isNull()
                     | (F.struct(*[F.col(f"s.{c}") for c in order_by])
                        >= F.struct(*[F.col(f"t.{c}") for c in order_by])))
+            ftypes = {f_.name: f_.dataType for f_ in StructType
+                      .fromJson(json.loads(schema_json)).fields}
+
+            def _absent(c):
+                # column absent from a PARTIAL source: matched rows
+                # keep the target value (incl. genuine NULLs); INSERT
+                # rows take the declared DEFAULT when one exists —
+                # the Delta INSERT-default contract — else NULL
+                if c in snap.defaults:
+                    return (F.when(F.col("t._t").isNotNull(),
+                                   F.col(f"t.{c}"))
+                            .otherwise(F.expr(snap.defaults[c])
+                                       .cast(ftypes[c])))
+                return F.col(f"t.{c}")
+
             merged = (joined
                       .filter(~(s_wins & (F.col("_op") == "D")))
                       .select(F.col(key), *[
                           (F.when(s_wins, F.col(f"s.{c}"))
                             .otherwise(F.col(f"t.{c}"))
-                           if c in s.columns else F.col(f"t.{c}"))
+                           if c in s.columns else _absent(c))
                           .alias(c)
                           for c in cols if c != key]))
             merged = merged.select(*cols)  # original column order
@@ -2796,7 +2961,11 @@ class TxLogTable:
                 "owns_root": snap.owns_root or old.owns_root,
                 # generated is fixed at create, so old == head; carried
                 # explicitly so a restore commit's meta stays complete
-                "generated": old.generated}
+                "generated": old.generated,
+                # defaults rewind with the schema they belong to (a
+                # post-restore-point add_column's default must not
+                # survive its column's disappearance)
+                "defaults": old.defaults}
         actions = [{"commit": {"op": "RESTORE", "to_version": version,
                                "files_removed": len(snap.files),
                                "files_restored": len(adds)}},

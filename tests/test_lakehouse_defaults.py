@@ -1,0 +1,201 @@
+"""ALTER TABLE ADD COLUMN [DEFAULT expr] — column defaults as a pure
+meta commit (the public Delta `allowColumnDefaults` semantic).
+
+Contract under test:
+- add_column is METADATA-ONLY (file set untouched); rows already on
+  disk read NULL for the new column (their files predate it — no
+  read-path rewrite, no reader-floor bump);
+- every subsequent ingest that OMITS the column materializes the
+  DEFAULT (cast to the declared type); a supplied column always wins,
+  including explicit NULLs (presence-based, like partial merge);
+- a FULL merge source omitting the column is completed with the
+  default before the full-row contract applies; a PARTIAL merge
+  defaults only INSERT rows and keeps target values on matched rows;
+- defaults must be CONSTANT deterministic expressions (column refs,
+  random and current-time calls refused at declaration);
+- rename re-keys the default, drop removes it, RESTORE rewinds the
+  map with the schema, checkpoints replay it;
+- declaring a default raises the writer floor to 2 (a v1 writer
+  would land NULL where the contract says the default).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import cdc_plg_spark.lakehouse as lh
+from cdc_plg_spark.lakehouse import TxLogTable, UnsupportedProtocolError
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_defaults_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mk(spark, path, n=40):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    return TxLogTable.create(spark, path, df, "k", n_files=2)
+
+
+def rows2(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+def test_add_column_meta_only_then_defaults_on_append(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    files0 = set(t.snapshot().files)
+    t.add_column("src", "string", default="'backfill'")
+    snap = t.snapshot()
+    assert set(snap.files) == files0            # zero data movement
+    assert snap.protocol == [1, 2]
+    assert snap.defaults == {"src": "'backfill'"}
+    assert t.detail()["defaults"] == {"src": "'backfill'"}
+    got = t.read()
+    assert got.schema["src"].dataType.typeName() == "string"
+    # pre-existing rows: files predate the column -> NULL (never the
+    # default; that would rewrite history)
+    assert got.filter(F.col("src").isNotNull()).count() == 0
+    # append OMITTING the column -> default materialized
+    t.append(rows2(spark, 40, 50))
+    # append SUPPLYING it (incl. an explicit NULL) -> caller wins
+    t.append(spark.sql(
+        "SELECT 50L AS k, 100L AS v, 'manual' AS src "
+        "UNION ALL SELECT 51L, 102L, CAST(NULL AS STRING)"))
+    by_k = {r["k"]: r["src"] for r in t.read().collect()}
+    assert all(by_k[k] is None for k in range(40))
+    assert all(by_k[k] == "backfill" for k in range(40, 50))
+    assert by_k[50] == "manual" and by_k[51] is None
+    assert t.fsck(deep=True) == []
+
+
+def test_full_merge_completes_source_with_default(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.add_column("src", "string", default="'cdc'")
+    src = spark.createDataFrame(
+        [(5, -1, "U"), (99, 0, "I")], "k long, v long, op string")
+    t.merge(src, op_col="op")   # source lacks src entirely
+    by_k = {r["k"]: (r["v"], r["src"]) for r in t.read().collect()}
+    # the completed source row replaced the target row wholesale:
+    # both the update and the insert carry the default
+    assert by_k[5] == (-1, "cdc") and by_k[99] == (0, "cdc")
+    assert by_k[6] == (12, None)     # untouched rows stay NULL
+    assert t.fsck(deep=True) == []
+
+
+def test_partial_merge_defaults_only_inserts(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.add_column("src", "string", default="'cdc'")
+    t.append(spark.sql("SELECT 100L AS k, 0L AS v, 'seeded' AS src"))
+    sparse = spark.createDataFrame(
+        [(100, -5), (200, -7)], "k long, v long")
+    t.merge(sparse, partial=True)
+    by_k = {r["k"]: (r["v"], r["src"]) for r in t.read().collect()}
+    assert by_k[100] == (-5, "seeded")   # matched: target value kept
+    assert by_k[200] == (-7, "cdc")      # insert: DEFAULT, not NULL
+    assert by_k[3] == (6, None)          # untouched old row
+    assert t.fsck(deep=True) == []
+
+
+def test_default_declaration_validation(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    with pytest.raises(ValueError, match="constant"):
+        t.add_column("bad1", "long", default="v + 1")   # column ref
+    with pytest.raises(ValueError, match="non-deterministic"):
+        t.add_column("bad2", "double", default="rand()")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        t.add_column("bad3", "long", default="unix_timestamp()")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("v", "long")
+    with pytest.raises(ValueError, match="unparseable"):
+        t.add_column("bad4", "not_a_type")
+    # nothing committed by the refusals; a plain add (no default)
+    # stays writer-v1 (old writers error on the missing column anyway)
+    v = t.snapshot().version
+    t.add_column("note", "string")
+    assert t.snapshot().version == v + 1
+    assert t.snapshot().protocol == [1, 1]
+    t.append(spark.sql(
+        "SELECT 40L AS k, 80L AS v, 'x' AS note"))
+    assert t.read().filter("note = 'x'").count() == 1
+
+
+def test_rename_and_drop_carry_defaults(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.add_column("src", "string", default="'backfill'")
+    t.rename_column("src", "origin")
+    assert t.snapshot().defaults == {"origin": "'backfill'"}
+    t.append(rows2(spark, 40, 45))
+    assert t.read().filter("origin = 'backfill'").count() == 5
+    t.drop_column("origin")
+    assert t.snapshot().defaults == {}
+    # re-adding the SAME name starts clean: fresh physical column
+    # (no resurrection), no default
+    t.add_column("origin", "string")
+    t.append(rows2(spark, 45, 50)
+             .withColumn("origin", F.lit(None).cast("string")))
+    got = t.read()
+    assert got.filter(F.col("origin").isNotNull()).count() == 0
+    assert t.fsck(deep=True) == []
+
+
+def test_restore_rewinds_defaults_and_checkpoint_replays(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    v0 = t.snapshot().version
+    t.add_column("src", "string", default="'backfill'")
+    t.append(rows2(spark, 40, 45))
+    snap = t.snapshot()
+    t._write_checkpoint(snap)
+    # a fresh handle replays the checkpoint, defaults intact
+    t2 = TxLogTable(spark, t.path)
+    assert t2.snapshot().defaults == {"src": "'backfill'"}
+    t2.restore(version=v0)
+    after = t2.snapshot()
+    assert after.defaults == {}
+    assert "src" not in [f.name for f in __import__(
+        "pyspark.sql.types", fromlist=["StructType"]).StructType
+        .fromJson(__import__("json").loads(after.schema_json)).fields]
+    assert t2.read().count() == 40
+    # protocol never rewinds (restore carries no protocol key)
+    assert after.protocol == [1, 2]
+    assert t2.fsck(deep=True) == []
+
+
+def test_v1_writer_locked_out_after_default(spark, tdir, monkeypatch):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.add_column("src", "string", default="'backfill'")
+    monkeypatch.setattr(lh, "WRITER_VERSION", 1)   # simulate v1 client
+    with pytest.raises(UnsupportedProtocolError):
+        t.append(rows2(spark, 40, 45))
+    monkeypatch.undo()
+    # reads stayed open throughout
+    assert t.read().count() == 40
+
+
+def test_default_composes_with_generated_column(spark, tdir):
+    """A generated expression may derive from a DEFAULTED column: the
+    defaults fill runs first, so an ingest omitting BOTH lands the
+    default and the generator computed FROM it."""
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"), df.withColumn(
+            "region", F.lit("eu")), "k",
+        generated={"shard": "concat(region, '-', k % 4)"})
+    t.add_column("note", "string", default="'none'")
+    t.append(spark.range(20, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit("us").alias("region")))
+    got = {r["k"]: (r["shard"], r["note"])
+           for r in t.read().collect()}
+    assert got[21] == ("us-1", "none")
+    assert got[3] == ("eu-3", None)
+    assert t.fsck(deep=True) == []
