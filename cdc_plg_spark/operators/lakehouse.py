@@ -1441,3 +1441,43 @@ def lakehouse_convert_generated(spark: SparkSession,
         F.lit(by_ref).alias("adopted_by_reference"),
         F.lit(pruned_ok).alias("derived_prune_skips"),
         F.lit(wrong_refused).alias("wrong_decl_refused"))
+
+
+LAKEHOUSE_DEFAULTS_ORACLE = """
+    SELECT event_id, user_id, ROUND(value, 4) AS value,
+           CASE WHEN event_id <= (SELECT max(event_id) // 2 FROM events)
+                THEN NULL ELSE 'backfill' END AS src,
+           TRUE AS add_was_meta_only
+    FROM events
+"""
+
+
+@register("lakehouse_column_defaults", oracle=LAKEHOUSE_DEFAULTS_ORACLE,
+          tags=("lakehouse",))
+def lakehouse_column_defaults(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ADD COLUMN ... DEFAULT as a driver-checkable exhibit (r8,
+    lakehouse.py add_column): seed the table with the first half of
+    the events, ADD COLUMN src DEFAULT 'backfill' in one meta-only
+    commit (`add_was_meta_only` checks the live file set is identical
+    before and after — the whole point at any table size), then
+    append the second half OMITTING the column.  The full snapshot is
+    hash-checked: seeded rows must read NULL (their files predate the
+    column — defaults never rewrite history) while every appended row
+    carries the materialized default; a default leaking into old
+    rows, an append landing NULL, or a dropped row all flip the
+    hash."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    mid = ev.agg(F.max("event_id")).head()[0] // 2   # 1 scalar: split
+    d = tempfile.mkdtemp(prefix="lh_defaults_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"),
+                          ev.filter(F.col("event_id") <= mid),
+                          "event_id", n_files=8)
+    files_before = set(t.snapshot().files)
+    t.add_column("src", "string", default="'backfill'")
+    meta_only = set(t.snapshot().files) == files_before
+    t.append(ev.filter(F.col("event_id") > mid), n_files=8)
+    return t.read().select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        "src", F.lit(meta_only).alias("add_was_meta_only"))

@@ -17,6 +17,7 @@ import pytest
 from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_BLOOM_POINT_ORACLE,
     LAKEHOUSE_CONVERT_GENERATED_ORACLE,
+    LAKEHOUSE_DEFAULTS_ORACLE,
     LAKEHOUSE_GENERATED_ORACLE,
     LAKEHOUSE_PARTIAL_MERGE_ORACLE,
     LAKEHOUSE_RESTORE_ORACLE,
@@ -24,6 +25,7 @@ from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
     LAKEHOUSE_WIDENING_ORACLE,
     lakehouse_bloom_point_read,
+    lakehouse_column_defaults,
     lakehouse_convert_generated,
     lakehouse_generated_pruning,
     lakehouse_partial_merge,
@@ -51,6 +53,8 @@ CASES = [
      LAKEHOUSE_WIDENING_ORACLE),
     ("lakehouse_convert_generated", lakehouse_convert_generated,
      LAKEHOUSE_CONVERT_GENERATED_ORACLE),
+    ("lakehouse_column_defaults", lakehouse_column_defaults,
+     LAKEHOUSE_DEFAULTS_ORACLE),
 ]
 
 
