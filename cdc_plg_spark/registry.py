@@ -92,9 +92,21 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # Queries whose IMPLEMENTATION materially changed this round: their old
 # driver-green rows no longer prove the current code, so they re-enter
 # the never-checked bucket.  Clear entries once the driver re-records
-# them.  (r6's sink_kafka broker rewrite was re-recorded green in
-# CORRECTNESS_r06, so the set is empty again.)
-_FORCE_RECHECK: set[str] = set()
+# them.  r8 changes: decode_canal_json (parallelism guard), the four
+# de-hinted broadcast shapes, and every green TxLog query sitting on
+# the changed merge/append (column-defaults fill, merged-select
+# rewrite), convert, or txlog_stream (tz canonicalization) paths.
+_FORCE_RECHECK: set[str] = {
+    "decode_canal_json", "tfidf_keywords",
+    "analytics_large_volume_orders", "analytics_supplier_part_variety",
+    "analytics_restock_candidates",
+    "lakehouse_merge_upsert", "lakehouse_schema_evolution",
+    "lakehouse_change_data_feed", "lakehouse_change_stream",
+    "lakehouse_time_travel_diff", "stream_sink_lakehouse_merge",
+    "stream_source_lakehouse_changes", "lakehouse_replication",
+    "lakehouse_incremental_mv", "stream_incremental_mv",
+    "lakehouse_alter_column_lifecycle", "lakehouse_convert_cdc_roundtrip",
+}
 
 
 def _round_of(path: str) -> int:
