@@ -199,3 +199,23 @@ def test_default_composes_with_generated_column(spark, tdir):
     assert got[21] == ("us-1", "none")
     assert got[3] == ("eu-3", None)
     assert t.fsck(deep=True) == []
+
+
+def test_defaults_on_converted_table(spark, tdir):
+    """Defaults compose across the migration boundary (r9 candidate,
+    pulled forward): a CONVERTed-by-reference table gains a defaulted
+    column as a pure meta commit; imported rows read NULL, later
+    appends materialize the default — identical to the native path."""
+    path = os.path.join(tdir, "t")
+    spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(2, "k").write.parquet(path)
+    t = TxLogTable.convert(spark, path, "k")
+    files0 = set(t.snapshot().files)
+    t.add_column("src", "string", default="'adopted'")
+    assert set(t.snapshot().files) == files0
+    t.append(rows2(spark, 30, 35))
+    by_k = {r["k"]: r["src"] for r in t.read().collect()}
+    assert all(by_k[k] is None for k in range(30))
+    assert all(by_k[k] == "adopted" for k in range(30, 35))
+    assert t.fsck(deep=True) == []
