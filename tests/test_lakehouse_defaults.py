@@ -219,3 +219,75 @@ def test_defaults_on_converted_table(spark, tdir):
     assert all(by_k[k] is None for k in range(30))
     assert all(by_k[k] == "adopted" for k in range(30, 35))
     assert t.fsck(deep=True) == []
+
+
+def test_defaults_lifecycle_matches_model(spark, tdir):
+    """Model-checked lifecycle walk over every defaults interaction:
+    data ops interleaved with add/rename/restore/re-add, a Python
+    dict recomputing the expected (v, src) per key after every step —
+    the interaction-bug net (r7's real finds came from exactly this
+    kind of walk over generated/widening)."""
+    t = mk(spark, os.path.join(tdir, "t"), n=20)
+    model = {k: (2 * k, None) for k in range(20)}
+
+    def check(step):
+        got = {r["k"]: (r["v"], r["src"] if "src" in r else None)
+               for r in t.read().collect()}
+        want = {k: (v, s) for k, (v, s) in model.items()}
+        assert got == want, f"step {step}: {got} != {want}"
+        assert t.fsck(deep=True) == []
+
+    # 1: plain merge before the column exists
+    t.merge(spark.createDataFrame([(3, -3, "U"), (30, 60, "I")],
+                                  "k long, v long, op string"),
+            op_col="op")
+    model[3] = (-3, None); model[30] = (60, None)
+
+    # 2: add with default 'a' — history stays NULL
+    v_pre_add = t.snapshot().version
+    t.add_column("src", "string", default="'a'")
+    check("add")
+
+    # 3: append omitting -> 'a'; full merge omitting -> 'a' wholesale
+    t.append(rows2(spark, 40, 43))
+    for k in range(40, 43):
+        model[k] = (2 * k, "a")
+    t.merge(spark.createDataFrame([(3, 33, "U")],
+                                  "k long, v long, op string"),
+            op_col="op")
+    model[3] = (33, "a")          # completed source replaced the row
+    check("fill")
+
+    # 4: partial merge — matched keeps value, insert takes default
+    t.merge(spark.createDataFrame([(40, -40), (50, -50)],
+                                  "k long, v long"), partial=True)
+    model[40] = (-40, "a"); model[50] = (-50, "a")
+    check("partial")
+
+    # 5: rename re-keys the default; ingest keeps working
+    t.rename_column("src", "origin")
+    t.append(rows2(spark, 60, 62))
+    for k in range(60, 62):
+        model[k] = (2 * k, "a")
+    got = {r["k"]: r["origin"] for r in t.read().collect()}
+    assert got[60] == "a" and got[3] == "a" and got[0] is None
+    t.rename_column("origin", "src")      # back, so check() reads src
+    check("rename")
+
+    # 6: restore to pre-add — column and default gone, data rewound
+    # to the pre-add image: keys 0..19 (3 at its first merge value)
+    # plus the inserted 30; everything later vanishes
+    t.restore(version=v_pre_add)
+    model = {k: (2 * k, None) for k in range(20)}
+    model[3] = (-3, None)
+    model[30] = (60, None)
+    assert t.snapshot().defaults == {}
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {k: v for k, (v, _) in model.items()}
+
+    # 7: re-add the SAME name with a DIFFERENT default — fresh start
+    t.add_column("src", "string", default="'b'")
+    t.append(rows2(spark, 70, 72))
+    for k in range(70, 72):
+        model[k] = (2 * k, "b")
+    check("re-add")
