@@ -445,6 +445,31 @@ def _conform_types(df: DataFrame, table_fields, ctx: str) -> DataFrame:
         for f_ in df.schema.fields])
 
 
+# Column names the engine uses as internal temporaries (merge op
+# marker, join-side markers, latest-per-key rank, pandas merge
+# indicator) or emits in the change feed.  A user column under one of
+# these names is ACCEPTED by Spark at create but breaks — or worse,
+# silently corrupts — later operations: merge's withColumn("_t", 1)
+# would OVERWRITE a user `_t` column on every matched row (reproduced),
+# and `_op` makes every merge fail AMBIGUOUS_REFERENCE.  Refused at
+# every schema edge (create/convert/add_column/additive widening).
+_RESERVED_COLS = frozenset({"_op", "_t", "_s", "_rn", "_merge",
+                            "commit_version", "change_type"})
+
+
+def _assert_legal_columns(names, ctx: str) -> None:
+    bad = sorted(n for n in names
+                 if n in _RESERVED_COLS or n.startswith("_"))
+    if bad:
+        raise ValueError(
+            f"{ctx}: column name(s) {bad} are reserved — leading-"
+            f"underscore names are internal temporaries (merge "
+            f"markers, rank columns) and commit_version/change_type "
+            f"belong to the change feed; rename them before they "
+            f"reach the table schema (a user `_t` column would be "
+            f"silently overwritten by merge's join marker)")
+
+
 def _validate_generated_exprs(generated: dict[str, str], df: DataFrame,
                               key_col: str) -> None:
     """Shared create()/convert() hygiene for GENERATED ALWAYS AS
@@ -1765,6 +1790,7 @@ class TxLogTable:
             for pc, pt in pschema.items()]
         schema = StructType([*file_schema.fields, *part_fields])
         names = [f_.name for f_ in schema.fields]
+        _assert_legal_columns(names, "convert")
         if key_col not in names:
             raise ValueError(f"key column {key_col!r} not in imported "
                              f"schema {names}")
@@ -1877,6 +1903,7 @@ class TxLogTable:
         else:
             gen_implicit = {}
         names = [f_.name for f_ in df.schema.fields]
+        _assert_legal_columns(names, "create")
         for pc in partition_by or []:
             if pc not in names:
                 raise ValueError(f"partition column {pc!r} not in "
@@ -1975,6 +2002,8 @@ class TxLogTable:
                           if f_.name not in {tf.name for tf in table_fields}]
             if not new_fields:
                 return []
+            _assert_legal_columns([f_.name for f_ in new_fields],
+                                  "append schema widening")
             meta_d = {"schema": StructType(
                 table_fields + new_fields).json(), "key_col": s.key_col}
             if s.mapping is not None:
@@ -2201,6 +2230,7 @@ class TxLogTable:
         if not name.isidentifier():
             raise ValueError(f"column name {name!r} must be an "
                              f"identifier")
+        _assert_legal_columns([name], "add_column")
         try:
             dt = _parse_datatype_string(dtype)
         except Exception:
@@ -2541,6 +2571,8 @@ class TxLogTable:
             schema_json = snap.schema_json
             mapping = snap.mapping
             if new_fields:
+                _assert_legal_columns([f_.name for f_ in new_fields],
+                                      "merge schema widening")
                 widened = StructType(table_fields + new_fields)
                 schema_json = widened.json()
                 if mapping is not None:

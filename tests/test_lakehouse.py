@@ -2023,3 +2023,37 @@ def _worker_failure_report(out: bytes) -> str:
     first = next((ln for ln in txt.splitlines()
                   if re.search(r"(Exception|Error)\b", ln)), "")
     return f"first-error: {first}\n...\n{txt[-8000:]}"
+
+
+def test_reserved_column_names_refused_at_every_edge(spark, tdir):
+    """Internal temporaries must never enter a table schema: `_op` is
+    accepted by Spark at create but makes every later merge fail
+    AMBIGUOUS_REFERENCE, and a user `_t`/`_s` column would be SILENTLY
+    OVERWRITTEN by merge's join markers (reproduced before the guard).
+    All schema edges refuse: create, add_column, and additive widening
+    through append/merge."""
+    from pyspark.sql import functions as F
+
+    for bad in ("_op", "_t", "change_type"):
+        df = spark.range(5).select(
+            F.col("id").alias("k"), F.lit("x").alias(bad))
+        with pytest.raises(ValueError, match="reserved"):
+            TxLogTable.create(spark, os.path.join(tdir, f"c{bad}"),
+                              df, "k")
+    t = TxLogTable.create(
+        spark, os.path.join(tdir, "t"),
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 2).alias("v")), "k")
+    with pytest.raises(ValueError, match="reserved"):
+        t.add_column("_s", "string")
+    with pytest.raises(ValueError, match="reserved"):
+        t.append(spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit(1).alias("_rn")))
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge(spark.range(0, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit(1).alias("_merge")))
+    # nothing leaked into the schema; the table stays healthy
+    assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+    assert t.fsck(deep=True) == []
