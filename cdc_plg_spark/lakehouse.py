@@ -2068,6 +2068,14 @@ class TxLogTable:
                 raise ValueError(f"no column {old!r} (have {names})")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
+            # the rename TARGET is a schema edge too: renaming a user
+            # column TO `_t`/`_op`/`commit_version` re-enables exactly
+            # the silent-overwrite class the guard exists to block
+            _assert_legal_columns([new], "rename_column")
+            if not new.isidentifier():
+                raise ValueError(
+                    f"rename_column: new name {new!r} must be an "
+                    f"identifier")
             hit = _checks_referencing(snap.checks, old)
             if hit:
                 raise ValueError(
@@ -2208,9 +2216,15 @@ class TxLogTable:
         column and keep reading NULL for it (the public Delta
         column-default semantic: defaults are a WRITE-side feature —
         no old bytes change, no reader floor rises).  With `default`,
-        every subsequent ingest that OMITS the column materializes
+        every subsequent APPEND that OMITS the column materializes
         the default (cast to `dtype`) into the landed files; a
         supplied column always wins, including explicit NULLs.
+        Merge semantics follow public Delta: defaults apply to
+        INSERT actions only — a partial merge defaults its INSERT
+        rows and keeps target values on matched rows, while a FULL
+        merge (whole-row replace, UPDATE SET *) REQUIRES the column
+        in its source and errors loudly if it is missing (silently
+        completing it would overwrite matched rows' stored values).
 
         `default` must be a CONSTANT deterministic expression — it
         may not reference columns (each ROW would then need its own
@@ -2251,6 +2265,18 @@ class TxLogTable:
                     f"default for {name!r} uses non-deterministic "
                     f"function(s) {bad_fn or ['<current-time>']}: two "
                     f"ingests would disagree about the same default")
+            if _re.search(r"(?<!\w)select(?!\w)",
+                          default.replace("`", ""), _re.I):
+                # a scalar subquery "(SELECT max(x) FROM v)" resolves
+                # without a column reference and so would pass the
+                # CAST probe below, yet re-evaluates at every ingest —
+                # two ingests could disagree about the "same" default
+                # (ADVICE r8)
+                raise ValueError(
+                    f"default for {name!r} must be a constant "
+                    f"expression, not a subquery: its value would be "
+                    f"re-evaluated (non-deterministically) at every "
+                    f"ingest")
             try:
                 # constant-only SELECT: a column reference fails to
                 # resolve here, which is exactly the contract
@@ -2586,28 +2612,26 @@ class TxLogTable:
                                    mapping=mapping)
             cols = [f_.name for f_ in
                     StructType.fromJson(json.loads(schema_json)).fields]
-            # a FULL merge source omitting a DEFAULTed column gets the
-            # default materialized up front — the completed source row
-            # then replaces the target row under the normal full-row
-            # contract (per-row keep-target semantics is partial's
-            # job); partial merges instead default only INSERT rows,
-            # in the select below
-            if not partial:
-                s = _apply_defaults_ingest(
-                    s, snap.defaults,
-                    StructType.fromJson(json.loads(schema_json)).fields)
             # generated columns are exempt from the full-row contract:
             # the after-image recomputes them, so an omitted one can
-            # never be silently nulled
+            # never be silently nulled.  DEFAULTed columns are NOT
+            # exempt: a full merge is whole-row replace (UPDATE SET *),
+            # and the public Delta contract the docstrings cite applies
+            # defaults to INSERT actions only — silently completing a
+            # matched row with the default would overwrite its stored
+            # value (ADVICE r8).  partial=True defaults INSERT rows
+            # only, in the select below.
             missing = [c for c in cols if c not in s.columns
                        and c not in snap.generated]
             if missing and not partial:
                 raise ValueError(
                     f"merge source must carry every table column; "
                     f"missing {missing} (a row that wins replaces the "
-                    f"whole row — partial updates would null columns "
-                    f"silently; pass partial=True for UPDATE SET "
-                    f"semantics)")
+                    f"whole row — silently completing a DEFAULTed "
+                    f"column would overwrite matched rows' stored "
+                    f"values; pass partial=True for UPDATE SET "
+                    f"semantics, where DEFAULTs apply to INSERT rows "
+                    f"only)")
             if key not in s.columns:
                 raise ValueError(f"merge source lacks key {key!r}")
             if order_by is not None and partial:

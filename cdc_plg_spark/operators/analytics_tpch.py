@@ -787,12 +787,17 @@ def analytics_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
          .filter(F.col("n_name") == "NATION_7"))
     e4 = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                  * 10000 + F.lit(0.5)).cast("long")
-    # reduce supplier to the one nation's slice BEFORE it broadcasts:
-    # the filtered dimension is the broadcast candidate, not the whole
-    # supplier table (which a 100x scale-up would make OOM-sized)
+    # reduce supplier to the one nation's slice BEFORE it reaches the
+    # semi join — but do NOT hint the slice: 1/25 of a dimension still
+    # grows LINEARLY with SF (~40M keys, hundreds of MB, at the 100-TB
+    # point), so the forced broadcast OOMs exactly when the data gets
+    # big (VERDICT r8 task 3, same de-hinting class as tfidf/unigram).
+    # AQE broadcasts it while it is actually small and degrades to a
+    # shuffled left-semi on l_suppkey at scale.  The 25-row nation
+    # build stays hinted (provably bounded).
     sn = s.join(F.broadcast(n),
                 F.col("s_nationkey") == F.col("n_nationkey"))
-    nval = (li.join(F.broadcast(sn.select("s_suppkey")),
+    nval = (li.join(sn.select("s_suppkey"),
                     li.l_suppkey == F.col("s_suppkey"), "left_semi")
               .groupBy(F.col("l_partkey").alias("p_partkey"))
               .agg(F.sum(e4).alias("value_e4")))

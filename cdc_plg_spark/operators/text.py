@@ -402,17 +402,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     in training-data pipelines (high surprisal ⇒ rare/garbled tokens,
     low ⇒ boilerplate).
 
-    Two aggregations over one explode: token frequencies (vocabulary —
-    tiny vs corpus, broadcast back onto the token stream) and the
-    per-doc mean; the corpus total rides along as a 1-row broadcast.
-    At 100 TB the vocabulary table is the only state that grows
-    sublinearly — precompute it once per corpus snapshot and the
-    per-doc pass is a single scan."""
+    Two aggregations over one explode: token frequencies joined back
+    onto the token stream, and the per-doc mean; the corpus total
+    rides along as a 1-row broadcast.  NO broadcast hint on the
+    frequency relation: it is VOCABULARY-sized, and a web-scale
+    corpus's vocabulary (typos, unicode junk, multilingual tokens)
+    reaches billions of distinct entries — tens of GB, past any
+    broadcast budget (same class as tfidf's doc-frequency relation,
+    de-hinted r8; this one de-hinted r9 per VERDICT r8).  AQE picks
+    broadcast while the vocab is actually small and degrades to a
+    shuffle join — co-partitioned with the freq groupBy on `token`,
+    so the join reuses that exchange — instead of OOMing.  The 1-row
+    total stays hinted (provably bounded)."""
     d = load_table(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(_toks()).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").cast("double").alias("n"))
-    return (tok.join(F.broadcast(freq), "token")
+    return (tok.join(freq, "token")
             .crossJoin(F.broadcast(tot))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),

@@ -92,20 +92,16 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # Queries whose IMPLEMENTATION materially changed this round: their old
 # driver-green rows no longer prove the current code, so they re-enter
 # the never-checked bucket.  Clear entries once the driver re-records
-# them.  r8 changes: decode_canal_json (parallelism guard), the four
-# de-hinted broadcast shapes, and every green TxLog query sitting on
-# the changed merge/append (column-defaults fill, merged-select
-# rewrite), convert, or txlog_stream (tz canonicalization) paths.
+# them.  r9: the 17 r8-forced ids were re-recorded green in
+# CORRECTNESS_r08 and are CLEARED (VERDICT r8 task 1) so the age-sorted
+# rotation drains the r3/r4-stale greens.  r9 plan changes: the two
+# de-hinted grows-with-scale broadcasts (VERDICT r8 tasks 2-3).  The
+# round's lakehouse edits (rename-target guard, full-merge default
+# refusal, subquery-default refusal) only ADD refusals on previously
+# accepted-but-unsound inputs — no green query's plan changed.
 _FORCE_RECHECK: set[str] = {
-    "decode_canal_json", "tfidf_keywords",
-    "analytics_large_volume_orders", "analytics_supplier_part_variety",
-    "analytics_restock_candidates",
-    "lakehouse_merge_upsert", "lakehouse_schema_evolution",
-    "lakehouse_change_data_feed", "lakehouse_change_stream",
-    "lakehouse_time_travel_diff", "stream_sink_lakehouse_merge",
-    "stream_source_lakehouse_changes", "lakehouse_replication",
-    "lakehouse_incremental_mv", "stream_incremental_mv",
-    "lakehouse_alter_column_lifecycle", "lakehouse_convert_cdc_roundtrip",
+    "text_unigram_logprob",
+    "analytics_important_stock",
 }
 
 

@@ -2054,6 +2054,13 @@ def test_reserved_column_names_refused_at_every_edge(spark, tdir):
         t.merge(spark.range(0, 2).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
             F.lit(1).alias("_merge")))
+    # rename TARGET is a schema edge too (ADVICE r8): renaming a user
+    # column TO a reserved name re-enables the silent-overwrite class
+    for bad in ("_t", "_op", "commit_version"):
+        with pytest.raises(ValueError, match="reserved"):
+            t.rename_column("v", bad)
+    with pytest.raises(ValueError, match="identifier"):
+        t.rename_column("v", "not an identifier")
     # nothing leaked into the schema; the table stays healthy
     assert [f.name for f in t.read().schema.fields] == ["k", "v"]
     assert t.fsck(deep=True) == []

@@ -8,8 +8,9 @@ Contract under test:
 - every subsequent ingest that OMITS the column materializes the
   DEFAULT (cast to the declared type); a supplied column always wins,
   including explicit NULLs (presence-based, like partial merge);
-- a FULL merge source omitting the column is completed with the
-  default before the full-row contract applies; a PARTIAL merge
+- a FULL merge source omitting the column errors loudly (Delta
+  applies defaults to INSERT actions only — silent completion would
+  overwrite matched rows' stored values, ADVICE r8); a PARTIAL merge
   defaults only INSERT rows and keeps target values on matched rows;
 - defaults must be CONSTANT deterministic expressions (column refs,
   random and current-time calls refused at declaration);
@@ -77,15 +78,24 @@ def test_add_column_meta_only_then_defaults_on_append(spark, tdir):
     assert t.fsck(deep=True) == []
 
 
-def test_full_merge_completes_source_with_default(spark, tdir):
+def test_full_merge_refuses_missing_defaulted_column(spark, tdir):
+    # a FULL merge is whole-row replace (UPDATE SET *): the public
+    # Delta contract applies defaults to INSERT actions only, so a
+    # source omitting a DEFAULTed column must error loudly rather
+    # than silently overwrite matched rows with the default
+    # (ADVICE r8 — r8 briefly silently completed; reverted).
     t = mk(spark, os.path.join(tdir, "t"))
     t.add_column("src", "string", default="'cdc'")
     src = spark.createDataFrame(
         [(5, -1, "U"), (99, 0, "I")], "k long, v long, op string")
-    t.merge(src, op_col="op")   # source lacks src entirely
+    with pytest.raises(ValueError, match="every table column"):
+        t.merge(src, op_col="op")   # source lacks src entirely
+    # supplying the column works as before
+    src2 = spark.createDataFrame(
+        [(5, -1, "cdc", "U"), (99, 0, "cdc", "I")],
+        "k long, v long, src string, op string")
+    t.merge(src2, op_col="op")
     by_k = {r["k"]: (r["v"], r["src"]) for r in t.read().collect()}
-    # the completed source row replaced the target row wholesale:
-    # both the update and the insert carry the default
     assert by_k[5] == (-1, "cdc") and by_k[99] == (0, "cdc")
     assert by_k[6] == (12, None)     # untouched rows stay NULL
     assert t.fsck(deep=True) == []
@@ -113,6 +123,12 @@ def test_default_declaration_validation(spark, tdir):
         t.add_column("bad2", "double", default="rand()")
     with pytest.raises(ValueError, match="non-deterministic"):
         t.add_column("bad3", "long", default="unix_timestamp()")
+    # scalar subqueries resolve without a column ref (so they pass
+    # the CAST probe) but re-evaluate at every ingest — two ingests
+    # could disagree about the "same" default (ADVICE r8)
+    with pytest.raises(ValueError, match="subquery"):
+        t.add_column("bad5", "long",
+                     default="(SELECT max(id) FROM range(10))")
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("v", "long")
     with pytest.raises(ValueError, match="unparseable"):
@@ -248,14 +264,21 @@ def test_defaults_lifecycle_matches_model(spark, tdir):
     t.add_column("src", "string", default="'a'")
     check("add")
 
-    # 3: append omitting -> 'a'; full merge omitting -> 'a' wholesale
+    # 3: append omitting -> 'a'; full merge omitting -> loud error
+    # (defaults are INSERT-only; silently completing would overwrite
+    # matched rows, ADVICE r8); supplying the column replaces the row
     t.append(rows2(spark, 40, 43))
     for k in range(40, 43):
         model[k] = (2 * k, "a")
-    t.merge(spark.createDataFrame([(3, 33, "U")],
-                                  "k long, v long, op string"),
+    with pytest.raises(ValueError, match="every table column"):
+        t.merge(spark.createDataFrame([(3, 33, "U")],
+                                      "k long, v long, op string"),
+                op_col="op")
+    t.merge(spark.createDataFrame([(3, 33, "a", "U")],
+                                  "k long, v long, src string, "
+                                  "op string"),
             op_col="op")
-    model[3] = (33, "a")          # completed source replaced the row
+    model[3] = (33, "a")
     check("fill")
 
     # 4: partial merge — matched keeps value, insert takes default
