@@ -48,23 +48,27 @@ public Delta protocol does it:
   `partitionBy`), records each file's partition values in its
   add-action, and `read(where_between=...)` on a partition column
   prunes at the manifest by EXACT value — zero data or footer reads
-  for skipped partitions.  The partition columns live only in the
-  directory names (hive), never in the parquet bytes; readers
-  re-attach them as typed literals per partition group, so every
-  caller still sees the full logical schema.  Values are also
-  self-describing in the path, which is what lets the change feed
-  read files already REMOVED from the manifest.  Renaming a partition
-  column is a meta commit like any other (directories keep the stable
-  physical name), dropping one is refused.  NULL/empty partition
-  values are rejected at write time (the hive
+  for skipped partitions.  The partition columns never live in the
+  parquet bytes; each file's TYPED values live in its add-action
+  `partition` tuple, and readers re-attach them as typed literals per
+  partition group, so every caller still sees the full logical
+  schema.  The MANIFEST tuple — not the path — is the authority (r9):
+  native writes still lay files out hive-style (self-describing,
+  external-tool friendly, cross-checked by fsck), but `convert(...,
+  partition_values=fn)` adopts NON-hive layouts (value-only dirs,
+  date-embedded names) whose paths carry no `k=v` segments at all.
+  The change feed reads files already REMOVED from the manifest by
+  carrying their tuples from the older snapshot.  Renaming a
+  partition column is a meta commit like any other (tuples keep the
+  stable physical name), dropping one is refused.  NULL/empty
+  partition values are rejected at write time (the hive
   `__HIVE_DEFAULT_PARTITION__` ambiguity is not worth inheriting).
   `repartition_layout([...])` EVOLVES the spec — one full-rewrite
   commit into a new layout (or back to unpartitioned); history below
-  keeps the old layout and stays readable because every reader
-  derives a file's partition columns from its own path, never from
-  the head layout, so even the change feed across the evolution
-  commit (old layout out, new layout in) diffs exactly and nets
-  empty.
+  keeps the old layout and stays readable because every reader uses
+  a file's OWN tuple, never the head layout, so even the change feed
+  across the evolution commit (old layout out, new layout in) diffs
+  exactly and nets empty.
 - **Per-file key bloom filters (opt-in)**: `create(key_bloom_bits=N)`
   adds an exact-key skipping tier under the min/max ranges.  Each
   write runs one column-pruned job over the key column it just wrote;
@@ -1448,7 +1452,8 @@ class TxLogTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         return self.spark.createDataFrame([], schema)
 
-    def _read_files(self, snap: Snapshot, rel_paths) -> DataFrame:
+    def _read_files(self, snap: Snapshot, rel_paths,
+                    parts: dict[str, dict] | None = None) -> DataFrame:
         """Scan data files under the snapshot's pinned schema.  The
         explicit schema (a) skips footer merging and (b) projects
         columns added by a later additive DDL as NULL for files
@@ -1459,20 +1464,26 @@ class TxLogTable:
         costs one projection node, zero data movement.
 
         Partitioned tables: the parquet bytes lack the partition
-        columns (hive layout), whose values are self-describing in
-        each file's `k=v` path segments.  Each file's OWN PATH — not
-        the snapshot's head layout — decides which columns come from
-        the path and which from the bytes, because one read may span
-        layouts: the change feed reads files REMOVED by a
-        `repartition_layout` evolution commit, written under the
-        previous partitioning.  Files are grouped by (layout,
-        partition tuple); each group's scan re-attaches its path
-        values as typed literals, so callers always see the full
-        logical schema.  One scan node per DISTINCT partition tuple
-        in the selected set; after manifest pruning that is the
-        partitions the query actually touches, and a full-table scan
-        of a very-high-cardinality partitioning degrades to a wide
-        union — the documented trade of hive layout (pick partition
+        columns, whose TYPED values live in each file's add-action
+        `partition` tuple — the MANIFEST, not the path, is the
+        authority (r9: tuples decoupled from paths, which is what
+        lets CONVERT adopt non-hive layouts whose paths carry no
+        `k=v` segments).  Each file's OWN tuple — not the snapshot's
+        head layout — decides which columns come from the manifest
+        and which from the bytes, because one read may span layouts:
+        the change feed reads files REMOVED by a `repartition_layout`
+        evolution commit, written under the previous partitioning
+        (those files' tuples arrive via `parts`, keyed by rel path,
+        since they are absent from `snap.files`).  A pre-r9 add-action
+        lacking the tuple falls back to parsing its hive path
+        segments, so old logs read unchanged.  Files are grouped by
+        partition tuple; each group's scan re-attaches its values as
+        typed literals, so callers always see the full logical
+        schema.  One scan node per DISTINCT partition tuple in the
+        selected set; after manifest pruning that is the partitions
+        the query actually touches, and a full-table scan of a
+        very-high-cardinality partitioning degrades to a wide union —
+        the documented trade of partitioned layout (pick partition
         columns of bounded cardinality, as on any hive/Delta/Iceberg
         table)."""
         rel_sorted = sorted(rel_paths)
@@ -1484,10 +1495,17 @@ class TxLogTable:
 
         groups: dict[tuple, list[str]] = {}
         for p in rel_sorted:
-            raw = _parse_partition_path(p)
-            hit = tuple(sorted((ln, raw[pn])
+            ent = None
+            if parts is not None and p in parts:
+                ent = parts[p]
+            elif p in snap.files:
+                ent = snap.files[p].get("partition")
+            if ent is None:
+                # pre-r9 log (no tuple recorded) — hive self-description
+                ent = _parse_partition_path(p)
+            hit = tuple(sorted((ln, ent[pn])
                                for ln, pn in phys_of.items()
-                               if pn in raw))
+                               if pn in ent))
             groups.setdefault(hit, []).append(p)
 
         out = None
@@ -1716,6 +1734,7 @@ class TxLogTable:
     def convert(cls, spark: SparkSession, path: str, key_col: str,
                 partition_schema: dict[str, str] | None = None,
                 generated: dict[str, str] | None = None,
+                partition_values=None,
                 ) -> "TxLogTable":
         """CONVERT TO TXLOG: adopt an existing parquet directory as a
         table BY REFERENCE — no data is read or rewritten, the
@@ -1731,6 +1750,24 @@ class TxLogTable:
         columns or their types, so the caller must declare them (the
         same requirement Delta's converter has).  Values come from the
         self-describing `k=v` path segments.
+
+        NON-hive layouts (r9): because the manifest's per-file
+        partition tuple — not the path — is what readers and the
+        pruner consult, a directory whose layout encodes partition
+        values any other way (value-only dirs `2024-01-05/part-0.
+        parquet`, date-embedded file names, a flat dump with a
+        sidecar index) adopts by passing `partition_values`, a
+        callable `rel_path -> {col: value}` that produces each file's
+        tuple for the declared `partition_schema` (Iceberg's
+        `add_files` makes the same move; Delta's converter cannot).
+        Every produced dict must cover the declared columns exactly,
+        with non-None values of the declared type (int for integral,
+        str for string) — validated per file BEFORE the commit, since
+        a wrong tuple would make the partition prune silently drop
+        matching files.  The paths are never consulted again: reads
+        attach the manifest values as typed literals, and fsck skips
+        the hive path/manifest cross-check for files whose paths
+        carry no `k=v` segments.
 
         The commit marks the table `owns_root`: imported files live
         outside `data/`, so vacuum on a converted table sweeps the
@@ -1761,8 +1798,12 @@ class TxLogTable:
         for pc, pt in pschema.items():
             if pt not in _PART_TYPES:
                 raise ValueError(
-                    f"partition column {pc!r} declared {pt!r}; hive "
-                    f"path encoding round-trips only {_PART_TYPES}")
+                    f"partition column {pc!r} declared {pt!r}; "
+                    f"partition tuples round-trip only {_PART_TYPES}")
+        if partition_values is not None and not pschema:
+            raise ValueError(
+                "partition_values requires partition_schema: the "
+                "callable's output is typed by the declaration")
         rels = sorted(
             os.path.relpath(os.path.join(dp, f), t.path)
             for dp, _, fs in os.walk(t.path) for f in fs
@@ -1798,6 +1839,47 @@ class TxLogTable:
         if kt not in ("long", "integer", "short", "byte", "string"):
             raise ValueError(f"key column {key_col!r} has type {kt}; "
                              f"keys must be integral or string")
+        # per-file partition tuples, derived ONCE and fully validated
+        # BEFORE anything publishes: the manifest copy is what readers
+        # and the pruner consult from here on (paths never re-parsed),
+        # so a wrong tuple entering the log would silently drop
+        # matching files from every later pruned read
+        file_parts: dict[str, dict] = {}
+        for rel in rels:
+            if partition_values is not None:
+                try:
+                    raw = dict(partition_values(rel))
+                except Exception as e:
+                    raise ValueError(
+                        f"partition_values failed on {rel!r}: "
+                        f"{e}") from e
+            else:
+                raw = _parse_partition_path(rel)
+                if _HIVE_NULL in raw.values():
+                    raise ValueError(
+                        f"file {rel!r} has a NULL partition value — "
+                        f"rejected at convert, as at write time")
+            if set(raw) != set(pschema):
+                raise ValueError(
+                    f"file {rel!r} has partition keys {sorted(raw)}, "
+                    f"declared {sorted(pschema)} — every imported "
+                    f"file must match partition_schema exactly")
+            tup = {}
+            for pc, pt in pschema.items():
+                v = raw[pc]
+                if partition_values is not None:
+                    ok = (isinstance(v, str) if pt == "string"
+                          else isinstance(v, int)
+                          and not isinstance(v, bool))
+                    if not ok:
+                        raise ValueError(
+                            f"partition_values({rel!r})[{pc!r}] = "
+                            f"{v!r} is not a {pt} — tuples must be "
+                            f"typed exactly as declared")
+                    tup[pc] = v
+                else:
+                    tup[pc] = _typed_part(v, pt)
+            file_parts[rel] = tup
         generated = dict(generated or {})
         if generated:
             _validate_generated_exprs(
@@ -1815,8 +1897,29 @@ class TxLogTable:
             # (Catalyst prunes to gc + its sources); a wrong
             # declaration must refuse here, because once in the
             # manifest the derived prune would silently drop files
-            full_df = (spark.read.option("basePath", path).parquet(path)
-                       if pschema else spark.read.parquet(path))
+            if partition_values is None:
+                full_df = (spark.read.option("basePath", path)
+                           .parquet(path)
+                           if pschema else spark.read.parquet(path))
+            else:
+                # non-hive layout: hive discovery can't materialize
+                # the partition columns, so attach the manifest tuples
+                # as typed literals per tuple group — the exact scan
+                # shape readers use, which is also the honest thing to
+                # validate against
+                vgroups: dict[tuple, list[str]] = {}
+                for rel, tup in file_parts.items():
+                    vgroups.setdefault(tuple(sorted(tup.items())),
+                                       []).append(rel)
+                full_df = None
+                for hit, grels in sorted(vgroups.items()):
+                    g = spark.read.schema(file_schema).parquet(
+                        *[t._abs(r) for r in grels])
+                    for pc, v in hit:
+                        g = g.withColumn(
+                            pc, F.lit(v).cast(schema[pc].dataType))
+                    full_df = (g if full_df is None
+                               else full_df.unionByName(g))
             for gc, ge in generated.items():
                 decl = schema[gc].dataType.simpleString()
                 bad = (full_df.filter(
@@ -1836,13 +1939,6 @@ class TxLogTable:
                      if f_.dataType.typeName() in stat_types]
         adds = []
         for rel in rels:
-            raw = _parse_partition_path(rel)
-            if set(raw) != set(pschema) or _HIVE_NULL in raw.values():
-                raise ValueError(
-                    f"file {rel!r} has partition path keys "
-                    f"{sorted(raw)}, declared {sorted(pschema)} (NULL "
-                    f"partition values are rejected) — every imported "
-                    f"file must match partition_schema exactly")
             lo, hi, n_rows, nulls = _footer_stats(t._abs(rel),
                                                   stat_cols)
             kn = nulls.get(key_col)
@@ -1860,9 +1956,7 @@ class TxLogTable:
                              else [lo[c], hi[c]])
                          for c in stat_cols
                          if c != key_col and c in lo},
-                **({"partition": {pc: _typed_part(raw[pc], pt)
-                                  for pc, pt in pschema.items()}}
-                   if pschema else {}),
+                **({"partition": file_parts[rel]} if pschema else {}),
             }})
         meta = {"schema": schema.json(), "key_col": key_col,
                 "owns_root": True}
@@ -3065,6 +3159,12 @@ class TxLogTable:
         key = b.key_col
         removed = sorted(set(a.files) - set(b.files))
         added = sorted(set(b.files) - set(a.files))
+        # per-file partition tuples spanning BOTH snapshots: removed
+        # files are absent from `b.files`, so their manifest tuples
+        # must ride along explicitly (tuples are path-keyed and
+        # immutable, so a/b agree on surviving files)
+        pparts = {p: s.get("partition")
+                  for p, s in {**a.files, **b.files}.items()}
         # deletion-vector awareness: (1) rows already dv-deleted at `a`
         # were never live in the range — anti-join them off the old
         # side; (2) a DV that GREW on a surviving file is a delete this
@@ -3072,7 +3172,7 @@ class TxLogTable:
         # dv-mode delete) — semi-join those keys' before-images onto
         # the old side; (3) rows dv-deleted at `b` in an added file are
         # not live at `b` — anti-join them off the new side.
-        old = self._read_files(b, removed)
+        old = self._read_files(b, removed, parts=pparts)
         dv_a = sorted({k for p in removed
                        for k in a.files[p].get("dv", ())})
         if dv_a:
@@ -3084,11 +3184,11 @@ class TxLogTable:
         grown = {p: ks for p, ks in grown.items() if ks}
         if grown:
             pool = sorted({k for ks in grown.values() for k in ks})
-            dvd = (self._read_files(b, sorted(grown))
+            dvd = (self._read_files(b, sorted(grown), parts=pparts)
                    .join(F.broadcast(self._key_df(b, pool)),
                          on=key, how="left_semi"))
             old = old.unionByName(dvd)
-        new = self._read_files(b, added)
+        new = self._read_files(b, added, parts=pparts)
         dv_b = sorted({k for p in added
                        for k in b.files[p].get("dv", ())})
         if dv_b:
@@ -3104,7 +3204,7 @@ class TxLogTable:
         shrunk = {p: ks for p, ks in shrunk.items() if ks}
         if shrunk:
             pool = sorted({k for ks in shrunk.values() for k in ks})
-            und = (self._read_files(b, sorted(shrunk))
+            und = (self._read_files(b, sorted(shrunk), parts=pparts)
                    .join(F.broadcast(self._key_df(b, pool)),
                          on=key, how="left_semi"))
             new = new.unionByName(und)
@@ -3552,8 +3652,19 @@ class TxLogTable:
                     out.append(f"{rel}: manifest partition values "
                                f"{man} don't cover {pb}")
                 else:
+                    # hive paths are self-describing, so when a path
+                    # DOES carry k=v segments they must agree with the
+                    # manifest (a lying dir name means some tool moved
+                    # files); a non-hive import's path carries none —
+                    # the manifest is the sole authority there (r9)
                     raw = _parse_partition_path(rel)
-                    for c in pb:
+                    hive_keys = set(raw) & set(pb)
+                    if hive_keys and hive_keys != set(pb):
+                        out.append(
+                            f"{rel}: path carries partition segments "
+                            f"{sorted(hive_keys)} but not all of "
+                            f"{pb} — mixed hive/non-hive layout")
+                    for c in hive_keys:
                         want = str(man[c])
                         if raw.get(c) != want:
                             out.append(
