@@ -1481,3 +1481,102 @@ def lakehouse_column_defaults(spark: SparkSession,
     return t.read().select(
         "event_id", "user_id", F.round("value", 4).alias("value"),
         "src", F.lit(meta_only).alias("add_was_meta_only"))
+
+
+LAKEHOUSE_CONVERT_NONHIVE_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS rows_matching,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           TRUE AS adopted_by_reference,
+           TRUE AS manifest_is_authority,
+           TRUE AS manifest_prune_skips,
+           TRUE AS wrong_tuple_refused
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08' AND TIMESTAMP '2024-01-15'
+"""
+
+
+@register("lakehouse_convert_nonhive",
+          oracle=LAKEHOUSE_CONVERT_NONHIVE_ORACLE, tags=("lakehouse",))
+def lakehouse_convert_nonhive(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """NON-hive layout adoption (r9, lakehouse.py convert
+    partition_values): manifest partition tuples are decoupled from
+    paths, so a directory whose layout encodes partition values
+    WITHOUT `k=v` segments — here value-only daily dirs
+    `2024-01-05/part-*.parquet`, the layout Iceberg's add_files can
+    adopt and Delta's converter cannot — converts by reference with a
+    `rel_path -> tuple` callable.  Measured claims:
+
+    - `adopted_by_reference`: the manifest's live files are exactly
+      the on-disk parquet files, zero rewritten;
+    - `manifest_is_authority`: no imported path carries a k=v
+      segment, so every partition value a reader sees can only have
+      come from the manifest tuple;
+    - `wrong_tuple_refused`: a callable producing a day-shifted tuple
+      contradicts the GENERATED declaration over the files' own `ts`
+      bytes and must raise BEFORE any commit (a wrong tuple in the
+      manifest would make the partition prune silently drop matching
+      files) — attempted first, leaving the directory adoptable;
+    - `manifest_prune_skips`: a read carrying ONLY a `ts` predicate
+      prunes the value-only dirs through the generator at the
+      manifest tuples, with real skipped files.
+
+    Row count + id checksum come from the pruned read, so a prune
+    that dropped a matching imported file flips the hash."""
+    from cdc_plg_spark.lakehouse import CheckViolation, _fs_path
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_cvtnonhive_")
+    raw = os.path.join(d, "t")
+    # build the value-only layout in ONE job: hive write, then strip
+    # the `event_date=` prefix off each dir (driver-side metadata
+    # renames — the fixture build, not the operator under test)
+    (ev.withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+       .repartitionByRange(4, "event_id")
+       .write.partitionBy("event_date").parquet(raw))
+    for seg in os.listdir(raw):
+        if seg.startswith("event_date="):
+            os.rename(os.path.join(raw, seg),
+                      os.path.join(raw, seg.split("=", 1)[1]))
+    on_disk = {os.path.relpath(os.path.join(dp, f), raw)
+               for dp, _, fs in os.walk(raw)
+               for f in fs if f.endswith(".parquet")}
+
+    def by_dir(rel):
+        return {"event_date": rel.replace("\\", "/").split("/")[0]}
+
+    def shifted(rel):
+        dt = by_dir(rel)["event_date"]
+        return {"event_date": dt[:-2] + f"{int(dt[-2:]) % 28 + 1:02d}"}
+
+    gen = {"event_date": "date_format(ts, 'yyyy-MM-dd')"}
+    wrong_refused = False
+    try:
+        TxLogTable.convert(spark, raw, "event_id",
+                           partition_schema={"event_date": "string"},
+                           partition_values=shifted, generated=gen)
+    except CheckViolation:
+        wrong_refused = True
+    t = TxLogTable.convert(spark, raw, "event_id",
+                           partition_schema={"event_date": "string"},
+                           partition_values=by_dir, generated=gen)
+    snap = t.snapshot()
+    by_ref = set(snap.files) == on_disk
+    pathless = all("=" not in p for p in snap.files)
+    got = t.read(where_between=("ts", "2024-01-08", "2024-01-15"))
+    scanned = {os.path.relpath(_fs_path(f), t.path)
+               for f in got.inputFiles()}
+    in_range = {p for p, s in snap.files.items()
+                if "2024-01-08" <= s["partition"]["event_date"]
+                <= "2024-01-15"}
+    pruned_ok = (scanned <= in_range
+                 and len(in_range) < len(snap.files))
+    return got.agg(
+        F.count(F.lit(1)).alias("rows_matching"),
+        F.sum("event_id").alias("id_checksum")).select(
+        "rows_matching", "id_checksum",
+        F.lit(by_ref).alias("adopted_by_reference"),
+        F.lit(pathless).alias("manifest_is_authority"),
+        F.lit(pruned_ok).alias("manifest_prune_skips"),
+        F.lit(wrong_refused).alias("wrong_tuple_refused"))
