@@ -3131,6 +3131,118 @@ class TxLogTable:
                 "files_removed": len(snap.files),
                 "files_restored": len(adds)}
 
+    def clone(self, dest: str, version: int | None = None,
+              deep: bool = False) -> "TxLogTable":
+        """CREATE TABLE CLONE (the public Delta clone contract).
+
+        SHALLOW (default): a METADATA-ONLY copy — the new table's v0
+        commit re-references the source snapshot's files by ABSOLUTE
+        path; zero data bytes move, so cloning a 100-TB table costs
+        one manifest write.  The clone is immediately independent for
+        WRITES: every mutation is copy-on-write into the clone's own
+        `data/`, deletes are manifest-side (DVs/removes), and the
+        clone's vacuum only sweeps its own root — it can never delete
+        source bytes.  The coupling is read-side only, and it is the
+        same one Delta documents: VACUUM on the SOURCE can unlink
+        files a shallow clone still references (the clone's fsck
+        reports them as missing).  Size vacuum retention beyond the
+        life of dev clones, or take a deep clone.
+
+        DEEP (`deep=True`): additionally byte-copies every referenced
+        data file (and bloom sidecar) under the destination at its
+        source-relative path — a driver-side `copyfile` loop here; on
+        a real cluster the same loop distributes per file.  Footer
+        stats, DVs, and layout carry over unchanged, so no data is
+        ever read through the engine.  A deep clone is fully
+        independent of the source, including its vacuum.
+
+        Both flavors pin `version` (default: head) — clone-then-
+        mutate-source leaves the clone at the pinned snapshot, which
+        is what makes shallow clones the cheap dev/test fixture.  The
+        whole meta rides along: schema, column mapping, retired
+        physical names, partition layout + per-file tuples, CHECK
+        constraints, GENERATED columns, DEFAULTs, protocol floor.
+
+        Refused: a destination that already holds anything, or a
+        destination nested inside the source root (the source's
+        vacuum owns that directory and would sweep the clone's log) —
+        and vice versa."""
+        snap = self.snapshot(version)   # raises if log-truncated
+        if snap.version < 0 or snap.schema_json is None:
+            raise ValueError("clone of a non-existent table")
+        src_root = os.path.abspath(self.path)
+        dst_root = os.path.abspath(dest)
+        if os.path.commonpath([src_root, dst_root]) in (src_root,
+                                                        dst_root):
+            raise ValueError(
+                f"clone destination {dest!r} is nested with the "
+                f"source root {self.path!r}: whichever table owns the "
+                f"outer directory would vacuum the inner one's files")
+        if os.path.exists(dst_root) and os.listdir(dst_root):
+            raise ValueError(f"clone destination not empty: {dest}")
+        missing = [p for p, s in snap.files.items()
+                   if not os.path.exists(self._abs(p))
+                   or (s.get("bloom")
+                       and not os.path.exists(self._abs(p) + ".bloom"))]
+        if missing:
+            raise ValueError(
+                f"cannot clone version {snap.version}: {len(missing)} "
+                f"file(s) (or bloom sidecars) vacuumed, "
+                f"e.g. {missing[0]!r}")
+        t = TxLogTable(self.spark, dst_root)
+        adds, dvs = [], []
+        for i, (p, s) in enumerate(sorted(snap.files.items())):
+            src_abs = self._abs(p)
+            if deep:
+                # relative rel paths replicate verbatim (keeps hive
+                # self-description intact for fsck); absolute ones
+                # (source was itself a shallow clone) flatten under
+                # data/clone0 with an index against basename collisions
+                dst_abs = os.path.join(dst_root, p) \
+                    if not os.path.isabs(p) else os.path.join(
+                        dst_root, "data", "clone0",
+                        f"{i:05d}_{os.path.basename(p)}")
+                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
+                shutil.copyfile(src_abs, dst_abs)
+                if s.get("bloom"):
+                    shutil.copyfile(src_abs + ".bloom",
+                                    dst_abs + ".bloom")
+                path = os.path.relpath(dst_abs, dst_root)
+            else:
+                path = src_abs
+            a = {"path": path,
+                 **{k: s[k] for k in ("rows", "bytes",
+                                      "min_key", "max_key")},
+                 "cols": s.get("cols", {})}
+            if "partition" in s:
+                a["partition"] = s["partition"]
+            if "bloom" in s:
+                a["bloom"] = s["bloom"]
+            adds.append({"add": a})
+            if s.get("dv"):
+                dvs.append({"dv": {"path": path,
+                                   "keys": list(s["dv"])}})
+        meta = {"schema": snap.schema_json, "key_col": snap.key_col,
+                "column_mapping": snap.mapping,
+                "retired_physical": snap.retired,
+                "partition_by": snap.partition_by,
+                "key_bloom_bits": snap.bloom_bits,
+                "checks": snap.checks,
+                # deep clones of a converted table replicate root-level
+                # rel paths, so they own their root like the source
+                # did; a shallow clone's root holds only log + data/
+                "owns_root": snap.owns_root if deep else False,
+                "generated": snap.generated,
+                "defaults": snap.defaults,
+                "protocol": snap.protocol}
+        actions = [{"commit": {"op": "CLONE", "source": src_root,
+                               "source_version": snap.version,
+                               "deep": deep}},
+                   {"meta": meta}, *adds, *dvs]
+        if not t._try_commit(0, actions):
+            raise ConflictError(f"concurrent create at {dest}")
+        return t
+
     # ------------------------------------------------------------- reads+
 
     def table_changes(self, from_version: int, to_version: int,

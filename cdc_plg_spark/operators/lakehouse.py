@@ -1580,3 +1580,58 @@ def lakehouse_convert_nonhive(spark: SparkSession,
         F.lit(pathless).alias("manifest_is_authority"),
         F.lit(pruned_ok).alias("manifest_prune_skips"),
         F.lit(wrong_refused).alias("wrong_tuple_refused"))
+
+
+LAKEHOUSE_CLONE_ORACLE = """
+    WITH mx AS (SELECT max(event_id) AS m FROM events)
+    SELECT e.event_id, e.user_id, ROUND(e.value, 4) AS value,
+           TRUE AS shallow_zero_copy,
+           TRUE AS clone_pinned,
+           TRUE AS source_untouched
+    FROM events e, mx
+    WHERE e.event_id <= mx.m // 2 AND e.event_id > mx.m // 10
+"""
+
+
+@register("lakehouse_clone_pinned", oracle=LAKEHOUSE_CLONE_ORACLE,
+          tags=("lakehouse",))
+def lakehouse_clone_pinned(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CREATE TABLE CLONE as a driver-checkable exhibit (r9,
+    lakehouse.py clone): seed a table with the first half of the
+    events, SHALLOW-clone it (`shallow_zero_copy` checks not one
+    parquet byte landed under the clone root — the 100-TB point:
+    cloning costs one manifest write), then drive BOTH sides apart:
+    the source appends the second half, the clone deletes its low
+    decile copy-on-write.  `clone_pinned` checks the source's append
+    never leaked into the clone; `source_untouched` checks the
+    clone's delete never reached the source (full row-set equality,
+    computed before the return).  The returned clone snapshot is
+    hash-checked: first half minus the low decile — a leaked append,
+    a delete that bled through, or a stale pin all flip the hash."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    mx = ev.agg(F.max("event_id")).head()[0]
+    d = tempfile.mkdtemp(prefix="lh_clone_")
+    t = TxLogTable.create(spark, os.path.join(d, "src"),
+                          ev.filter(F.col("event_id") <= mx // 2),
+                          "event_id", n_files=8)
+    c = t.clone(os.path.join(d, "c"))
+    zero_copy = not any(
+        f.endswith(".parquet")
+        for dp, _, fs in os.walk(c.path) for f in fs)
+    t.append(ev.filter(F.col("event_id") > mx // 2), n_files=8)
+    c.delete_where(key_between=(0, mx // 10))
+    pinned = c.read().count() == (
+        ev.filter((F.col("event_id") <= mx // 2)
+                  & (F.col("event_id") > mx // 10)).count())
+    src_ok = (t.read().select("event_id", "user_id", "value")
+              .exceptAll(ev).count() == 0
+              and ev.exceptAll(
+                  t.read().select("event_id", "user_id", "value"))
+              .count() == 0)
+    return c.read().select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        F.lit(zero_copy).alias("shallow_zero_copy"),
+        F.lit(pinned).alias("clone_pinned"),
+        F.lit(src_ok).alias("source_untouched"))

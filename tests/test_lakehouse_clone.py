@@ -1,0 +1,207 @@
+"""CREATE TABLE CLONE (the public Delta clone contract).
+
+Contract under test:
+- SHALLOW: metadata-only (zero parquet under the clone root), reads
+  equal the pinned source snapshot even after the source advances,
+  writes are copy-on-write into the clone's own data/ and never touch
+  source bytes, the clone's vacuum can never delete source files;
+- the documented Delta hazard carries: VACUUM on the SOURCE unlinks
+  files a shallow clone references — the clone's fsck reports them;
+- DEEP: byte-copies (footer stats/DVs/layout carried, no engine data
+  pass), fully independent of source vacuum;
+- the whole meta rides along: mapping/retired after RENAME, CHECK
+  constraints (enforced on clone writes), GENERATED columns,
+  DEFAULTs, protocol floor, partition tuples (incl. a NON-hive
+  converted source — the r9 decoupling is what makes absolute-path
+  references readable at all);
+- refusals: non-empty destination, nested roots, vacuumed source
+  version.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import CheckViolation, TxLogTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_clone_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mk(spark, path, n=60, **kw):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    return TxLogTable.create(spark, path, df, "k", n_files=3, **kw)
+
+
+def parquet_under(root):
+    return [os.path.join(dp, f) for dp, _, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")]
+
+
+def test_shallow_clone_is_metadata_only_and_pinned(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    src.merge(spark.createDataFrame([(5, -5)], "k long, v long"))
+    v_pin = src.snapshot().version
+    c = src.clone(os.path.join(tdir, "c"))
+    # metadata-only: not one parquet byte under the clone root
+    assert parquet_under(c.path) == []
+    assert {r["k"]: r["v"] for r in c.read().collect()} \
+        == {r["k"]: r["v"] for r in src.read(version=v_pin).collect()}
+    # pinned: the source advancing does not move the clone
+    src.merge(spark.createDataFrame([(5, 999), (900, 1)],
+                                    "k long, v long"))
+    got = {r["k"]: r["v"] for r in c.read().collect()}
+    assert got[5] == -5 and 900 not in got
+    assert c.fsck(deep=True) == []
+
+
+def test_clone_writes_are_cow_and_isolated(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    before = {os.path.getmtime(p): p for p in parquet_under(src.path)}
+    c = src.clone(os.path.join(tdir, "c"))
+    c.merge(spark.createDataFrame([(5, -5, "U"), (900, 1, "I")],
+                                  "k long, v long, op string"),
+            op_col="op")
+    c.delete_where(key_between=(7, 7), mode="dv")
+    # clone sees its writes; source is bit-identical untouched
+    got = {r["k"]: r["v"] for r in c.read().collect()}
+    assert got[5] == -5 and got[900] == 1 and 7 not in got
+    assert {r["k"]: r["v"] for r in src.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+    assert {os.path.getmtime(p): p
+            for p in parquet_under(src.path)} == before
+    # the rewrite landed under the CLONE's data/, not the source's
+    assert any(p.startswith(os.path.join(c.path, "data"))
+               for p in parquet_under(c.path))
+    # and the clone's vacuum removes nothing from the source
+    c.vacuum(retain_last=1, min_age_s=0)
+    assert src.fsck(deep=True) == []
+    assert c.fsck(deep=True) == []
+    assert {r["k"]: r["v"] for r in src.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+
+
+def test_source_vacuum_breaks_shallow_clone_fsck_reports(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    c = src.clone(os.path.join(tdir, "c"))
+    # source rewrites everything, then vacuums history
+    src.merge(spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")))
+    src.vacuum(retain_last=1, min_age_s=0)
+    findings = c.fsck()
+    assert findings and all("missing on disk" in f for f in findings)
+
+
+def test_deep_clone_survives_source_vacuum(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    c = src.clone(os.path.join(tdir, "c"), deep=True)
+    # bytes actually copied, same rel layout
+    assert len(parquet_under(c.path)) == len(parquet_under(src.path))
+    src.merge(spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")))
+    src.vacuum(retain_last=1, min_age_s=0)
+    assert c.fsck(deep=True) == []
+    assert {r["k"]: r["v"] for r in c.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+
+
+def test_clone_carries_full_meta(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    src.rename_column("v", "val")
+    src.add_check("v_nonneg", "val >= 0")
+    src.add_column("src", "string", default="'cdc'")
+    # a dv-mode delete rides into the clone via dv actions
+    src.delete_where(key_between=(3, 3), mode="dv")
+    c = src.clone(os.path.join(tdir, "c"))
+    snap = c.snapshot()
+    assert snap.checks == {"v_nonneg": "val >= 0"}
+    assert snap.defaults == {"src": "'cdc'"}
+    assert snap.mapping is not None and snap.mapping["val"] == "v"
+    assert snap.protocol == src.snapshot().protocol
+    got = {r["k"]: (r["val"], r["src"]) for r in c.read().collect()}
+    assert 3 not in got and got[4] == (8, None)
+    # CHECK enforced on clone writes; DEFAULT materializes on append
+    with pytest.raises(CheckViolation):
+        c.append(spark.sql("SELECT 900L AS k, -1L AS val, 'x' AS src"))
+    c.append(spark.sql("SELECT 901L AS k, 1L AS val"))
+    assert {r["src"] for r in c.read().filter("k = 901").collect()} \
+        == {"cdc"}
+    assert c.fsck(deep=True) == []
+
+
+def test_clone_nonhive_converted_source(spark, tdir):
+    """Shallow clone of a NON-hive converted table: the clone's
+    manifest references absolute out-of-root paths carrying no k=v
+    segments, so every partition value must come from the carried
+    manifest tuples — the composition the r9 decoupling exists for."""
+    raw = os.path.join(tdir, "upstream")
+    for b in (0, 1, 2):
+        (spark.range(b * 20, b * 20 + 20)
+         .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+         .coalesce(1)     # range() default-parallelism shards would
+                          # write empty stat-less files
+         .write.mode("overwrite").parquet(os.path.join(raw, f"b{b}")))
+    src = TxLogTable.convert(
+        spark, raw, "k", partition_schema={"bucket": "long"},
+        partition_values=lambda rel: {"bucket":
+                                      int(rel.split("/")[0][1:])})
+    c = src.clone(os.path.join(tdir, "c"))
+    assert parquet_under(c.path) == []
+    got = {r["k"]: (r["v"], r["bucket"]) for r in c.read().collect()}
+    assert got == {k: (2 * k, k // 20) for k in range(60)}
+    # manifest-tuple pruning works through the clone
+    pruned = c.read(where_between=("bucket", 1, 1))
+    assert sorted(r["k"] for r in pruned.collect()) \
+        == list(range(20, 40))
+    assert len(pruned.inputFiles()) < len(c.snapshot().files)
+    assert c.fsck(deep=True) == []
+
+
+def test_clone_refusals(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    with pytest.raises(ValueError, match="nested"):
+        src.clone(os.path.join(tdir, "src", "inner"))
+    with pytest.raises(ValueError, match="nested"):
+        src.clone(tdir)
+    dest = os.path.join(tdir, "c")
+    os.makedirs(dest)
+    open(os.path.join(dest, "junk"), "w").write("x")
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone(dest)
+    # pinning a vacuumed version refuses with the restore-style error
+    v0 = src.snapshot().version
+    src.merge(spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")))
+    src.vacuum(retain_last=1, min_age_s=0)
+    with pytest.raises(ValueError):
+        src.clone(os.path.join(tdir, "c2"), version=v0)
+
+
+def test_clone_of_clone_references_originals(spark, tdir):
+    src = mk(spark, os.path.join(tdir, "src"))
+    c1 = src.clone(os.path.join(tdir, "c1"))
+    c2 = c1.clone(os.path.join(tdir, "c2"))
+    # the chain resolves to the ORIGINAL absolute paths (absolute
+    # manifest entries pass through _abs unchanged), so deleting the
+    # intermediate clone's directory cannot break the grandchild
+    shutil.rmtree(c1.path)
+    assert {r["k"]: r["v"] for r in c2.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+    assert c2.fsck(deep=True) == []
+    # deep clone of a shallow clone flattens absolute refs into its
+    # own data/ and detaches fully
+    c3 = c2.clone(os.path.join(tdir, "c3"), deep=True)
+    shutil.rmtree(src.path)
+    assert {r["k"]: r["v"] for r in c3.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+    assert c3.fsck(deep=True) == []
