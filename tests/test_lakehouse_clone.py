@@ -205,3 +205,38 @@ def test_clone_of_clone_references_originals(spark, tdir):
     assert {r["k"]: r["v"] for r in c3.read().collect()} \
         == {k: 2 * k for k in range(60)}
     assert c3.fsck(deep=True) == []
+
+
+def test_clone_compositions(spark, tdir):
+    """Clone x format-feature walk (the r7/r8 probe discipline):
+    partitioned-source clone merge + change feed, restore back to the
+    clone commit, OPTIMIZE on a shallow clone (rewrites into the
+    clone's data/, detaching it) followed by its own vacuum — source
+    bit-untouched throughout."""
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+        (F.col("id") * 2).alias("v"))
+    src = TxLogTable.create(spark, os.path.join(tdir, "p"), df, "k",
+                            n_files=3, partition_by=["cat"])
+    c = src.clone(os.path.join(tdir, "pc"))
+    v0 = c.snapshot().version
+    c.merge(spark.createDataFrame(
+        [(5, "9", -5, "U"), (900, "1", 1, "I")],
+        "k long, cat string, v long, op string"), op_col="op")
+    got = {r["k"]: (r["cat"], r["v"]) for r in c.read().collect()}
+    assert got[5] == ("9", -5) and got[900] == ("1", 1)
+    ch = {(r["k"], r["change_type"])
+          for r in c.table_changes(v0, c.snapshot().version).collect()}
+    assert ch == {(5, "U"), (900, "I")}
+    c.restore(version=v0)
+    assert {r["k"] for r in c.read().collect()} == set(range(90))
+    # OPTIMIZE pulls the referenced bytes into the clone's own data/
+    # (every source file is "small" here), then vacuum drops the
+    # absolute references — a shallow clone's detach path
+    c.optimize()
+    c.vacuum(retain_last=1, min_age_s=0)
+    assert {r["k"] for r in c.read().collect()} == set(range(90))
+    assert {r["k"]: r["v"] for r in src.read().collect()} \
+        == {k: 2 * k for k in range(90)}
+    assert c.fsck(deep=True) == [] and src.fsck(deep=True) == []
