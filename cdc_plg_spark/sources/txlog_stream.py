@@ -64,7 +64,8 @@ class CommitPartition(InputPartition):
                  mapping: dict | None = None,
                  partition_by: list[str] | None = None,
                  dv_shrunk: list | None = None,
-                 shrunk_files: list[str] | None = None) -> None:
+                 shrunk_files: list[str] | None = None,
+                 parts: dict | None = None) -> None:
         self.table_path = table_path
         self.version = version
         self.removed = removed
@@ -90,10 +91,13 @@ class CommitPartition(InputPartition):
         #          rows; emit as inserts on the new side)
         self.dv_shrunk = dv_shrunk or []
         self.shrunk_files = shrunk_files or []
-        # hive partition columns (PHYSICAL names): the parquet bytes
-        # lack them; each file's values are parsed from its k=v path
-        # segments and re-attached at read
+        # partition columns (PHYSICAL names): the parquet bytes lack
+        # them; each file's TYPED values ride along in `parts` ({rel
+        # path -> tuple}, from the add-actions — the manifest is the
+        # authority, r9) and re-attach at read.  Pre-r9 manifests
+        # without tuples fall back to hive k=v path parsing.
         self.partition_by = partition_by or []
+        self.parts = parts or {}
 
 
 class TxLogChangesSource(DataSource):
@@ -224,6 +228,14 @@ class TxLogChangesReader(DataSourceStreamReader):
                                 - set(b.files[p].get("dv", ())))
                       for p in set(a.files) & set(b.files)}
             shrunk = {p: ks for p, ks in shrunk.items() if ks}
+            # per-file partition tuples spanning BOTH snapshots:
+            # removed files are absent from b.files (mirrors
+            # TxLogTable.table_changes' pparts)
+            pool = {**a.files, **b.files}
+            touched = (set(removed) | set(added)
+                       | set(grown) | set(shrunk))
+            parts = {p: pool[p]["partition"] for p in touched
+                     if pool[p].get("partition")}
             out.append(CommitPartition(
                 self.table_path, v, removed, added,
                 self.pinned_json or b.schema_json,
@@ -240,7 +252,7 @@ class TxLogChangesReader(DataSourceStreamReader):
                 partition_by=b.partition_by,
                 dv_shrunk=sorted({k for ks in shrunk.values()
                                   for k in ks}),
-                shrunk_files=sorted(shrunk)))
+                shrunk_files=sorted(shrunk), parts=parts))
             a = b
         # Spark requires >= 1 partition per planned batch
         return out or [CommitPartition(self.table_path, -1, [], [],
@@ -264,12 +276,13 @@ class TxLogChangesReader(DataSourceStreamReader):
         key = partition.key_col
         data_cols = [c for c in cols if c != key]
 
-        # hive-partitioned files: every file's k=v path segments are
-        # self-describing, and THEY decide which columns re-attach from
-        # the path — not the head layout, because one batch can span
-        # layouts (files removed by a repartition_layout evolution
-        # commit carry the previous partitioning).  Mirrors
-        # TxLogTable._read_files.
+        # partitioned files: each file's OWN manifest tuple decides
+        # which columns re-attach — not the head layout, because one
+        # batch can span layouts (files removed by a repartition_layout
+        # evolution commit carry the previous partitioning), and a
+        # NON-hive converted file's path carries no k=v segments at
+        # all (r9 decoupling).  Pre-r9 manifests fall back to hive
+        # path parsing.  Mirrors TxLogTable._read_files.
         phys_type = {(partition.mapping or {}).get(f.name, f.name):
                      f.dataType.typeName() for f in fields}
 
@@ -278,9 +291,15 @@ class TxLogChangesReader(DataSourceStreamReader):
             for p in rel_paths:
                 pdf = pq.read_table(
                     os.path.join(partition.table_path, p)).to_pandas()
-                for pc, raw in _parse_partition_path(p).items():
+                tup = partition.parts.get(p)
+                if tup is None:
+                    tup = {pc: _typed_part(raw, phys_type[pc])
+                           for pc, raw in
+                           _parse_partition_path(p).items()
+                           if pc in phys_type}
+                for pc, v in tup.items():
                     if pc in phys_type and pc not in pdf.columns:
-                        pdf[pc] = _typed_part(raw, phys_type[pc])
+                        pdf[pc] = v
                 frames.append(pdf)
             if not frames:
                 return pd.DataFrame(columns=cols)

@@ -258,3 +258,42 @@ def test_nonhive_merge_and_change_feed(spark, tdir):
     assert ch[(7, "D")]["dt"] == before[7][1]      # before-image tuple
     assert ch[(7, "D")]["value"] == before[7][0]
     assert t.fsck(deep=True) == []
+
+
+def test_cdf_stream_over_nonhive_table(spark, tdir):
+    """The streaming CDF source must attach NON-hive files' partition
+    columns from the manifest tuples carried in each CommitPartition
+    (r9): its executor-side pyarrow diff can't see hive segments that
+    don't exist.  Before the fix, a non-hive table's partition column
+    streamed as NULL for every before-image — silently."""
+    from cdc_plg_spark.sources.txlog_stream import TxLogChangesSource
+
+    spark.dataSource.register(TxLogChangesSource)
+    path = os.path.join(tdir, "t")
+    write_value_only(spark, path, n=60)
+    t = TxLogTable.convert(spark, path, "user_id",
+                           partition_schema={"dt": "string"},
+                           partition_values=by_dir)
+    expect_dt = {r["user_id"]: r["d"] for r in
+                 t.read().select("user_id",
+                                 F.col("dt").alias("d")).collect()}
+    t.merge(spark.createDataFrame(
+        [(5, "2024-03-06 00:00:05", -5, "2024-03-06", "U"),
+         (7, None, None, None, "D")],
+        "user_id long, ts string, value long, dt string, op string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")), op_col="op")
+    out = os.path.join(tdir, "out")
+    q = (spark.readStream.format("txlog_changes")
+         .option("path", t.path).option("fullImages", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", os.path.join(tdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["change_type"]): r["dt"]
+           for r in spark.read.parquet(out)
+           .filter(F.col("commit_version") == 1).collect()}
+    # before-images come OUT of the removed value-only files: their
+    # dt can only have come from the carried manifest tuples
+    assert got[(5, "U_pre")] == expect_dt[5]
+    assert got[(5, "U_post")] == "2024-03-06"
+    assert got[(7, "D")] == expect_dt[7]
