@@ -3005,7 +3005,14 @@ class TxLogTable:
             hit = matched.collect()  # DV-sized: cap-enforced above
             by_file: dict[str, list] = {}
             for r in hit:
-                rel = os.path.relpath(_fs_path(r["_f"]), self.path)
+                full = _fs_path(r["_f"])
+                # manifest keys are rel paths for native files but
+                # ABSOLUTE for a shallow clone's out-of-root refs —
+                # relpath alone would produce '../src/...' and miss
+                # (found by the clone random-ops model walk, r9)
+                rel = (os.path.abspath(full) if os.path.abspath(full)
+                       in snap.files
+                       else os.path.relpath(full, self.path))
                 if rel not in snap.files:
                     raise RuntimeError(
                         f"dv delete resolved {rel!r} to no manifest "

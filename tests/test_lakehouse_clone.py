@@ -240,3 +240,67 @@ def test_clone_compositions(spark, tdir):
     assert {r["k"]: r["v"] for r in src.read().collect()} \
         == {k: 2 * k for k in range(90)}
     assert c.fsck(deep=True) == [] and src.fsck(deep=True) == []
+
+
+@pytest.mark.parametrize("vseed", [7, 11])
+def test_random_ops_on_source_and_clone_match_models(spark, tdir,
+                                                     vseed):
+    """Dict-model random-op walk over a SOURCE and its mid-history
+    SHALLOW CLONE, both mutated independently afterwards: merge /
+    DV + COW delete / optimize interleavings on either side must
+    track two diverging models exactly, and neither side's writes may
+    ever leak into the other.  Source vacuum is excluded while the
+    clone still references source files (the documented shallow-clone
+    hazard is pinned separately); the clone vacuums freely."""
+    import random
+
+    rng = random.Random(vseed)
+    src = mk(spark, os.path.join(tdir, "src"), n=40)
+    m_src = {k: 2 * k for k in range(40)}
+    c, m_c = None, None
+
+    def mutate(t, model, step):
+        kind = rng.choices(("merge", "delete_dv", "delete_cow",
+                            "optimize"), weights=(5, 2, 1, 1))[0]
+        if kind == "merge":
+            rows, ops = [], {}
+            for k in rng.sample(range(80), rng.randint(1, 6)):
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                rows.append((k, v, op))
+                ops[k] = (op, v)
+            t.merge(spark.createDataFrame(
+                rows, "k long, v long, op string"), op_col="op")
+            for k, (op, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        elif kind in ("delete_dv", "delete_cow"):
+            lo = rng.randint(0, 70)
+            hi = lo + rng.randint(0, 20)
+            t.delete_where((lo, hi),
+                           mode=kind.removeprefix("delete_"))
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+        else:
+            t.optimize(target_files=2)
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"step {step} ({kind}) diverged"
+        assert t.fsck() == []
+
+    for step in range(12):
+        if step == 4:
+            c = src.clone(os.path.join(tdir, "c"))
+            m_c = dict(m_src)
+        if c is None or rng.random() < 0.5:
+            mutate(src, m_src, step)
+        else:
+            mutate(c, m_c, step)
+            if rng.random() < 0.3:
+                c.vacuum(retain_last=2, min_age_s=0)
+    # cross-leak check at the end: both sides still match their models
+    assert {r["k"]: r["v"] for r in src.read().collect()} == m_src
+    assert {r["k"]: r["v"] for r in c.read().collect()} == m_c
+    assert src.fsck(deep=True) == [] and c.fsck(deep=True) == []
