@@ -304,3 +304,44 @@ def test_random_ops_on_source_and_clone_match_models(spark, tdir,
     assert {r["k"]: r["v"] for r in src.read().collect()} == m_src
     assert {r["k"]: r["v"] for r in c.read().collect()} == m_c
     assert src.fsck(deep=True) == [] and c.fsck(deep=True) == []
+
+
+def test_clone_generated_and_layout_evolution(spark, tdir):
+    """Clone of a GENERATED-partition table: the expression rides
+    into the clone (ingest recomputes dt, a contradicting supplied
+    value refuses), the derived prune works through absolute
+    out-of-root refs, and repartition_layout on the clone rewrites
+    into its own data/ without touching the source."""
+    base_us = 1_709_251_200_000_000
+    df = (spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros((F.lit(base_us)
+                            + (F.col("id") % 4)
+                            * F.lit(86_400_000_000)).cast("long"))
+         .alias("ts"),
+        (F.col("id") * 2).alias("v"))
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd")))
+    src = TxLogTable.create(
+        spark, os.path.join(tdir, "g"), df, "k", n_files=2,
+        partition_by=["dt"],
+        generated={"dt": "date_format(ts,'yyyy-MM-dd')"})
+    c = src.clone(os.path.join(tdir, "gc"))
+    assert c.snapshot().generated == {
+        "dt": "date_format(ts,'yyyy-MM-dd')"}
+    c.append(spark.sql(
+        "SELECT 900L AS k, TIMESTAMP '2024-03-09 00:00:00' AS ts, "
+        "0L AS v"))
+    assert {r["k"]: r["dt"]
+            for r in c.read().filter("k=900").collect()} \
+        == {900: "2024-03-09"}
+    with pytest.raises(CheckViolation):
+        c.append(spark.sql(
+            "SELECT 901L AS k, TIMESTAMP '2024-03-09 00:00:00' AS "
+            "ts, 0L AS v, '1999-01-01' AS dt"))
+    pr = c.read(where_between=("ts", "2024-03-02", "2024-03-02"))
+    assert len(pr.inputFiles()) < len(c.snapshot().files)
+    c.repartition_layout([])
+    assert {r["k"] for r in c.read().collect()} \
+        == set(range(60)) | {900}
+    assert {r["k"] for r in src.read().collect()} == set(range(60))
+    assert c.fsck(deep=True) == [] and src.fsck(deep=True) == []
