@@ -649,13 +649,18 @@ def _pq_adc(corpus: DataFrame, qs: DataFrame, cw: DataFrame,
     a groupBy sum over the subspace rows would re-associate terms and
     could flip last-ulp ranks between engines."""
     sub_c = F.slice(F.col("ce"), F.col("m") * sub + 1, sub)
-    wmc = Window.partitionBy("corpus_id", "m").orderBy(F.asc("d"),
-                                                       F.asc("j"))
+    # argmin via min_by groupBy, NOT a row_number window: the window
+    # would shuffle the full corpus x (M*Ks) candidate explosion,
+    # while min_by partially aggregates map-side so the exchange
+    # moves exactly one row per (vector, subspace) — the same
+    # map-side-combine shape sim_ann_ivf_checked uses for cell
+    # assignment.  Tie-break (d, j) matches the oracle's ORDER BY.
     enc = (corpus.join(F.broadcast(cw))
            .select("corpus_id", "m", "j",
                    l2_col(sub_c, F.col("cw")).alias("d"))
-           .withColumn("rk", F.row_number().over(wmc))
-           .filter(F.col("rk") == 1)
+           .groupBy("corpus_id", "m")
+           .agg(F.min_by(F.col("j"),
+                         F.struct(F.col("d"), F.col("j"))).alias("j"))
            .groupBy("corpus_id")
            .pivot("m", list(range(m_parts))).agg(F.first("j")))
     sub_q = F.slice(F.col("qe"), F.col("m") * sub + 1, sub)
