@@ -297,3 +297,41 @@ def test_cdf_stream_over_nonhive_table(spark, tdir):
     assert got[(5, "U_pre")] == expect_dt[5]
     assert got[(5, "U_post")] == "2024-03-06"
     assert got[(7, "D")] == expect_dt[7]
+
+
+def test_nonhive_widen_temporal_and_cdf(spark, tdir):
+    """Non-hive x type-widening x temporal-prune x CDF composition
+    (the r8 bug zone was exactly this class of migration boundary):
+    a value-only import with a narrow INT column widens meta-only,
+    reads back long with manifest tuples attached, temporal pruning
+    stays sound, and a post-widen merge + change feed nets exactly."""
+    raw = os.path.join(tdir, "t")
+    for b in (0, 1):
+        (spark.range(b * 30, b * 30 + 30).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("int").alias("narrow"),
+            F.timestamp_micros((F.lit(1704067200000000)
+                                + F.col("id") * F.lit(1000000))
+                               .cast("long")).alias("ts"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(raw, f"day{b}")))
+    t = TxLogTable.convert(
+        spark, raw, "k", partition_schema={"day": "long"},
+        partition_values=lambda rel: {"day": int(rel.split("/")[0][3:])})
+    t.widen_column_type("narrow", "long")
+    got = t.read()
+    assert got.schema["narrow"].dataType.typeName() == "long"
+    assert {r["k"]: (r["narrow"], r["day"]) for r in got.collect()} \
+        == {k: (k, k // 30) for k in range(60)}
+    pr = t.read(where_between=("ts", "2024-01-01 00:00:10",
+                               "2024-01-01 00:00:20"))
+    assert pr.count() == 11
+    v0 = t.snapshot().version
+    t.merge(spark.createDataFrame(
+        [(5, -5, "2024-01-01 00:00:05", 0, "U")],
+        "k long, narrow long, ts string, day long, op string")
+        .withColumn("ts", F.col("ts").cast("timestamp")), op_col="op")
+    ch = {(r["k"], r["change_type"]) for r in
+          t.table_changes(v0, t.snapshot().version).collect()}
+    assert ch == {(5, "U")}
+    assert t.fsck(deep=True) == []
