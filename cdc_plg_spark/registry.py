@@ -92,36 +92,15 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # Queries whose IMPLEMENTATION materially changed this round: their old
 # driver-green rows no longer prove the current code, so they re-enter
 # the never-checked bucket.  Clear entries once the driver re-records
-# them.  r9: the 17 r8-forced ids were re-recorded green in
-# CORRECTNESS_r08 and are CLEARED (VERDICT r8 task 1).  Newly forced:
-# the two de-hinted grows-with-scale broadcasts (VERDICT r8 tasks 2-3)
-# plus every driver-green query sitting on the changed TxLog READ path
-# (_read_files now attaches partition values from manifest tuples, not
-# hive path parsing; the CDF stream source's executor loader likewise)
-# — behavior-preserving for hive layouts and re-verified green by this
-# session's full parity sweep + 50-slot driver-order simulation, but
-# the r8 precedent is that a shared-path rewrite re-proves under the
-# DRIVER too.  The rename-target guard / full-merge-default refusal /
-# subquery-default refusal only add refusals on previously
-# accepted-but-unsound inputs — not forced.
-_FORCE_RECHECK: set[str] = {
-    "text_unigram_logprob",
-    "analytics_important_stock",
-    # TxLog read-path ids (operators/lakehouse.py; the two r9-new
-    # exhibits are unchecked and need no forcing)
-    "lakehouse_merge_upsert", "lakehouse_change_data_feed",
-    "lakehouse_time_travel_diff", "lakehouse_delete_vacuum_audit",
-    "lakehouse_change_stream", "stream_source_lakehouse_changes",
-    "lakehouse_replication", "lakehouse_schema_evolution",
-    "stream_sink_lakehouse_merge", "lakehouse_incremental_mv",
-    "stream_incremental_mv", "lakehouse_delete_dv",
-    "lakehouse_zorder_skipping", "lakehouse_alter_column_lifecycle",
-    "lakehouse_convert_cdc_roundtrip", "lakehouse_bloom_point_read",
-    "lakehouse_temporal_skipping", "lakehouse_retention_delete",
-    "lakehouse_restore_roundtrip", "lakehouse_partial_merge",
-    "lakehouse_generated_pruning", "lakehouse_type_widening",
-    "lakehouse_convert_generated", "lakehouse_column_defaults",
-}
+# them.  r10: all 26 r9-forced ids (the two de-hinted broadcasts + the
+# 24 TxLog read-path ids re-proven after the manifest-tuple rewrite)
+# were re-recorded green in CORRECTNESS_r09 and are CLEARED (VERDICT
+# r9 task 1).  With the set empty, _ordered()'s age rotation fills the
+# driver budget with the oldest-green ids (~44 r4-latest), retiring
+# every pre-r5 green.  Force FINELY this round per VERDICT r9 task 8:
+# only ids whose PLAN a change actually touches; refusal-path-only or
+# maintenance-path (clone copy, fsck) edits don't force.
+_FORCE_RECHECK: set[str] = set()
 
 
 def _round_of(path: str) -> int:
