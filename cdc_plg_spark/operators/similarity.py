@@ -843,8 +843,16 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = (corpus.filter(F.pmod(F.xxhash64("corpus_id"), take) == 0)
               .orderBy("corpus_id").select("ce").collect())
     X = np.stack([r.ce for r in sample]).astype(np.float64)
+    if X.shape[1] % _PQ_M_PROD:
+        # F.slice past the array end would silently yield SHORT
+        # sub-vectors and quietly wrong ADC distances — fail loudly
+        # instead if a fixture regen ever changes the embedding dim
+        # to something the M subspaces don't divide (ADVICE r9)
+        raise ValueError(
+            f"embedding dim {X.shape[1]} not divisible by "
+            f"_PQ_M_PROD={_PQ_M_PROD} subspaces")
     books = _pq_train(X)
-    sub = 64 // _PQ_M_PROD
+    sub = len(books[0][0])
     cw = spark.createDataFrame(
         [(m, j, books[m][j].tolist())
          for m in range(_PQ_M_PROD) for j in range(len(books[m]))],

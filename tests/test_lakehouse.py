@@ -2059,8 +2059,72 @@ def test_reserved_column_names_refused_at_every_edge(spark, tdir):
     for bad in ("_t", "_op", "commit_version"):
         with pytest.raises(ValueError, match="reserved"):
             t.rename_column("v", bad)
-    with pytest.raises(ValueError, match="identifier"):
-        t.rename_column("v", "not an identifier")
+    # non-identifier names are LEGAL at every edge (ADVICE r9: one
+    # shared rule — a name create accepts, rename can produce); only
+    # backtick/control-character names refuse (they'd escape the
+    # engine's `name` quoting in CHECK/generated/fsck expressions)
+    with pytest.raises(ValueError, match="backtick"):
+        t.rename_column("v", "bad`tick")
+    t.rename_column("v", "not an identifier")
+    assert [f.name for f in t.read().schema.fields] \
+        == ["k", "not an identifier"]
+    t.rename_column("not an identifier", "v")
     # nothing leaked into the schema; the table stays healthy
     assert [f.name for f in t.read().schema.fields] == ["k", "v"]
+    assert t.fsck(deep=True) == []
+
+
+def test_deep_fsck_flags_foreign_same_size_overwrite(spark, tdir):
+    """Foreign-writer tripwire (VERDICT r9 task 3): adds stamp the
+    file's mtime at commit time, so a SIZE-PRESERVING overwrite under
+    data/ by a non-engine tool — invisible to the shallow byte-size
+    check and to every stats-trusting reader — is flagged by deep
+    fsck.  The overwrite here writes back the IDENTICAL bytes, so the
+    footer-containment checks stay green and the finding can only
+    come from the mtime stamp."""
+    import time as _time
+
+    t = make_table(spark, os.path.join(tdir, "t"), n=100, n_files=4)
+    assert t.fsck(deep=True) == []
+    victim = sorted(t.snapshot().files)[0]
+    vpath = os.path.join(t.path, victim)
+    raw = open(vpath, "rb").read()
+    _time.sleep(0.02)         # ensure a distinct mtime_ns
+    with open(vpath, "wb") as f:
+        f.write(raw)
+    assert t.fsck() == []     # same size: shallow fsck can't see it
+    findings = t.fsck(deep=True)
+    assert any("foreign writer" in m and victim in m
+               for m in findings), findings
+    # OPTIMIZE rewrites the live set -> fresh stamps, healthy again
+    t.optimize(target_files=2)
+    assert t.fsck(deep=True) == []
+
+
+def test_column_name_surface_uniform_across_edges(spark, tdir):
+    """ADVICE r9: rename_column required isidentifier() while
+    create/convert accepted any non-reserved name — a name the table
+    could be created with couldn't be produced by rename.  Now ONE
+    shared rule at every schema edge: reserved/leading-underscore and
+    backtick/control-character names refused, everything else (dash,
+    space) legal everywhere."""
+    t = make_table(spark, os.path.join(tdir, "t"), n=20, n_files=1)
+    t.rename_column("value", "value-usd")           # was refused
+    assert t.read().filter(F.col("value-usd") == 10).count() == 1
+    t.add_column("unit price", "double")            # was refused
+    assert "unit price" in [f.name for f in t.read().schema.fields]
+    # the shared rule still refuses what it must, at EVERY edge
+    with pytest.raises(ValueError, match="backtick|reserved"):
+        t.rename_column("value-usd", "bad`tick")
+    with pytest.raises(ValueError, match="backtick|reserved"):
+        t.add_column("also`bad", "long")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rename_column("value-usd", "_t")
+    with pytest.raises(ValueError, match="backtick"):
+        make_table2_name = os.path.join(tdir, "t2")
+        TxLogTable.create(
+            spark, make_table2_name,
+            spark.range(3).select(F.col("id").alias("k"),
+                                  F.col("id").alias("ba`d")),
+            "k")
     assert t.fsck(deep=True) == []

@@ -345,3 +345,199 @@ def test_clone_generated_and_layout_evolution(spark, tdir):
         == set(range(60)) | {900}
     assert {r["k"] for r in src.read().collect()} == set(range(60))
     assert c.fsck(deep=True) == [] and src.fsck(deep=True) == []
+
+
+def test_deep_clone_distributes_copies_off_driver(spark, tdir,
+                                                  monkeypatch):
+    """At `_CLONE_DISTRIBUTE_MIN` files and above, deep-clone byte
+    copies run as ONE executor job (`sc.parallelize(pairs).foreach`)
+    instead of a driver loop — the one formerly driver-side O(data)
+    path in the repo (VERDICT r9 task 2: at 100 TB a driver copyfile
+    loop is a days-long single-process byte pump).
+
+    Pinned by DISABLING driver-side copyfile: executor Python workers
+    are separate processes that import their own module copy, so the
+    clone below can only succeed if not one byte was copied in the
+    driver process.  Blooms ride along to prove sidecar copies
+    distribute too."""
+    from cdc_plg_spark import lakehouse as lh
+
+    src = TxLogTable.create(
+        spark, os.path.join(tdir, "src"),
+        spark.range(0, 240).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v")),
+        "k", n_files=lh._CLONE_DISTRIBUTE_MIN + 2,
+        key_bloom_bits=10)
+    n_src = len(parquet_under(src.path))
+    assert n_src >= lh._CLONE_DISTRIBUTE_MIN
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "driver-side copyfile during a distributed deep clone")
+
+    monkeypatch.setattr(lh.shutil, "copyfile", boom)
+    c = src.clone(os.path.join(tdir, "deep"), deep=True)
+    monkeypatch.undo()
+    assert len(parquet_under(c.path)) == n_src
+    # byte-identical copies: footer stats, blooms, sizes all carry
+    for rel, s in sorted(c.snapshot().files.items()):
+        sp, cp = os.path.join(src.path, rel), os.path.join(c.path, rel)
+        assert open(sp, "rb").read() == open(cp, "rb").read()
+        if s.get("bloom"):
+            assert (open(sp + ".bloom", "rb").read()
+                    == open(cp + ".bloom", "rb").read())
+    assert {r["k"]: r["v"] for r in c.read().collect()} \
+        == {r["k"]: r["v"] for r in src.read().collect()}
+    assert c.fsck(deep=True) == []
+
+
+def test_nonhive_marker_survives_restore_and_deep_clone(spark, tdir):
+    """The `nonhive` add marker (manifest tuple = sole partition
+    authority) must survive RESTORE re-adds and both clone flavors,
+    or fsck would flag the files as externally-moved natives; a deep
+    clone that FLATTENS absolute refs under data/clone0 must mark
+    the flattened files itself (their k=v self-description, if any,
+    is lost in the flatten)."""
+    raw = os.path.join(tdir, "upstream")
+    for b in (0, 1, 2):
+        (spark.range(b * 20, b * 20 + 20)
+         .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(raw, f"b{b}")))
+    src = TxLogTable.convert(
+        spark, raw, "k", partition_schema={"bucket": "long"},
+        partition_values=lambda rel: {"bucket":
+                                      int(rel.split("/")[0][1:])})
+    v0 = src.snapshot().version
+    src.merge(spark.createDataFrame([(100, 1, 9)],
+                                    "k long, v long, bucket long"))
+    src.restore(version=v0)
+    assert all(s.get("nonhive")
+               for s in src.snapshot().files.values())
+    assert src.fsck(deep=True) == []
+    # shallow clone: absolute refs, marker propagated
+    sc_ = src.clone(os.path.join(tdir, "sc"))
+    assert sc_.fsck(deep=True) == []
+    # deep clone OF the shallow clone: flatten + self-marked
+    dc = sc_.clone(os.path.join(tdir, "dc"), deep=True)
+    assert all(s.get("nonhive")
+               for s in dc.snapshot().files.values())
+    assert dc.fsck(deep=True) == []
+    assert {r["k"]: r["bucket"] for r in dc.read().collect()} \
+        == {k: k // 20 for k in range(60)}
+
+
+@pytest.mark.parametrize("vseed", [13, 19])
+def test_random_ops_bloomed_deep_clone_both_vacuum(spark, tdir, vseed):
+    """Model walk over the r10 surface (VERDICT r9 task 7): a BLOOMED
+    source carrying a live DV is deep-cloned mid-history through the
+    DISTRIBUTED copy path (>= _CLONE_DISTRIBUTE_MIN files), then both
+    sides mutate AND VACUUM independently — a deep clone owns its
+    bytes, so unlike the shallow walk, source vacuum is fair game
+    here.  Every step re-checks the mutated side against its dict
+    model plus fsck; the closing deep fsck also audits bloom
+    completeness and the new mtime stamps on every surviving file, so
+    any op that carried a stale stamp or sidecar onto rewritten bytes
+    surfaces."""
+    import random
+
+    from cdc_plg_spark import lakehouse as lh
+
+    rng = random.Random(vseed)
+    src = TxLogTable.create(
+        spark, os.path.join(tdir, "src"),
+        spark.range(0, 120).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v")),
+        "k", n_files=lh._CLONE_DISTRIBUTE_MIN + 2,
+        key_bloom_bits=10)
+    m_src = {k: 2 * k for k in range(120)}
+    src.delete_where((5, 9), mode="dv")     # live DV at clone time
+    for k in range(5, 10):
+        del m_src[k]
+    c, m_c = None, None
+
+    def mutate(t, model, step):
+        kind = rng.choices(("merge", "delete_dv", "delete_cow",
+                            "optimize", "vacuum"),
+                           weights=(5, 2, 1, 1, 2))[0]
+        if kind == "merge":
+            rows, ops = [], {}
+            for k in rng.sample(range(160), rng.randint(1, 6)):
+                op = rng.choice("IUD")
+                v = rng.randint(-99, 99)
+                rows.append((k, v, op))
+                ops[k] = (op, v)
+            t.merge(spark.createDataFrame(
+                rows, "k long, v long, op string"), op_col="op")
+            for k, (op, v) in ops.items():
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        elif kind in ("delete_dv", "delete_cow"):
+            lo = rng.randint(0, 140)
+            hi = lo + rng.randint(0, 30)
+            t.delete_where((lo, hi),
+                           mode=kind.removeprefix("delete_"))
+            for k in list(model):
+                if lo <= k <= hi:
+                    del model[k]
+        elif kind == "optimize":
+            t.optimize(target_files=3)
+        else:
+            t.vacuum(retain_last=2, min_age_s=0)
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"step {step} ({kind}) diverged"
+        assert t.fsck() == []
+
+    for step in range(12):
+        if step == 4:
+            c = src.clone(os.path.join(tdir, "c"), deep=True)
+            m_c = dict(m_src)
+            # the clone carried the DV, not the deleted rows
+            assert {r["k"]: r["v"] for r in c.read().collect()} == m_c
+        if c is None or rng.random() < 0.5:
+            mutate(src, m_src, step)
+        else:
+            mutate(c, m_c, step)
+    assert {r["k"]: r["v"] for r in src.read().collect()} == m_src
+    assert {r["k"]: r["v"] for r in c.read().collect()} == m_c
+    # no byte sharing after a deep clone: every manifest ref is
+    # clone-relative (never an absolute path back into the source)
+    assert all(not os.path.isabs(p) for p in c.snapshot().files)
+    assert src.fsck(deep=True) == [] and c.fsck(deep=True) == []
+
+
+def test_restore_as_of_on_clone_chain(spark, tdir):
+    """RESTORE TO TIMESTAMP on a CLONE (VERDICT r9 task 7): rolling a
+    mutated shallow clone back to its create-time state must re-add
+    the ABSOLUTE out-of-root source references (the restore path's
+    missing-file check resolves them through _abs — the same boundary
+    the r9 DV-delete bug lived at), keep the nonhive/partition tuples
+    intact, and leave a clone-of-the-restored-clone still referencing
+    the ORIGINAL source files."""
+    import time as _time
+
+    src = mk(spark, os.path.join(tdir, "src"))
+    v_pin = src.snapshot().version
+    c = src.clone(os.path.join(tdir, "c"))
+    _time.sleep(0.05)
+    ts0 = _time.time()
+    _time.sleep(0.05)
+    c.merge(spark.createDataFrame([(7, -7, "U"), (900, 1, "I")],
+                                  "k long, v long, op string"),
+            op_col="op")
+    c.delete_where((0, 4))
+    assert {r["k"] for r in c.read().collect()} != set(range(60))
+    c.restore(as_of=ts0)
+    assert {r["k"]: r["v"] for r in c.read().collect()} \
+        == {r["k"]: r["v"] for r in src.read(version=v_pin).collect()}
+    # restored refs are the source's files again, by absolute path
+    assert all(os.path.isabs(p) for p in c.snapshot().files)
+    assert c.fsck(deep=True) == []
+    # clone of the restored clone still references the ORIGINALS
+    c2 = c.clone(os.path.join(tdir, "c2"))
+    assert parquet_under(c2.path) == []
+    assert {r["k"]: r["v"] for r in c2.read().collect()} \
+        == {k: 2 * k for k in range(60)}
+    assert c2.fsck(deep=True) == []

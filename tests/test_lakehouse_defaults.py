@@ -314,3 +314,29 @@ def test_defaults_lifecycle_matches_model(spark, tdir):
     for k in range(70, 72):
         model[k] = (2 * k, "b")
     check("re-add")
+
+
+def test_default_string_literal_guards_scan_past_literals(spark, tdir):
+    """ADVICE r9: the word-scan guards (subquery, non-deterministic
+    fn) must not fire INSIDE string literals — a literal is a
+    constant, so "'select one'" or "'now'" are perfectly legitimate
+    defaults.  Outside a literal the guards still refuse."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.add_column("a", "string", default="'select one'")
+    t.add_column("b", "string", default="'now'")
+    t.add_column("c", "string", default="'it''s now, select!'")
+    t.add_column("d", "string", default="upper('rand()')")
+    t.append(spark.sql("SELECT 40L AS k, 80L AS v"))
+    row = t.read().filter("k = 40").collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) \
+        == ("select one", "now", "it's now, select!", "RAND()")
+    # guards still fire outside literals — incl. mixed forms where a
+    # literal and a real call coexist
+    with pytest.raises(ValueError, match="subquery"):
+        t.add_column("bad1", "long",
+                     default="(SELECT max(id) FROM range(10))")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        t.add_column("bad2", "string", default="concat('now', uuid())")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        t.add_column("bad3", "long",
+                     default="length('x') + unix_timestamp()")

@@ -335,3 +335,29 @@ def test_nonhive_widen_temporal_and_cdf(spark, tdir):
           t.table_changes(v0, t.snapshot().version).collect()}
     assert ch == {(5, "U")}
     assert t.fsck(deep=True) == []
+
+
+def test_partition_values_refuses_empty_and_hive_null(spark, tdir):
+    """ADVICE r9: the callable branch type-checked isinstance only,
+    so an empty string or the literal __HIVE_DEFAULT_PARTITION__
+    slipped into the manifest — violating the 'NULL/empty partition
+    values are rejected at write time' invariant the hive-convert and
+    native-write paths both enforce."""
+    path = os.path.join(tdir, "t")
+    write_value_only(spark, path, n=60)
+
+    def log_absent():
+        assert not TxLogTable(spark, path)._versions()
+
+    with pytest.raises(ValueError, match="NULL/empty"):
+        TxLogTable.convert(spark, path, "user_id",
+                           partition_schema={"dt": "string"},
+                           partition_values=lambda rel: {"dt": ""})
+    log_absent()
+    with pytest.raises(ValueError, match="NULL/empty"):
+        TxLogTable.convert(
+            spark, path, "user_id",
+            partition_schema={"dt": "string"},
+            partition_values=lambda rel:
+                {"dt": "__HIVE_DEFAULT_PARTITION__"})
+    log_absent()

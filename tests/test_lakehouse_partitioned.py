@@ -494,3 +494,42 @@ def _worker_failure_report(out: bytes) -> str:
     first = next((ln for ln in txt.splitlines()
                   if re.search(r"(Exception|Error)\b", ln)), "")
     return f"first-error: {first}\n...\n{txt[-8000:]}"
+
+
+def test_fsck_flags_native_file_at_segmentless_path(spark, tdir):
+    """ADVICE r9: fsck used to skip the path/manifest cross-check for
+    ANY path with zero k=v segments, so a native hive file externally
+    moved (or re-manifested by a naive tool) at a segment-less path
+    went unflagged.  Now only files carrying the `nonhive` add marker
+    (non-hive converts, flattening deep clones) skip; a marker-less
+    partitioned file must be fully hive self-describing."""
+    t, _ = make_ptable(spark, os.path.join(tdir, "t"), n=30)
+    assert t.fsck() == []
+    snap = t.snapshot()
+    victim = sorted(snap.files)[0]
+    s = snap.files[victim]
+    stray = os.path.join("data", "stray.parquet")
+    shutil.copyfile(os.path.join(t.path, victim),
+                    os.path.join(t.path, stray))
+    assert t._try_commit(snap.version + 1, [
+        {"commit": {"op": "WRITE"}},
+        {"add": {"path": stray, "rows": s["rows"], "bytes": s["bytes"],
+                 "min_key": s["min_key"], "max_key": s["max_key"],
+                 "cols": s.get("cols", {}),
+                 "partition": dict(s["partition"])}}])
+    findings = t.fsck()
+    assert any(stray in m and "externally moved" in m
+               for m in findings), findings
+    # the same add WITH the layout marker is a legitimate import
+    snap2 = t.snapshot()
+    stray2 = os.path.join("data", "stray2.parquet")
+    shutil.copyfile(os.path.join(t.path, victim),
+                    os.path.join(t.path, stray2))
+    assert t._try_commit(snap2.version + 1, [
+        {"commit": {"op": "WRITE"}},
+        {"add": {"path": stray2, "rows": s["rows"],
+                 "bytes": s["bytes"], "min_key": s["min_key"],
+                 "max_key": s["max_key"], "cols": s.get("cols", {}),
+                 "partition": dict(s["partition"]),
+                 "nonhive": True}}])
+    assert not any(stray2 in m for m in t.fsck())

@@ -295,3 +295,23 @@ def test_pq_checked_twin_consistency(spark, sf_dir):
         g = g.sort_values("rk")
         assert list(g.rk) == [1, 2, 3, 4, 5]
         assert (g.adist.diff().dropna() >= -1e-12).all()
+
+
+def test_pq_refuses_non_divisible_embedding_dim(spark, tmp_path):
+    """ADVICE r9: sim_ann_pq hardcoded dim 64 (sub = 64 // M); a
+    fixture regen with a dim the M subspaces don't divide would have
+    F.slice past the array end into silently-short sub-vectors and
+    quietly wrong ADC distances.  Now sub derives from the trained
+    codebooks and an indivisible dim fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    n, dim = 40, 60                       # 60 % 8 != 0
+    (spark.range(n)
+     .select(F.col("id").alias("vec_id"),
+             F.array(*[(F.col("id") * 31 + i) % 17 / 16.0
+                       for i in range(dim)]).alias("embedding"))
+     .coalesce(1)                          # tiny fixture: one shard
+     .write.parquet(str(tmp_path / "embeddings.parquet")))
+    with pytest.raises(ValueError, match="not divisible"):
+        registry.get("sim_ann_pq").fn(spark, str(tmp_path))
