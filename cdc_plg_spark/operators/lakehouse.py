@@ -1635,3 +1635,65 @@ def lakehouse_clone_pinned(spark: SparkSession,
         F.lit(zero_copy).alias("shallow_zero_copy"),
         F.lit(pinned).alias("clone_pinned"),
         F.lit(src_ok).alias("source_untouched"))
+
+
+LAKEHOUSE_FSCK_ORACLE = """
+    SELECT event_id, user_id, ROUND(value, 4) AS value,
+           TRUE AS healthy_at_create,
+           TRUE AS shallow_blind_to_same_size,
+           TRUE AS deep_flags_foreign_writer,
+           TRUE AS healed_after_rewrite
+    FROM events
+"""
+
+
+@register("lakehouse_fsck_foreign_writer", oracle=LAKEHOUSE_FSCK_ORACLE,
+          tags=("lakehouse",))
+def lakehouse_fsck_foreign_writer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Foreign-writer detection as a driver-checkable exhibit (r10,
+    lakehouse.py _try_commit mtime stamp + fsck deep check): every
+    add-action stamps its data file's mtime at commit time, so a
+    SIZE-PRESERVING overwrite under data/ by a non-engine tool — the
+    one tamper class the byte-size check and every stats-trusting
+    read are blind to — surfaces in deep fsck instead of silently
+    feeding queries bytes the manifest stats lie about.
+
+    Measured claims, each carried on every row so a regression flips
+    the hash: `healthy_at_create` (deep fsck empty on the fresh
+    table); `shallow_blind_to_same_size` (after rewriting one live
+    file with IDENTICAL bytes, shallow fsck still reports nothing —
+    honest: size alone cannot see it); `deep_flags_foreign_writer`
+    (deep fsck names exactly the tampered file, and the finding can
+    only come from the mtime stamp since the bytes are identical);
+    `healed_after_rewrite` (OPTIMIZE rewrites the live set with
+    fresh stamps — deep fsck empty again).  The returned rows are the
+    healed table's full content, hash-checked against the raw events:
+    the tamper/heal cycle must be value-lossless end to end."""
+    import time
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_fsck_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev,
+                          "event_id", n_files=4)
+    healthy = t.fsck(deep=True) == []
+    victim = sorted(t.snapshot().files)[0]
+    vpath = os.path.join(t.path, victim)
+    raw = open(vpath, "rb").read()
+    time.sleep(0.02)          # ensure a distinct mtime_ns stamp
+    with open(vpath, "wb") as f:
+        f.write(raw)          # the foreign writer: same size, new mtime
+    shallow_blind = t.fsck() == []
+    deep_found = t.fsck(deep=True)
+    deep_flags = (any("foreign writer" in m and victim in m
+                      for m in deep_found)
+                  and len(deep_found) == 1)
+    t.optimize(target_files=2)
+    healed = t.fsck(deep=True) == []
+    return t.read().select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        F.lit(healthy).alias("healthy_at_create"),
+        F.lit(shallow_blind).alias("shallow_blind_to_same_size"),
+        F.lit(deep_flags).alias("deep_flags_foreign_writer"),
+        F.lit(healed).alias("healed_after_rewrite"))

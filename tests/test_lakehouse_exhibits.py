@@ -18,6 +18,7 @@ from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_BLOOM_POINT_ORACLE,
     LAKEHOUSE_CONVERT_GENERATED_ORACLE,
     LAKEHOUSE_DEFAULTS_ORACLE,
+    LAKEHOUSE_FSCK_ORACLE,
     LAKEHOUSE_GENERATED_ORACLE,
     LAKEHOUSE_PARTIAL_MERGE_ORACLE,
     LAKEHOUSE_RESTORE_ORACLE,
@@ -27,6 +28,7 @@ from cdc_plg_spark.operators.lakehouse import (
     lakehouse_bloom_point_read,
     lakehouse_column_defaults,
     lakehouse_convert_generated,
+    lakehouse_fsck_foreign_writer,
     lakehouse_generated_pruning,
     lakehouse_partial_merge,
     lakehouse_restore_roundtrip,
@@ -55,6 +57,8 @@ CASES = [
      LAKEHOUSE_CONVERT_GENERATED_ORACLE),
     ("lakehouse_column_defaults", lakehouse_column_defaults,
      LAKEHOUSE_DEFAULTS_ORACLE),
+    ("lakehouse_fsck_foreign_writer", lakehouse_fsck_foreign_writer,
+     LAKEHOUSE_FSCK_ORACLE),
 ]
 
 
@@ -91,3 +95,6 @@ def test_exhibit_booleans_are_measured_true(spark):
     assert g["rows_matching"] > 0
     w = lakehouse_type_widening(spark, sf).head()
     assert w["widen_moved_zero_bytes"] and w["old_files_read_wide"]
+    f = lakehouse_fsck_foreign_writer(spark, sf).head()
+    assert f["healthy_at_create"] and f["shallow_blind_to_same_size"]
+    assert f["deep_flags_foreign_writer"] and f["healed_after_rewrite"]
