@@ -361,6 +361,22 @@ def _clone_copy_job(job: tuple[str, str, bool]) -> None:
         _shutil.copyfile(src + ".bloom", dst + ".bloom")
 
 
+def _sha256_file(path: str) -> tuple[str, str]:
+    """sha256 hexdigest of ONE file's raw bytes — module-level and
+    self-contained so Spark ships it to executor tasks by reference
+    (`sc.parallelize(paths).map(_sha256_file)`).  Chunked read: the
+    seal must never require a whole data file in one task's memory.
+    Plain `open()` on purpose — see `_hash_files` for why the Hadoop
+    read path is unusable here."""
+    import hashlib as _hashlib
+
+    h = _hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return path, h.hexdigest()
+
+
 def _strip_sql_string_literals(expr: str) -> str:
     """Blank out quoted string literals before word-scanning a DEFAULT
     expression: a literal is a constant, so a blocked word INSIDE one
@@ -981,9 +997,14 @@ class TxLogTable:
                                if "partition" in a else {}),
                             **({"bloom": a["bloom"]}
                                if "bloom" in a else {}),
-                            # foreign-writer tripwire (deep fsck)
-                            **({"mtime_ns": a["mtime_ns"]}
-                               if "mtime_ns" in a else {}),
+                            # foreign-writer tripwires (deep fsck):
+                            # commit-time mtimes for the data file and
+                            # its bloom sidecar, plus the OPTIONAL
+                            # content-hash seal (stamp_hashes) that
+                            # survives even an os.utime mtime restore
+                            **{k: a[k] for k in (
+                                "mtime_ns", "bloom_mtime_ns",
+                                "sha256", "bloom_sha256") if k in a},
                             # non-hive import: manifest tuple is the
                             # sole partition authority, path carries
                             # no k=v segments by design
@@ -1043,7 +1064,7 @@ class TxLogTable:
                     # (informational — version order, not ts order, is
                     # the serialization authority)
                     a = {"commit": {**a["commit"], "ts": time.time()}}
-                elif "add" in a and "mtime_ns" not in a["add"]:
+                elif "add" in a:
                     # stamp the data file's mtime at commit time — the
                     # foreign-writer tripwire deep fsck checks: a
                     # size-preserving overwrite under data/ by a
@@ -1053,12 +1074,29 @@ class TxLogTable:
                     # every add site (write, convert, clone, restore,
                     # optimize, merge) gets it; a vanished file skips
                     # the stamp — fsck's exists-check already owns
-                    # that failure.
-                    try:
-                        a = {"add": {**a["add"], "mtime_ns": os.stat(
-                            self._abs(a["add"]["path"])).st_mtime_ns}}
-                    except OSError:
-                        pass
+                    # that failure.  Bloom sidecars get the same stamp
+                    # (`bloom_mtime_ns`): a SAME-SIZE sidecar overwrite
+                    # fails open at probe time (extra bits set → the
+                    # file merely stays a merge candidate) so neither
+                    # the m/8 size check nor the completeness audit
+                    # can see it — only the stamp can (r10).
+                    add = a["add"]
+                    stamps = {}
+                    if "mtime_ns" not in add:
+                        try:
+                            stamps["mtime_ns"] = os.stat(self._abs(
+                                add["path"])).st_mtime_ns
+                        except OSError:
+                            pass
+                    if "bloom" in add and "bloom_mtime_ns" not in add:
+                        try:
+                            stamps["bloom_mtime_ns"] = os.stat(
+                                self._abs(add["path"])
+                                + ".bloom").st_mtime_ns
+                        except OSError:
+                            pass
+                    if stamps:
+                        a = {"add": {**add, **stamps}}
                 f.write(json.dumps(a, sort_keys=True) + "\n")
             f.flush()
             os.fsync(f.fileno())
@@ -3209,6 +3247,11 @@ class TxLogTable:
                 a["bloom"] = s["bloom"]
             if s.get("nonhive"):
                 a["nonhive"] = True   # layout marker survives restore
+            # content-hash seals survive restore: the bytes on disk
+            # are untouched, so the seal stays valid (mtimes are NOT
+            # carried — _try_commit re-stamps from the live file)
+            a.update({k: s[k] for k in ("sha256", "bloom_sha256")
+                      if k in s})
             adds.append({"add": a})
             if s.get("dv"):
                 dvs.append({"dv": {"path": p, "keys": list(s["dv"])}})
@@ -3344,6 +3387,13 @@ class TxLogTable:
                 a["bloom"] = s["bloom"]
             if nonhive:
                 a["nonhive"] = True
+            # content-hash seals survive BOTH clone flavors: shallow
+            # references the same bytes, deep copies byte-identically,
+            # so sha256(content) is unchanged either way (mtimes are
+            # re-stamped fresh by _try_commit — a deep-clone copy is a
+            # new file)
+            a.update({k: s[k] for k in ("sha256", "bloom_sha256")
+                      if k in s})
             adds.append({"add": a})
             if s.get("dv"):
                 dvs.append({"dv": {"path": path,
@@ -3813,9 +3863,118 @@ class TxLogTable:
         return {"data_files_removed": removed, "horizon": horizon,
                 "versions_retained": len(keep)}
 
+    def _hash_files(self, paths: list[str]) -> dict[str, str]:
+        """sha256 of each file's raw bytes.  At `_CLONE_DISTRIBUTE_MIN`
+        files and above the paths fan out as ONE
+        `sc.parallelize(...).map(_sha256_file)` job — executors read
+        their own files and only (path, hexdigest) pairs reach the
+        driver, so seal/verify cost scales with cluster width and no
+        byte flows through the driver; below the threshold a driver
+        loop beats the job launch (the deep-clone discipline).
+
+        Deliberately NOT a Spark `binaryFile` scan: that path reads
+        through Hadoop's ChecksumFileSystem, whose hidden local `.crc`
+        sidecars make a read of a tampered Spark-written file CRASH
+        with ChecksumException instead of returning bytes — the audit
+        must REPORT tamper, not die on it — and convert-imported or
+        engine-written sidecar files have no `.crc` at all, so that
+        tripwire is inconsistent across the very files being sealed."""
+        if not paths:
+            return {}
+        if len(paths) >= _CLONE_DISTRIBUTE_MIN:
+            sc = self.spark.sparkContext
+            rows = (sc.parallelize(paths,
+                                   min(len(paths),
+                                       sc.defaultParallelism))
+                    .map(_sha256_file)
+                    .collect())   # audit-sized: one pair per file
+        else:
+            rows = [_sha256_file(p) for p in paths]
+        return dict(rows)
+
+    def stamp_hashes(self) -> dict:
+        """Seal every live data file (and bloom sidecar) with an
+        sha256 content hash — the OPTIONAL stronger fsck tier above
+        the commit-time mtime stamp.  The mtime tripwire catches a
+        size-preserving overwrite, but an adversarial foreign writer
+        can `os.utime` the original mtime back after tampering; a
+        content seal has no such restore.  One distributed
+        executor-side byte pass (`_hash_files`), then ONE commit that
+        re-adds each live entry with `sha256` (+ `bloom_sha256`),
+        carrying partition tuples, layout markers, stats, stamps and
+        re-emitting deletion vectors — the stamp commit is
+        value-invisible to every reader.
+
+        The seal is point-in-time: files written AFTER it (appends,
+        OPTIMIZE rewrites) are unstamped until the next run, and
+        `fsck(verify_hashes=True)` reports honestly when nothing is
+        sealed.  Seals survive RESTORE and both CLONE flavors (bytes
+        are untouched or copied byte-identically); they die with the
+        file on rewrite, as they must.
+
+        Cost is one full read of the live bytes — the price of a
+        byte-level audit, same O as deep fsck's footer+bloom pass is
+        O(files).  Run it after bulk loads or on a schedule, not per
+        commit."""
+        for _ in range(5):
+            snap = self.snapshot()
+            if snap.version < 0:
+                raise ValueError("stamp_hashes on non-existent table")
+            self._assert_writer(snap)
+            live = sorted(snap.files.items())
+            if not live:
+                return {"version": snap.version, "skipped": True,
+                        "files_stamped": 0, "sidecars_stamped": 0}
+            paths = [self._abs(p) for p, _ in live]
+            paths += [self._abs(p) + ".bloom" for p, s in live
+                      if s.get("bloom")]
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                raise ValueError(
+                    f"cannot seal: {len(missing)} live file(s) missing "
+                    f"on disk, e.g. {missing[0]!r} — run fsck")
+            hashes = self._hash_files(paths)
+            adds, dvs, n_side = [], [], 0
+            for p, s in live:
+                full = self._abs(p)
+                a = {"path": p,
+                     **{k: s[k] for k in ("rows", "bytes",
+                                          "min_key", "max_key")},
+                     "cols": s.get("cols", {}),
+                     **({"partition": s["partition"]}
+                        if "partition" in s else {}),
+                     **({"bloom": s["bloom"]} if "bloom" in s else {}),
+                     **({"nonhive": True} if s.get("nonhive") else {}),
+                     # mtimes carried as-is: the file is untouched, so
+                     # the original commit-time stamp stays the truth
+                     **{k: s[k] for k in ("mtime_ns", "bloom_mtime_ns")
+                        if k in s},
+                     "sha256": hashes[full]}
+                if s.get("bloom"):
+                    a["bloom_sha256"] = hashes[full + ".bloom"]
+                    n_side += 1
+                adds.append({"add": a})
+                if s.get("dv"):
+                    # an add REPLACES the manifest entry on replay, so
+                    # the deletion vector must ride along or the stamp
+                    # commit would resurrect deleted rows
+                    dvs.append({"dv": {"path": p,
+                                       "keys": list(s["dv"])}})
+            actions = [{"commit": {"op": "STAMP_HASHES",
+                                   "files": len(live),
+                                   "sidecars": n_side}},
+                       *adds, *dvs]
+            if self._try_commit(snap.version + 1, actions):
+                self._maybe_checkpoint(self.snapshot(snap.version + 1))
+                return {"version": snap.version + 1, "skipped": False,
+                        "files_stamped": len(live),
+                        "sidecars_stamped": n_side}
+        raise ConflictError("stamp_hashes retries exhausted")
+
     # ------------------------------------------------------------ fsck
 
-    def fsck(self, deep: bool = False) -> list[str]:
+    def fsck(self, deep: bool = False,
+             verify_hashes: bool = False) -> list[str]:
         """Table integrity check — the format's own consistency
         authority (every production table format ships one).  Pure
         manifest + directory work; `deep=True` additionally re-reads
@@ -3836,7 +3995,16 @@ class TxLogTable:
         - deep: per-file mtime matches the commit-time stamp — the
           foreign-writer tripwire for size-preserving overwrites
           under `data/` that every stats-trusting read would
-          otherwise consume silently (VERDICT r9 task 3);
+          otherwise consume silently (VERDICT r9 task 3); bloom
+          sidecars carry the same stamp (a same-size sidecar
+          overwrite fails open at probe time, so only the stamp can
+          see it);
+        - verify_hashes: recompute sha256 over every SEALED live
+          file's bytes (one distributed executor-side pass) and compare
+          to the `stamp_hashes()` seal — catches the adversary the
+          mtime tier cannot: tamper followed by an `os.utime` mtime
+          restore.  Honest when nothing is sealed (reports that,
+          never silently passes).  Composable with either depth;
         - per-file stats well-formed (min_key <= max_key, col lo <= hi)
           and DV keys inside the file's key range, |dv| <= rows;
         - column-mapping coherence: mapping keys == schema fields,
@@ -3989,6 +4157,16 @@ class TxLogTable:
                             f"commit by a foreign writer; manifest "
                             f"stats are untrustworthy (OPTIMIZE to "
                             f"rewrite, or re-convert)")
+                if bl is not None and "bloom_mtime_ns" in s \
+                        and os.path.exists(side):
+                    side_m = os.stat(side).st_mtime_ns
+                    if side_m != s["bloom_mtime_ns"]:
+                        out.append(
+                            f"{rel}: bloom sidecar mtime {side_m} != "
+                            f"manifest {s['bloom_mtime_ns']} — sidecar "
+                            f"modified after commit by a foreign "
+                            f"writer; probes may fail open or lie "
+                            f"(OPTIMIZE to rebuild)")
                 pkey = snap.phys(snap.key_col)
                 pcols = [pkey, *s.get("cols", {})]
                 lo_f, hi_f, n_rows, _ = _footer_stats(full, pcols)
@@ -4035,6 +4213,44 @@ class TxLogTable:
                     f"{n_bad} row(s) violate generated-column "
                     f"expression(s) {sorted(snap.generated)} — some "
                     f"writer bypassed the ingest contract")
+        if verify_hashes:
+            # content-seal tier: recompute sha256 over every SEALED
+            # live byte (one distributed executor-side pass) and compare
+            # to the stamp_hashes() seal.  Only size-consistent files
+            # are hashed — a size mismatch already produced its own
+            # finding above and re-flagging it here is noise.  An
+            # UNSEALED table is reported, never silently passed: the
+            # caller asked for a byte-level audit and must not read an
+            # empty answer as one.
+            sealed: list[tuple[str, str, int]] = []
+            for rel, s in sorted(snap.files.items()):
+                full = self._abs(rel)
+                if ("sha256" in s and os.path.exists(full)
+                        and os.path.getsize(full) == s["bytes"]):
+                    sealed.append((rel, full, s["sha256"]))
+                side = full + ".bloom"
+                if (s.get("bloom") and "bloom_sha256" in s
+                        and os.path.exists(side)
+                        and os.path.getsize(side)
+                        == s["bloom"]["m"] // 8):
+                    sealed.append((f"{rel} (bloom sidecar)", side,
+                                   s["bloom_sha256"]))
+            if not sealed and snap.files:
+                out.append(
+                    "verify_hashes: no live file carries a content "
+                    "seal — run stamp_hashes() first (mtime tier "
+                    "still checked under deep fsck)")
+            elif sealed:
+                got = self._hash_files([p for _, p, _ in sealed])
+                for rel, full, want in sealed:
+                    g = got.get(full)
+                    if g is not None and g != want:
+                        out.append(
+                            f"{rel}: content hash {g} != sealed "
+                            f"{want} — bytes differ from the "
+                            f"stamp_hashes() seal; a restored mtime "
+                            f"cannot hide this (foreign writer; "
+                            f"OPTIMIZE to rewrite, then re-seal)")
         return out
 
     def _fsck_bloom_completeness(

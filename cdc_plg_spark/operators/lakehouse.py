@@ -1697,3 +1697,69 @@ def lakehouse_fsck_foreign_writer(spark: SparkSession,
         F.lit(shallow_blind).alias("shallow_blind_to_same_size"),
         F.lit(deep_flags).alias("deep_flags_foreign_writer"),
         F.lit(healed).alias("healed_after_rewrite"))
+
+
+LAKEHOUSE_SEAL_ORACLE = """
+    SELECT event_id, user_id, ROUND(value, 4) AS value,
+           TRUE AS sealed_at_create,
+           TRUE AS mtime_blind_to_utime_restore,
+           TRUE AS seal_flags_tamper,
+           TRUE AS byte_restore_satisfies_seal
+    FROM events
+"""
+
+
+@register("lakehouse_fsck_hash_seal", oracle=LAKEHOUSE_SEAL_ORACLE,
+          tags=("lakehouse",))
+def lakehouse_fsck_hash_seal(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Content-hash seal as a driver-checkable exhibit (r10,
+    lakehouse.py stamp_hashes + fsck verify_hashes): the fsck tier
+    ABOVE the mtime tripwire.  The mtime stamp catches a
+    size-preserving overwrite, but an adversarial foreign writer can
+    `os.utime` the original mtime back after tampering — bytes are
+    the only thing it cannot restore without undoing the tamper, so
+    `stamp_hashes()` seals every live file (and bloom sidecar) with
+    sha256 computed executor-side (no byte through the driver) and
+    `fsck(verify_hashes=True)` recomputes and compares.
+
+    Measured claims, each carried on every row so a regression flips
+    the hash: `sealed_at_create` (seal + full verify green on the
+    fresh table); `mtime_blind_to_utime_restore` (after a same-size
+    mid-file byte flip with the original mtime restored, deep fsck
+    STILL reports nothing — honest: size and mtime both check out);
+    `seal_flags_tamper` (the hash tier names exactly the victim);
+    `byte_restore_satisfies_seal` (putting the original bytes back —
+    not re-stamping — verifies green: the seal is a statement about
+    content, nothing else).  The returned rows are the healed
+    table's full content, hash-checked against the raw events: the
+    tamper/heal cycle must be value-lossless end to end."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="lh_seal_")
+    t = TxLogTable.create(spark, os.path.join(d, "t"), ev,
+                          "event_id", n_files=4)
+    t.stamp_hashes()
+    sealed = t.fsck(deep=True, verify_hashes=True) == []
+    victim = sorted(t.snapshot().files)[0]
+    vpath = os.path.join(t.path, victim)
+    st = os.stat(vpath)
+    raw = open(vpath, "rb").read()
+    mid = len(raw) // 2
+    with open(vpath, "wb") as f:            # same size, one byte off
+        f.write(raw[:mid] + bytes([raw[mid] ^ 0xFF]) + raw[mid + 1:])
+    os.utime(vpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+    mtime_blind = t.fsck(deep=True) == []
+    found = t.fsck(verify_hashes=True)
+    flags = (len(found) == 1 and victim in found[0]
+             and "content hash" in found[0])
+    with open(vpath, "wb") as f:            # heal: original bytes back
+        f.write(raw)
+    os.utime(vpath, ns=(st.st_atime_ns, st.st_mtime_ns))
+    healed = t.fsck(deep=True, verify_hashes=True) == []
+    return t.read().select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        F.lit(sealed).alias("sealed_at_create"),
+        F.lit(mtime_blind).alias("mtime_blind_to_utime_restore"),
+        F.lit(flags).alias("seal_flags_tamper"),
+        F.lit(healed).alias("byte_restore_satisfies_seal"))

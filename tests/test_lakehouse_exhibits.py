@@ -23,12 +23,14 @@ from cdc_plg_spark.operators.lakehouse import (
     LAKEHOUSE_PARTIAL_MERGE_ORACLE,
     LAKEHOUSE_RESTORE_ORACLE,
     LAKEHOUSE_RETENTION_ORACLE,
+    LAKEHOUSE_SEAL_ORACLE,
     LAKEHOUSE_TEMPORAL_SKIP_ORACLE,
     LAKEHOUSE_WIDENING_ORACLE,
     lakehouse_bloom_point_read,
     lakehouse_column_defaults,
     lakehouse_convert_generated,
     lakehouse_fsck_foreign_writer,
+    lakehouse_fsck_hash_seal,
     lakehouse_generated_pruning,
     lakehouse_partial_merge,
     lakehouse_restore_roundtrip,
@@ -59,6 +61,8 @@ CASES = [
      LAKEHOUSE_DEFAULTS_ORACLE),
     ("lakehouse_fsck_foreign_writer", lakehouse_fsck_foreign_writer,
      LAKEHOUSE_FSCK_ORACLE),
+    ("lakehouse_fsck_hash_seal", lakehouse_fsck_hash_seal,
+     LAKEHOUSE_SEAL_ORACLE),
 ]
 
 

@@ -1,0 +1,212 @@
+"""Content-hash seal tests (r10: the stronger fsck tier above mtime).
+
+Threat model ladder the tiers climb, each test pinning one rung:
+- byte-size check (shallow fsck): catches appends/truncation;
+- commit-time mtime stamp (deep fsck): catches same-size overwrites;
+- content seal (`stamp_hashes()` + `fsck(verify_hashes=True)`):
+  catches same-size overwrites where the foreign writer RESTORES the
+  original mtime with `os.utime` — the adversary the mtime tier is
+  honestly blind to.
+
+Bloom sidecars get the same ladder: the m/8 size check, a
+`bloom_mtime_ns` stamp (new in r10 — a same-size sidecar overwrite
+with extra bits set fails OPEN at probe time and passes the
+completeness audit, so only the stamp can see it), and a
+`bloom_sha256` seal.
+
+Seals are point-in-time and must survive exactly the operations that
+preserve bytes: RESTORE (same files), shallow CLONE (same files),
+deep CLONE (byte-identical copies) — and die with the file on
+rewrite (OPTIMIZE), reported honestly when absent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_plg_spark.lakehouse import TxLogTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txlog_seal_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def mk(spark, path, n=200, n_files=4, bloom=0):
+    df = spark.range(0, n).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value"))
+    return TxLogTable.create(spark, path, df, "user_id",
+                             n_files=n_files, key_bloom_bits=bloom)
+
+
+def _tamper_same_size_restore_mtime(full: str) -> None:
+    """The adversary: flip bytes mid-file (same size), then put the
+    original mtime back — invisible to size AND mtime checks."""
+    st = os.stat(full)
+    with open(full, "r+b") as f:
+        f.seek(st.st_size // 2)
+        b = f.read(1)
+        f.seek(st.st_size // 2)
+        f.write(bytes([b[0] ^ 0xFF]))
+    os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+
+def test_seal_then_verify_green(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    r = t.stamp_hashes()
+    assert r["files_stamped"] == 4 and not r["skipped"]
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # every live entry carries the seal
+    assert all("sha256" in s for s in t.snapshot().files.values())
+
+
+def test_unsealed_table_reports_honestly(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    found = t.fsck(verify_hashes=True)
+    assert len(found) == 1 and "no live file carries a content seal" \
+        in found[0]
+
+
+def test_seal_catches_mtime_restoring_tamper(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    victim = sorted(t.snapshot().files)[1]
+    full = os.path.join(t.path, victim)
+    st = os.stat(full)
+    raw = open(full, "rb").read()
+    _tamper_same_size_restore_mtime(full)
+    # rungs 1+2 are blind — honest, pinned
+    assert t.fsck() == []
+    assert t.fsck(deep=True) == []
+    # rung 3 names exactly the victim
+    found = t.fsck(deep=True, verify_hashes=True)
+    assert len(found) == 1
+    assert victim in found[0] and "content hash" in found[0]
+    # the seal is a CONTENT statement: restoring the original bytes
+    # (not the mtime, not a re-stamp) satisfies it again
+    with open(full, "wb") as f:
+        f.write(raw)
+    os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_stamp_commit_value_invisible_preserves_dvs(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.delete_where(key_between=(50, 99), mode="dv")  # merge-on-read
+    before = sorted(r["user_id"] for r in t.read().collect())
+    assert len(before) == 150
+    t.stamp_hashes()
+    after = sorted(r["user_id"] for r in t.read().collect())
+    assert after == before                 # DVs rode the stamp commit
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_bloom_sidecar_mtime_stamp_flags_same_size_overwrite(
+        spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"), bloom=10)
+    assert t.fsck(deep=True) == []
+    victim = sorted(t.snapshot().files)[0]
+    side = os.path.join(t.path, victim) + ".bloom"
+    # foreign writer sets EVERY bit: same size, completeness audit
+    # still passes (all keys probe present), probes fail open
+    size = os.path.getsize(side)
+    with open(side, "wb") as f:
+        f.write(b"\xff" * size)
+    assert t.fsck() == []                  # size tier blind
+    found = t.fsck(deep=True)
+    assert len(found) == 1
+    assert victim in found[0] and "sidecar mtime" in found[0]
+    t.optimize(target_files=2)             # rebuild sidecars
+    assert t.fsck(deep=True) == []
+
+
+def test_bloom_sidecar_seal_catches_mtime_restoring_tamper(
+        spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"), bloom=10)
+    r = t.stamp_hashes()
+    assert r["sidecars_stamped"] == 4
+    victim = sorted(t.snapshot().files)[2]
+    side = os.path.join(t.path, victim) + ".bloom"
+    st = os.stat(side)
+    with open(side, "wb") as f:
+        f.write(b"\xff" * st.st_size)      # all-bits: fails open
+    os.utime(side, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert t.fsck(deep=True) == []         # mtime tier restored-blind
+    found = t.fsck(verify_hashes=True)
+    assert len(found) == 1
+    assert "bloom sidecar" in found[0] and victim in found[0]
+
+
+def test_seal_survives_restore(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    v_sealed = t.snapshot().version
+    t.append(spark.range(200, 260).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value")),
+        n_files=2)
+    t.restore(version=v_sealed)
+    assert all("sha256" in s for s in t.snapshot().files.values())
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_seal_survives_both_clone_flavors(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"), n_files=10, bloom=10)
+    t.stamp_hashes()
+    shallow = t.clone(os.path.join(tdir, "c_shallow"))
+    # 10 files >= _CLONE_DISTRIBUTE_MIN → the distributed copy path
+    deep = t.clone(os.path.join(tdir, "c_deep"), deep=True)
+    for c in (shallow, deep):
+        assert all("sha256" in s and "bloom_sha256" in s
+                   for s in c.snapshot().files.values())
+        assert c.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_new_files_after_seal_are_unstamped_not_lied_about(
+        spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    t.append(spark.range(200, 240).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value")),
+        n_files=2)
+    snap = t.snapshot()
+    sealed = [p for p, s in snap.files.items() if "sha256" in s]
+    unsealed = [p for p, s in snap.files.items() if "sha256" not in s]
+    assert len(sealed) == 4 and len(unsealed) == 2
+    # partial seal verifies what it has, silently skips nothing it
+    # claims — and a fresh stamp covers the newcomers
+    assert t.fsck(verify_hashes=True) == []
+    r = t.stamp_hashes()
+    assert r["files_stamped"] == 6
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_seal_survives_checkpoint_replay(spark, tdir):
+    from cdc_plg_spark.lakehouse import CHECKPOINT_EVERY
+    t = mk(spark, os.path.join(tdir, "t"), n=40, n_files=1)
+    t.stamp_hashes()
+    base = 1000
+    while t.snapshot().version < CHECKPOINT_EVERY:
+        t.append(spark.range(base, base + 5).select(
+            F.col("id").alias("user_id"),
+            (F.col("id") * 3).alias("value")), n_files=1)
+        base += 5
+    assert t._checkpoints()   # crossed the checkpoint boundary
+    t2 = TxLogTable(spark, t.path)            # fresh handle → ckpt load
+    snap = t2.snapshot()
+    assert any("sha256" in s for s in snap.files.values())
+    assert t2.fsck(verify_hashes=True) == []
+
+
+def test_stamp_refuses_on_missing_file(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    victim = sorted(t.snapshot().files)[0]
+    os.unlink(os.path.join(t.path, victim))
+    with pytest.raises(ValueError, match="missing"):
+        t.stamp_hashes()
