@@ -438,7 +438,14 @@ def test_random_ops_bloomed_deep_clone_both_vacuum(spark, tdir, vseed):
     model plus fsck; the closing deep fsck also audits bloom
     completeness and the new mtime stamps on every surviving file, so
     any op that carried a stale stamp or sidecar onto rewritten bytes
-    surfaces."""
+    surfaces.
+
+    r10 extension: `stamp_hashes` joins the op mix — a seal commit
+    interleaved with merges/deletes/optimize/vacuum must stay
+    value-invisible (the dict-model check runs right after it, so a
+    dropped DV or resurrected row diverges immediately), and the
+    closing re-seal + `verify_hashes` audit proves every surviving
+    byte still matches its content seal after the whole walk."""
     import random
 
     from cdc_plg_spark import lakehouse as lh
@@ -458,8 +465,8 @@ def test_random_ops_bloomed_deep_clone_both_vacuum(spark, tdir, vseed):
 
     def mutate(t, model, step):
         kind = rng.choices(("merge", "delete_dv", "delete_cow",
-                            "optimize", "vacuum"),
-                           weights=(5, 2, 1, 1, 2))[0]
+                            "optimize", "vacuum", "stamp"),
+                           weights=(5, 2, 1, 1, 2, 2))[0]
         if kind == "merge":
             rows, ops = [], {}
             for k in rng.sample(range(160), rng.randint(1, 6)):
@@ -484,6 +491,8 @@ def test_random_ops_bloomed_deep_clone_both_vacuum(spark, tdir, vseed):
                     del model[k]
         elif kind == "optimize":
             t.optimize(target_files=3)
+        elif kind == "stamp":
+            t.stamp_hashes()
         else:
             t.vacuum(retain_last=2, min_age_s=0)
         got = {r["k"]: r["v"] for r in t.read().collect()}
@@ -506,6 +515,11 @@ def test_random_ops_bloomed_deep_clone_both_vacuum(spark, tdir, vseed):
     # clone-relative (never an absolute path back into the source)
     assert all(not os.path.isabs(p) for p in c.snapshot().files)
     assert src.fsck(deep=True) == [] and c.fsck(deep=True) == []
+    # closing seal + byte-level audit: every surviving live byte (and
+    # sidecar) on both sides matches a fresh content seal
+    for t in (src, c):
+        t.stamp_hashes()
+        assert t.fsck(deep=True, verify_hashes=True) == []
 
 
 def test_restore_as_of_on_clone_chain(spark, tdir):
@@ -541,3 +555,54 @@ def test_restore_as_of_on_clone_chain(spark, tdir):
     assert {r["k"]: r["v"] for r in c2.read().collect()} \
         == {k: 2 * k for k in range(60)}
     assert c2.fsck(deep=True) == []
+
+
+def test_restore_deep_clone_chain_under_vacuum(spark, tdir):
+    """RESTORE AS OF on a DEEP clone chain under vacuum pressure (the
+    r10 as-of pin covers shallow clones; this is the deep side).  A
+    deep clone owns its bytes, so the two vacuum facts to pin are
+    opposite ones: (a) the SOURCE vacuuming all the way down cannot
+    break the clone's restore — the clone's create-time files are its
+    own copies; (b) the CLONE's OWN vacuum moving its horizon past
+    the restore target must make the restore REFUSE (restoring past
+    the vacuum horizon is unrecoverable by design), never return a
+    half-table."""
+    import time as _time
+
+    import pytest as _pytest
+
+    src = mk(spark, os.path.join(tdir, "src"), n=80)
+    c1 = src.clone(os.path.join(tdir, "c1"), deep=True)
+    _time.sleep(0.05)
+    ts0 = _time.time()
+    _time.sleep(0.05)
+    # chain: deep clone OF the deep clone, then both ends mutate
+    c2 = c1.clone(os.path.join(tdir, "c2"), deep=True)
+    c1.merge(spark.createDataFrame([(5, -5, "U"), (901, 1, "I")],
+                                   "k long, v long, op string"),
+             op_col="op")
+    c1.delete_where((10, 19))
+    # (a) source vacuums to the bone — the deep chain never notices
+    src.delete_where((0, 79))
+    src.vacuum(retain_last=1, min_age_s=0)
+    assert src.read().count() == 0
+    c1.restore(as_of=ts0)
+    assert {r["k"]: r["v"] for r in c1.read().collect()} \
+        == {k: 2 * k for k in range(80)}
+    assert c1.fsck(deep=True) == []
+    assert {r["k"]: r["v"] for r in c2.read().collect()} \
+        == {k: 2 * k for k in range(80)}
+    assert c2.fsck(deep=True) == []
+    # (b) now roll c1 forward again and vacuum ITS horizon past the
+    # create version: restore must refuse, loudly
+    v_restored = c1.snapshot().version
+    c1.delete_where((0, 39), mode="cow")
+    c1.optimize(target_files=2)
+    c1.vacuum(retain_last=1, min_age_s=0)
+    with _pytest.raises(ValueError):
+        c1.restore(version=0)
+    # the refusal left HEAD intact and healthy
+    assert c1.snapshot().version > v_restored
+    assert {r["k"] for r in c1.read().collect()} \
+        == set(range(40, 80))
+    assert c1.fsck(deep=True) == []
