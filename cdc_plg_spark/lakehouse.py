@@ -4169,7 +4169,22 @@ class TxLogTable:
                             f"(OPTIMIZE to rebuild)")
                 pkey = snap.phys(snap.key_col)
                 pcols = [pkey, *s.get("cols", {})]
-                lo_f, hi_f, n_rows, _ = _footer_stats(full, pcols)
+                try:
+                    lo_f, hi_f, n_rows, _ = _footer_stats(full, pcols)
+                except Exception as ex:
+                    # the audit must REPORT corruption, never die on
+                    # it: a foreign writer that garbles the footer
+                    # region (found by the r10 seal probe — a
+                    # mid-file flip on a small file lands in the
+                    # footer) would otherwise crash deep fsck instead
+                    # of being named in its findings
+                    out.append(
+                        f"{rel}: parquet footer unreadable "
+                        f"({type(ex).__name__}) — file corrupt or "
+                        f"not parquet; every manifest stat for it is "
+                        f"untrustworthy (restore the file or "
+                        f"re-convert)")
+                    continue
                 if n_rows != s["rows"]:
                     out.append(f"{rel}: footer rows {n_rows} != "
                                f"manifest {s['rows']}")

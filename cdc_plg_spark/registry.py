@@ -100,7 +100,12 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # every pre-r5 green.  Force FINELY this round per VERDICT r9 task 8:
 # only ids whose PLAN a change actually touches; refusal-path-only or
 # maintenance-path (clone copy, fsck) edits don't force.
-_FORCE_RECHECK: set[str] = set()
+# r10 session 2: lakehouse_bloom_point_read's dataflow changed (24
+# bits/key, min-over-3-probes absent claim — the 10-bit single-probe
+# version was FP-flaky under session-order-dependent range-partition
+# sampling), so the driver re-proves it.  The seal/fsck additions are
+# maintenance-path and force nothing.
+_FORCE_RECHECK: set[str] = {"lakehouse_bloom_point_read"}
 
 
 def _round_of(path: str) -> int:

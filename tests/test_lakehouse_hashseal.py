@@ -210,3 +210,87 @@ def test_stamp_refuses_on_missing_file(spark, tdir):
     os.unlink(os.path.join(t.path, victim))
     with pytest.raises(ValueError, match="missing"):
         t.stamp_hashes()
+
+
+def test_seal_survives_metadata_only_schema_evolution(spark, tdir):
+    """rename_column / widen_column_type / add_column are metadata-only
+    commits — no byte moves, so seals must persist AND verify green
+    through all three (the r10 composition probe: every migration
+    boundary r7-r9 found a silent bug at was a metadata/byte seam)."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") * 3).cast("int").alias("value"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=4)
+    t.stamp_hashes()
+    t.rename_column("value", "val")
+    t.widen_column_type("val", "long")
+    t.add_column("tag", "string", default="'x'")
+    snap = t.snapshot()
+    assert all("sha256" in s for s in snap.files.values())
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # reads still correct through mapping + widening (DEFAULT applies
+    # to future inserts; pre-existing rows read NULL — the engine's
+    # documented add_column contract)
+    got = {r["user_id"]: (int(r["val"]), r["tag"])
+           for r in t.read().collect()}
+    assert got[7] == (21, None)
+
+
+def test_seal_on_nonhive_converted_table(spark, tdir):
+    """Seal files a non-hive CONVERT imported in place (no k=v
+    segments, manifest tuple is the partition authority): stamping,
+    verifying, and flagging a tampered import must all work on
+    absolute-layout tables too — the convert path never went through
+    the engine's writer, so this is the other half of the seal's
+    coverage."""
+    raw = os.path.join(tdir, "upstream")
+    for b in (0, 1):
+        (spark.range(b * 30, b * 30 + 30)
+         .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(raw, f"b{b}")))
+    t = TxLogTable.convert(
+        spark, raw, "k", partition_schema={"bucket": "long"},
+        partition_values=lambda rel: {"bucket":
+                                      int(rel.split("/")[0][1:])})
+    r = t.stamp_hashes()
+    assert r["files_stamped"] == len(t.snapshot().files)
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    victim = sorted(t.snapshot().files)[0]
+    vfull = os.path.join(t.path, victim)
+    st = os.stat(vfull)
+    raw = open(vfull, "rb").read()
+    _tamper_same_size_restore_mtime(vfull)
+    found = t.fsck(verify_hashes=True)
+    assert len(found) == 1 and victim in found[0] \
+        and "content hash" in found[0]
+    # nonhive markers rode the stamp commit (an add REPLACES the
+    # entry — dropping the marker would make fsck flag the layout)
+    assert all(s.get("nonhive")
+               for s in t.snapshot().files.values())
+    # heal with the original bytes: everything green again
+    with open(vfull, "wb") as f:
+        f.write(raw)
+    os.utime(vfull, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_deep_fsck_reports_corrupt_footer_instead_of_crashing(
+        spark, tdir):
+    """Found by this probe: a foreign writer that garbles the parquet
+    FOOTER region used to crash deep fsck inside pyarrow (thrift
+    deserialization error) instead of being named in the findings —
+    the audit must report corruption, never die on it."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    victim = sorted(t.snapshot().files)[0]
+    full = os.path.join(t.path, victim)
+    st = os.stat(full)
+    with open(full, "r+b") as f:       # garble the 4-byte footer
+        f.seek(st.st_size - 8)         # LENGTH field (before "PAR1")
+        f.write(b"\xff\xff\xff\x7f")
+    os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns))
+    found = t.fsck(deep=True)
+    assert any("footer unreadable" in m and victim in m for m in found)
+    # shallow fsck still runs clean (size+mtime unchanged) — honest
+    assert t.fsck() == []
