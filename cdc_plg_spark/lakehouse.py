@@ -361,19 +361,29 @@ def _clone_copy_job(job: tuple[str, str, bool]) -> None:
         _shutil.copyfile(src + ".bloom", dst + ".bloom")
 
 
-def _sha256_file(path: str) -> tuple[str, str]:
+def _sha256_file(path: str) -> tuple[str, str | None]:
     """sha256 hexdigest of ONE file's raw bytes — module-level and
     self-contained so Spark ships it to executor tasks by reference
     (`sc.parallelize(paths).map(_sha256_file)`).  Chunked read: the
     seal must never require a whole data file in one task's memory.
     Plain `open()` on purpose — see `_hash_files` for why the Hadoop
-    read path is unusable here."""
+    read path is unusable here.
+
+    A file that vanishes mid-pass (a concurrent cow-delete commits
+    and a racing vacuum unlinks it between the caller's exists-check
+    and this read) yields None instead of crashing the executor task:
+    the vanishing implies a commit that bumps the version, so
+    `stamp_hashes` retries on a fresh snapshot and `fsck` leaves the
+    finding to the next run's exists-check."""
     import hashlib as _hashlib
 
     h = _hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
+    try:
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    except FileNotFoundError:
+        return path, None
     return path, h.hexdigest()
 
 
@@ -3934,6 +3944,11 @@ class TxLogTable:
                     f"cannot seal: {len(missing)} live file(s) missing "
                     f"on disk, e.g. {missing[0]!r} — run fsck")
             hashes = self._hash_files(paths)
+            if any(v is None for v in hashes.values()):
+                # a live file vanished mid-pass: a concurrent
+                # cow-delete + vacuum got it, and that delete's commit
+                # bumps the version — retry on a fresh snapshot
+                continue
             adds, dvs, n_side = [], [], 0
             for p, s in live:
                 full = self._abs(p)

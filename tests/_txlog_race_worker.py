@@ -88,9 +88,12 @@ def main() -> int:
 def _chaos(t, spark, wid: int, iters: int) -> int:
     """Chaos mode: every format op the fourth r6 session added —
     predicate DELETE (cow + dv) and RESTORE — raced across process
-    boundaries against merges/optimize/vacuum.  No content
-    expectation here (restores rewind by design); the parent asserts
-    log serializability + deep fsck instead.  Any exception other
+    boundaries against merges/optimize/vacuum, plus (r10) the content
+    seal: STAMP_HASHES commits interleaved with rewrites and vacuums
+    from OTHER processes, covering the seal's retry loop and the
+    vanished-mid-hash tolerance.  No content expectation here
+    (restores rewind by design); the parent asserts log
+    serializability + deep fsck instead.  Any exception other
     than the documented conflict/validation outcomes is a failure."""
     from cdc_plg_spark.lakehouse import ConflictError
 
@@ -98,7 +101,7 @@ def _chaos(t, spark, wid: int, iters: int) -> int:
     lo = 1000 + wid * 100
     for i in range(iters):
         kind = rng.choice(("merge", "merge", "delete_pred",
-                           "restore", "optimize", "vacuum"))
+                           "restore", "optimize", "vacuum", "stamp"))
         try:
             if kind == "merge":
                 src = spark.createDataFrame(
@@ -120,6 +123,8 @@ def _chaos(t, spark, wid: int, iters: int) -> int:
                 t.restore(rng.choice(vs[-3:]))
             elif kind == "optimize":
                 t.optimize(small_bytes=1 << 30)
+            elif kind == "stamp":
+                t.stamp_hashes()
             else:
                 # age guard: in-flight neighbors' files stay safe
                 t.vacuum(retain_last=3, min_age_s=3600)

@@ -1912,11 +1912,13 @@ def test_temporal_bounds_as_raw_integers(spark, tdir):
 def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
     """Process-boundary chaos soak for the fourth-session ops: 3 OS
     processes race random MERGE / predicate-DELETE (cow+dv) / RESTORE
-    / OPTIMIZE / VACUUM against one table.  Content is unspecified by
-    design (restores rewind concurrent work); what must hold is the
-    format's integrity: every worker exits clean, the commit log is
-    contiguous, every surviving version replays, and deep fsck finds
-    nothing."""
+    / OPTIMIZE / VACUUM / STAMP_HASHES (r10) against one table.
+    Content is unspecified by design (restores rewind concurrent
+    work); what must hold is the format's integrity: every worker
+    exits clean, the commit log is contiguous, every surviving
+    version replays, deep fsck finds nothing, and no surviving seal
+    mismatches its bytes (a stamp racing a rewrite must never leave a
+    stale hash attached to new content)."""
     import subprocess
     import sys as _sys
 
@@ -1944,6 +1946,11 @@ def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
     for v in versions:                        # every survivor replays
         t.read(version=v).count()
     assert t.fsck(deep=True) == []
+    # seal coherence after the chaos: any surviving sha256 must match
+    # its bytes (stale-seal-on-new-bytes would surface here); a final
+    # state with no seals at all is legitimate (rewrites shed them)
+    findings = t.fsck(verify_hashes=True)
+    assert not [m for m in findings if "content hash" in m], findings
 
 
 def test_stream_survives_schema_rewinding_restore(spark, tdir):
