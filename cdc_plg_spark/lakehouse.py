@@ -1229,6 +1229,12 @@ class TxLogTable:
                 s.get("partition", {}).items()))
                 for s in snap.files.values()})
                 if snap.partition_by else None),
+            # content-seal coverage (stamp_hashes): how many live
+            # files a verify_hashes audit would actually check —
+            # None when the table has never been sealed
+            "content_sealed_files": (sum(
+                1 for s in snap.files.values() if "sha256" in s)
+                or None),
         }
 
     def version_at(self, ts: float) -> int:

@@ -294,3 +294,42 @@ def test_deep_fsck_reports_corrupt_footer_instead_of_crashing(
     assert any("footer unreadable" in m and victim in m for m in found)
     # shallow fsck still runs clean (size+mtime unchanged) — honest
     assert t.fsck() == []
+
+
+def test_detail_reports_seal_coverage(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"))
+    assert t.detail()["content_sealed_files"] is None
+    t.stamp_hashes()
+    assert t.detail()["content_sealed_files"] == 4
+    t.append(spark.range(300, 320).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value")),
+        n_files=2)
+    assert t.detail()["content_sealed_files"] == 4   # newcomers unsealed
+
+
+def test_stamp_from_shallow_clone_seals_mixed_paths(spark, tdir):
+    """stamp_hashes invoked ON a shallow clone: the live set mixes
+    ABSOLUTE out-of-root source references with the clone's own
+    relative COW files — both must seal (through _abs) and verify,
+    the seal commit lands only in the CLONE's log, and the source
+    stays unsealed and byte-untouched."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    c = t.clone(os.path.join(tdir, "c"))
+    # straddling range (not file-aligned) → a real COW rewrite lands
+    # under the CLONE's own data/
+    c.delete_where(key_between=(0, 30), mode="cow")
+    snap = c.snapshot()
+    assert any(os.path.isabs(p) for p in snap.files)      # source refs
+    assert any(not os.path.isabs(p) for p in snap.files)  # own files
+    r = c.stamp_hashes()
+    assert r["files_stamped"] == len(snap.files)
+    assert c.fsck(deep=True, verify_hashes=True) == []
+    # the source saw nothing: no seal entries, no version bump
+    assert all("sha256" not in s for s in t.snapshot().files.values())
+    assert t.fsck(deep=True) == []
+    # tamper one SOURCE file (absolute ref): the clone's verify flags
+    # it even though the byte lives outside the clone's root
+    victim = sorted(p for p in snap.files if os.path.isabs(p))[0]
+    _tamper_same_size_restore_mtime(victim)
+    found = c.fsck(verify_hashes=True)
+    assert len(found) == 1 and "content hash" in found[0]
