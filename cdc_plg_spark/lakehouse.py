@@ -3590,7 +3590,8 @@ class TxLogTable:
     def optimize(self, small_bytes: int = 32 << 20,
                  target_files: int | None = None,
                  zorder_by: tuple[str, ...] | None = None,
-                 txn: tuple[str, int] | None = None) -> dict:
+                 txn: tuple[str, int] | None = None,
+                 reseal: bool | None = None) -> dict:
         """OPTIMIZE: bin-pack small files into range-clustered big ones
         — the compaction a streaming merge sink needs, since every
         epoch's copy-on-write commit can emit small files.  Content is
@@ -3613,7 +3614,17 @@ class TxLogTable:
         table was created with `key_bloom_bits`, whose exact-key
         sidecar test keeps MERGE pruning sharp under any layout.  A
         full-layout rebuild — schedule it like any lakehouse ZORDER
-        job."""
+        job.
+
+        `reseal` (default None = auto): a rewrite sheds the rewritten
+        files' content seals by design (new bytes, new identity), so
+        on a STAMPED table every compaction would otherwise erode
+        `fsck(verify_hashes=True)` coverage until the next
+        `stamp_hashes()`.  Auto re-seals the rewrites in the SAME
+        commit iff any pre-optimize live entry carries a seal —
+        sealed-ness is sticky, unsealed tables never pay the extra
+        hash pass (one distributed read of the files this optimize
+        just wrote, never O(table))."""
         snap = self.snapshot()
         self._assert_writer(snap)
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
@@ -3674,6 +3685,20 @@ class TxLogTable:
                                 mapping=snap.mapping,
                                 partition_cols=snap.logical_partition_by(),
                                 bloom_bits=snap.bloom_bits)
+        if reseal is None:
+            reseal = any("sha256" in s for s in snap.files.values())
+        if reseal and adds:
+            paths = [self._abs(a["add"]["path"]) for a in adds]
+            paths += [self._abs(a["add"]["path"]) + ".bloom"
+                      for a in adds if "bloom" in a["add"]]
+            hashes = self._hash_files(paths)
+            for a in adds:
+                full = self._abs(a["add"]["path"])
+                if hashes.get(full) is not None:
+                    a["add"]["sha256"] = hashes[full]
+                side_h = hashes.get(full + ".bloom")
+                if "bloom" in a["add"] and side_h is not None:
+                    a["add"]["bloom_sha256"] = side_h
         actions = [{"commit": {"op": "OPTIMIZE",
                                "zorder_by": list(zorder_by or ()),
                                "files_compacted": len(small),

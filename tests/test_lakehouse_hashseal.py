@@ -333,3 +333,119 @@ def test_stamp_from_shallow_clone_seals_mixed_paths(spark, tdir):
     _tamper_same_size_restore_mtime(victim)
     found = c.fsck(verify_hashes=True)
     assert len(found) == 1 and "content hash" in found[0]
+
+
+def test_optimize_auto_reseals_sealed_table(spark, tdir):
+    """Sealed-ness is sticky: on a stamped table, OPTIMIZE re-seals
+    its own rewrites in the SAME commit (reseal=None auto), so
+    verify_hashes coverage never erodes with compaction; on a table
+    never stamped, optimize adds no seals and pays no hash pass."""
+    t = mk(spark, os.path.join(tdir, "t"), bloom=10)
+    t.stamp_hashes()
+    t.append(spark.range(200, 260).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value")),
+        n_files=2)                          # unsealed newcomers
+    t.optimize(target_files=2)
+    snap = t.snapshot()
+    assert all("sha256" in s for s in snap.files.values())
+    assert all("bloom_sha256" in s for s in snap.files.values()
+               if snap.bloom_bits)
+    assert t.detail()["content_sealed_files"] == len(snap.files)
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # explicit opt-out keeps the old shed behavior
+    t.append(spark.range(300, 360).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value")),
+        n_files=2)
+    t.optimize(target_files=1, reseal=False)
+    assert all("sha256" not in s
+               for s in t.snapshot().files.values())
+
+
+def test_optimize_never_seals_unstamped_table(spark, tdir):
+    t = mk(spark, os.path.join(tdir, "t"), n_files=6)
+    t.optimize(target_files=2)
+    assert all("sha256" not in s
+               for s in t.snapshot().files.values())
+
+
+def test_repartition_layout_sheds_all_seals(spark, tdir):
+    """Partition-spec evolution is a full rewrite: every byte is new,
+    so NO seal may survive onto the new files (a stale seal attached
+    to new bytes would make verify_hashes flag healthy data), and the
+    post-rewrite audit reports the unsealed state honestly."""
+    df = spark.range(0, 120).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3).alias("value"),
+        (F.col("id") % 3).cast("string").alias("bucket"))
+    t = TxLogTable.create(spark, os.path.join(tdir, "t"), df,
+                          "user_id", n_files=4)
+    t.stamp_hashes()
+    t.repartition_layout(["bucket"])
+    snap = t.snapshot()
+    assert all("sha256" not in s for s in snap.files.values())
+    found = t.fsck(verify_hashes=True)
+    assert len(found) == 1 and "no live file carries" in found[0]
+    # a fresh stamp restores full coverage on the new layout
+    t.stamp_hashes()
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_seal_vs_epoch_idempotent_sink_replay(spark, tdir):
+    """Seal x the epoch-idempotent streaming sink contract (merge
+    with txn=(app, epoch)): a REPLAYED epoch is deduped — no commit,
+    no byte moves, seals fully intact and verifying; a NEW epoch's
+    merge sheds exactly the rewritten files' seals (new bytes) while
+    untouched files keep verifying green."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    src = spark.createDataFrame([(5, -5, "U")],
+                                "user_id long, value long, op string")
+    t.merge(src, op_col="op", txn=("sink", 1))
+    t.stamp_hashes()
+    v = t.snapshot().version
+    # replayed epoch 1: deduped, nothing changes
+    t.merge(src, op_col="op", txn=("sink", 1))
+    assert t.snapshot().version == v
+    assert all("sha256" in s for s in t.snapshot().files.values())
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # new epoch 2 rewrites the straddler: its seal sheds, rest keep
+    t.merge(spark.createDataFrame([(6, -6, "U")],
+                                  "user_id long, value long, op string"),
+            op_col="op", txn=("sink", 2))
+    snap = t.snapshot()
+    sealed = sum(1 for s in snap.files.values() if "sha256" in s)
+    assert 0 < sealed < len(snap.files)
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_seal_survives_key_rename_and_vacuum_truncation(spark, tdir):
+    """Two more seam probes: (a) renaming the KEY column (column
+    mapping — physical names and bytes unchanged) must leave seals
+    valid; (b) VACUUM truncating the log behind a fresh checkpoint at
+    the horizon must carry every seal through the checkpoint load
+    path (a fresh handle reads ONLY the checkpoint)."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    t.rename_column("user_id", "uid")
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # force log truncation: vacuum keeps only the tail
+    t.vacuum(retain_last=1, min_age_s=0)
+    t2 = TxLogTable(spark, t.path)            # fresh handle
+    assert t2._versions()[0] > 0              # log truncated
+    snap = t2.snapshot()
+    assert all("sha256" in s for s in snap.files.values())
+    assert t2.fsck(deep=True, verify_hashes=True) == []
+    assert {r["uid"] for r in t2.read().collect()} == set(range(200))
+
+
+def test_dv_delete_after_seal_keeps_seal_valid(spark, tdir):
+    """A DV-mode delete AFTER sealing mutates the manifest entry in
+    place (`ent["dv"] = ...` on replay) and never touches the file's
+    bytes — the seal must survive the mutation and keep verifying."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    t.delete_where(key_between=(60, 80), mode="dv")
+    snap = t.snapshot()
+    assert all("sha256" in s for s in snap.files.values())
+    assert any(s.get("dv") for s in snap.files.values())
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    assert sorted(r["user_id"] for r in t.read().collect()) \
+        == [k for k in range(200) if not 60 <= k <= 80]
