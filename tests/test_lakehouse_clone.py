@@ -261,7 +261,8 @@ def test_random_ops_on_source_and_clone_match_models(spark, tdir,
 
     def mutate(t, model, step):
         kind = rng.choices(("merge", "delete_dv", "delete_cow",
-                            "optimize"), weights=(5, 2, 1, 1))[0]
+                            "optimize", "stamp"),
+                           weights=(5, 2, 1, 1, 1))[0]
         if kind == "merge":
             rows, ops = [], {}
             for k in rng.sample(range(80), rng.randint(1, 6)):
@@ -284,6 +285,11 @@ def test_random_ops_on_source_and_clone_match_models(spark, tdir,
             for k in list(model):
                 if lo <= k <= hi:
                     del model[k]
+        elif kind == "stamp":
+            # the CLONE's stamp seals ABSOLUTE source refs too; the
+            # source rewriting its own files later never invalidates
+            # them (old bytes stay on disk — no source vacuum here)
+            t.stamp_hashes()
         else:
             t.optimize(target_files=2)
         got = {r["k"]: r["v"] for r in t.read().collect()}
@@ -304,6 +310,10 @@ def test_random_ops_on_source_and_clone_match_models(spark, tdir,
     assert {r["k"]: r["v"] for r in src.read().collect()} == m_src
     assert {r["k"]: r["v"] for r in c.read().collect()} == m_c
     assert src.fsck(deep=True) == [] and c.fsck(deep=True) == []
+    # closing seal audit on both sides (clone seals absolute refs)
+    for t in (src, c):
+        t.stamp_hashes()
+        assert t.fsck(deep=True, verify_hashes=True) == []
 
 
 def test_clone_generated_and_layout_evolution(spark, tdir):
