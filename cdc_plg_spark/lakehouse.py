@@ -4283,7 +4283,7 @@ class TxLogTable:
             # UNSEALED table is reported, never silently passed: the
             # caller asked for a byte-level audit and must not read an
             # empty answer as one.
-            sealed: list[tuple[str, str, int]] = []
+            sealed: list[tuple[str, str, str]] = []
             for rel, s in sorted(snap.files.items()):
                 full = self._abs(rel)
                 if ("sha256" in s and os.path.exists(full)
