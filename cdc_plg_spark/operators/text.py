@@ -565,3 +565,102 @@ def sample_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cum", F.sum("n_tok").over(w))
             .select("doc_id", "source", "n_tok",
                     F.expr("(cum - n_tok) div 512").cast("long").alias("bin")))
+
+
+@register(
+    "sample_temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_d
+               FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_d) AS n_min FROM c),
+    t AS (SELECT lang, n_d,
+                 LEAST(65536 * CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE)
+                                               * n_d)) AS BIGINT)
+                       // n_d, 65535) AS th
+          FROM c, m)
+    SELECT d.doc_id, d.lang, t.th AS keep_per_64k
+    FROM documents d JOIN t USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < lpad(lower(to_hex(t.th)), 4, '0')
+    """,
+)
+def sample_temperature_mix(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha-sampling, alpha = 0.5):
+    resample the corpus so the surviving mix is proportional to
+    n_d^alpha instead of n_d — the standard upweighting of small
+    domains when composing a training mix (multilingual corpora,
+    source balancing).  Keep rate per domain = sqrt(n_min / n_d), so
+    the smallest domain survives (almost) whole and a domain 100x
+    larger keeps ~10%.
+
+    Engine-portable determinism, no RNG: a doc survives iff its md5
+    4-hex-digit prefix falls under the domain's integer threshold
+    `keep_per_64k` = 65536 * floor(sqrt(n_min * n_d)) // n_d (capped
+    at 65535).  The only float op is sqrt of an integer-valued double
+    < 2^53, which IEEE requires to be exactly rounded — both engines
+    floor the identical value, so thresholds (and therefore the
+    surviving doc set) match to the last document.  The threshold
+    rides every row so a drifted count or a re-derived rate flips the
+    value hash.
+
+    Scale: one count aggregate (domain-cardinality sized), a 1-row
+    min, then a domains-sized join the optimizer broadcasts on its
+    own (AQE decides — no hint, the de-hinting discipline: the
+    domain relation grows with #domains, not with data) and a pure
+    filter that pushes to the scan.  No RNG state, no global order,
+    reproducible on any partitioning."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+    n_min = cnt.agg(F.min("n_d").alias("n_min"))   # 1 row
+    th = (cnt.crossJoin(n_min)
+          .withColumn(
+              "th",
+              F.least(
+                  (F.lit(65536)
+                   * F.floor(F.sqrt(F.col("n_min").cast("double")
+                                    * F.col("n_d"))).cast("long"))
+                  .cast("long") / F.col("n_d"),
+                  F.lit(65535).cast("double"))
+              .cast("long"))
+          .select("lang", "th"))
+    return (d.join(th, "lang")
+            .filter(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 4)
+                    < F.lpad(F.lower(F.hex(F.col("th"))), 4, "0"))
+            .select("doc_id", "lang",
+                    F.col("th").alias("keep_per_64k")))
+
+
+@register(
+    "sample_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                AS BIGINT) AS shard,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS okey
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every document
+    gets a content-hash shard (md5 first byte -> 256 shards) and a
+    within-shard order key (md5 64-bit prefix) — the reproducible,
+    engine-portable answer to "shuffle 100 TB of documents before
+    training" with no RNG state and no global sort.
+
+    The training writer materializes order by
+    `repartitionByRange("shard", "okey")` + sortWithinPartitions —
+    a range exchange whose cost is the one unavoidable shuffle;
+    THIS op is the pure assignment (narrow map, pushes to the scan)
+    so the assignment itself is value-verified against the oracle
+    while the exchange stays a write-time choice.  Epoch reshuffles
+    = salt the hash input with the epoch number."""
+    d = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("shard"),
+        F.substring(h, 1, 16).alias("okey"))

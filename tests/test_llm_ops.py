@@ -315,3 +315,43 @@ def test_pq_refuses_non_divisible_embedding_dim(spark, tmp_path):
      .write.parquet(str(tmp_path / "embeddings.parquet")))
     with pytest.raises(ValueError, match="not divisible"):
         registry.get("sim_ann_pq").fn(spark, str(tmp_path))
+
+
+def test_temperature_mix_upweights_small_domains(spark, sf_dir):
+    """alpha=0.5 mix properties: the smallest language keeps
+    (almost) everything — threshold 65535/65536 — while larger ones
+    keep ~sqrt(n_min/n_d); the realized keep fraction per language
+    tracks its threshold within binomial noise; thresholds are
+    engine-integer (no float on the comparison path)."""
+    full = run("text_stats", spark, sf_dir)         # per-lang n_docs
+    mix = run("sample_temperature_mix", spark, sf_dir)
+    n_full = dict(zip(full.lang, full.n_docs))
+    n_min = min(n_full.values())
+    got = mix.groupby("lang").agg(kept=("doc_id", "size"),
+                                  th=("keep_per_64k", "first"))
+    for lang, row in got.iterrows():
+        n_d = n_full[lang]
+        want_th = min(65536 * int((n_min * n_d) ** 0.5) // n_d, 65535)
+        assert row.th == want_th, lang
+        # realized fraction ~ th/65536 (4 sigma binomial slack)
+        import math
+        p = row.th / 65536
+        slack = 4 * math.sqrt(p * (1 - p) * n_d) + 1
+        assert abs(row.kept - p * n_d) <= slack, lang
+    smallest = min(n_full, key=n_full.get)
+    assert got.loc[smallest].th == 65535
+
+
+def test_global_shuffle_is_deterministic_and_balanced(spark, sf_dir):
+    """Shard assignment: pure function of doc_id (two runs identical),
+    256-way domain, and no shard hogs — the max shard is within 8x of
+    the uniform share (md5 uniformity at fixture size)."""
+    a = run("sample_global_shuffle", spark, sf_dir)
+    b = run("sample_global_shuffle", spark, sf_dir)
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    assert a.shard.between(0, 255).all()
+    sizes = a.groupby("shard").size()
+    assert sizes.max() <= max(8 * len(a) / 256, 10)
+    # okey is a prefix refinement of the shard byte
+    assert (a.okey.str[:2].apply(lambda h: int(h, 16)) == a.shard).all()
