@@ -39,7 +39,8 @@ SNAPSHOT_QUERIES = [
     "agg_median_mad",
     "dedup_exact", "dedup_ngram_jaccard", "text_stats", "text_chunking",
     "text_decontaminate", "text_repetition_signals", "sample_domain_quota",
-    "sample_pack_token_budget", "set_intersect_all", "set_except_distinct",
+    "sample_pack_token_budget", "sample_temperature_mix",
+    "sample_global_shuffle", "set_intersect_all", "set_except_distinct",
     "win_ntile", "embedding_centroid_per_label", "source_python_datasource",
     "ts_resample_ohlc", "join_null_safe", "pipeline_llm_preprocess", "agg_cube",
     "analytics_forecast_revenue", "analytics_top_supplier",
