@@ -355,3 +355,51 @@ def test_global_shuffle_is_deterministic_and_balanced(spark, sf_dir):
     assert sizes.max() <= max(8 * len(a) / 256, 10)
     # okey is a prefix refinement of the shard byte
     assert (a.okey.str[:2].apply(lambda h: int(h, 16)) == a.shard).all()
+
+
+def test_temperature_mix_threshold_math_cross_engine(spark, tmp_path):
+    """The mix's parity rests on one claim: LEAST(65536 *
+    CAST(FLOOR(SQRT(n_min * n_d AS DOUBLE)) AS BIGINT) // n_d, 65535)
+    is bit-identical in Spark and DuckDB.  Pin it directly over 20k
+    seeded random (n_min, n_d) pairs spanning 1 .. 1e9 docs per
+    domain (far past any fixture) plus adversarial near-perfect-
+    square products where a non-exactly-rounded sqrt would flip the
+    floor."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(42)
+    pairs = [(rng.randint(1, 10**9), rng.randint(1, 10**9))
+             for _ in range(20000)]
+    pairs += [(k, k) for k in (1, 2, 3, 65535, 65536, 10**9)]
+    # near-perfect-square products: n_min*n_d = m^2 +/- 1
+    for m in (10, 1000, 31623, 999983):
+        pairs += [(1, m * m - 1), (1, m * m), (1, m * m + 1)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs]
+
+    pdf_rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    sdf = spark.createDataFrame(pdf_rows, "i long, n_min long, n_d long")
+    from pyspark.sql import functions as F
+    got_spark = {r["i"]: r["th"] for r in sdf.select(
+        "i",
+        F.least(
+            (F.lit(65536)
+             * F.floor(F.sqrt(F.col("n_min").cast("double")
+                              * F.col("n_d"))).cast("long"))
+            .cast("long") / F.col("n_d"),
+            F.lit(65535).cast("double")).cast("long").alias("th")
+    ).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(i BIGINT, n_min BIGINT, n_d BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", pdf_rows)
+    got_duck = dict(con.execute(
+        "SELECT i, LEAST(65536 * CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE)"
+        " * n_d)) AS BIGINT) // n_d, 65535) FROM p").fetchall())
+    con.close()
+
+    diff = {i: (got_spark[i], got_duck[i]) for i in got_spark
+            if got_spark[i] != got_duck[i]}
+    assert not diff, f"{len(diff)} threshold mismatches, e.g. " \
+                     f"{sorted(diff.items())[:3]}"
