@@ -374,7 +374,16 @@ def _sha256_file(path: str) -> tuple[str, str | None]:
     and this read) yields None instead of crashing the executor task:
     the vanishing implies a commit that bumps the version, so
     `stamp_hashes` retries on a fresh snapshot and `fsck` leaves the
-    finding to the next run's exists-check."""
+    finding to the next run's exists-check.
+
+    Any OTHER read failure (EACCES, EIO, NotADirectoryError, ...)
+    yields a distinct `_HASH_UNREADABLE`-prefixed marker instead of
+    raising — an executor-side raise would fail the whole hash job,
+    and the audit must REPORT, never die (ADVICE r10).  The marker
+    cannot collide with a real digest (hexdigests never start with
+    '!'); `fsck(verify_hashes=True)` turns it into an
+    'unreadable during hash audit' finding and `stamp_hashes` fails
+    fast with the cause instead of exhausting retries."""
     import hashlib as _hashlib
 
     h = _hashlib.sha256()
@@ -384,7 +393,15 @@ def _sha256_file(path: str) -> tuple[str, str | None]:
                 h.update(chunk)
     except FileNotFoundError:
         return path, None
+    except OSError as e:
+        return path, (_HASH_UNREADABLE
+                      + f"{e.__class__.__name__}: {e.strerror or e}")
     return path, h.hexdigest()
+
+
+# prefix marking a file _sha256_file could open-or-read-fail on for a
+# reason OTHER than vanishing; '!' keeps it disjoint from hexdigests
+_HASH_UNREADABLE = "!unreadable: "
 
 
 def _strip_sql_string_literals(expr: str) -> str:
@@ -3971,10 +3988,41 @@ class TxLogTable:
                       if s.get("bloom")]
             missing = [p for p in paths if not os.path.exists(p)]
             if missing:
-                raise ValueError(
-                    f"cannot seal: {len(missing)} live file(s) missing "
-                    f"on disk, e.g. {missing[0]!r} — run fsck")
+                # same race as the mid-pass vanish below (concurrent
+                # cow-delete commit + vacuum unlink between snapshot
+                # and this check): re-snapshot and retry; only a file
+                # still LIVE in the fresh snapshot and still missing
+                # on disk is real corruption (ADVICE r10 — a transient
+                # benign race must not surface as a corruption error)
+                fresh = self.snapshot()
+                fresh_live = {self._abs(p) for p in fresh.files}
+                fresh_live |= {self._abs(p) + ".bloom"
+                               for p, s in fresh.files.items()
+                               if s.get("bloom")}
+                still = [p for p in missing
+                         if p in fresh_live and not os.path.exists(p)]
+                if still:
+                    raise ValueError(
+                        f"cannot seal: {len(still)} live file(s) "
+                        f"missing on disk, e.g. {still[0]!r} — run "
+                        f"fsck")
+                continue
             hashes = self._hash_files(paths)
+            unreadable = sorted(
+                p for p, v in hashes.items()
+                if v is not None and v.startswith(_HASH_UNREADABLE))
+            if unreadable:
+                # not a race: the file is there but unreadable
+                # (EACCES/EIO/...) — retrying cannot fix it; fail
+                # fast with the executor-reported cause instead of
+                # exhausting retries into a generic ConflictError
+                raise ValueError(
+                    f"cannot seal: {len(unreadable)} live file(s) "
+                    f"unreadable during hash pass, e.g. "
+                    f"{unreadable[0]!r} "
+                    f"({hashes[unreadable[0]][len(_HASH_UNREADABLE):]})"
+                    f" — fix permissions/IO, then re-run; "
+                    f"fsck(verify_hashes=True) reports these too")
             if any(v is None for v in hashes.values()):
                 # a live file vanished mid-pass: a concurrent
                 # cow-delete + vacuum got it, and that delete's commit
@@ -4305,7 +4353,18 @@ class TxLogTable:
                 got = self._hash_files([p for _, p, _ in sealed])
                 for rel, full, want in sealed:
                     g = got.get(full)
-                    if g is not None and g != want:
+                    if g is None:
+                        # vanished mid-audit (concurrent delete +
+                        # vacuum) — next run's exists-check owns it
+                        continue
+                    if g.startswith(_HASH_UNREADABLE):
+                        out.append(
+                            f"{rel}: unreadable during hash audit "
+                            f"({g[len(_HASH_UNREADABLE):]}) — seal "
+                            f"cannot be verified; fix "
+                            f"permissions/IO and re-run "
+                            f"fsck(verify_hashes=True)")
+                    elif g != want:
                         out.append(
                             f"{rel}: content hash {g} != sealed "
                             f"{want} — bytes differ from the "

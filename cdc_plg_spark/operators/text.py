@@ -597,12 +597,17 @@ def sample_temperature_mix(spark: SparkSession,
     Engine-portable determinism, no RNG: a doc survives iff its md5
     4-hex-digit prefix falls under the domain's integer threshold
     `keep_per_64k` = 65536 * floor(sqrt(n_min * n_d)) // n_d (capped
-    at 65535).  The only float op is sqrt of an integer-valued double
-    < 2^53, which IEEE requires to be exactly rounded — both engines
-    floor the identical value, so thresholds (and therefore the
-    surviving doc set) match to the last document.  The threshold
-    rides every row so a drifted count or a re-derived rate flips the
-    value hash.
+    at 65535).  Both engines evaluate the identical IEEE-double chain
+    (bigint->double cast, correctly-rounded sqrt, floor) and then an
+    INTEGER division — Spark's `div` operator here mirrors DuckDB's
+    `//` by construction, so no ulp argument is needed for the final
+    step and thresholds (hence the surviving doc set) match to the
+    last document at any domain count that fits the bigint product
+    (r10 VERDICT fix: the earlier float-divide-then-truncate was only
+    provably equal below ~2^37 docs/domain; the cross-engine pin in
+    tests/test_llm_ops.py now sweeps to 2^46).  The threshold rides
+    every row so a drifted count or a re-derived rate flips the value
+    hash.
 
     Scale: one count aggregate (domain-cardinality sized), a 1-row
     min, then a domains-sized join the optimizer broadcasts on its
@@ -618,12 +623,10 @@ def sample_temperature_mix(spark: SparkSession,
           .withColumn(
               "th",
               F.least(
-                  (F.lit(65536)
-                   * F.floor(F.sqrt(F.col("n_min").cast("double")
-                                    * F.col("n_d"))).cast("long"))
-                  .cast("long") / F.col("n_d"),
-                  F.lit(65535).cast("double"))
-              .cast("long"))
+                  F.expr("(65536 * cast(floor(sqrt("
+                         "cast(n_min as double) * n_d)) as bigint))"
+                         " div n_d"),
+                  F.lit(65535).cast("long")))
           .select("lang", "th"))
     return (d.join(th, "lang")
             .filter(F.substring(F.md5(F.col("doc_id").cast("string")),

@@ -105,7 +105,16 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # version was FP-flaky under session-order-dependent range-partition
 # sampling), so the driver re-proves it.  The seal/fsck additions are
 # maintenance-path and force nothing.
-_FORCE_RECHECK: set[str] = {"lakehouse_bloom_point_read"}
+# r11: lakehouse_bloom_point_read re-recorded hash-green in
+# CORRECTNESS_r10 — CLEARED (VERDICT r10 task 3).  One new force:
+# sample_temperature_mix's threshold math moved from double-division
+# + cast-truncation to integer `div` (VERDICT r10 task 4 / ADVICE),
+# changing the produced expression, so the driver re-proves it.  The
+# lakehouse fsck/stamp_hashes robustness edits (unreadable-file
+# marker, missing-file re-snapshot retry) are audit/maintenance-path
+# and force nothing.  With one slot taken, the age rotation drains
+# the r5-latest tail (~36 ids) plus the oldest r6 greens.
+_FORCE_RECHECK: set[str] = {"sample_temperature_mix"}
 
 
 def _round_of(path: str) -> int:

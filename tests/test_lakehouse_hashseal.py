@@ -449,3 +449,117 @@ def test_dv_delete_after_seal_keeps_seal_valid(spark, tdir):
     assert t.fsck(deep=True, verify_hashes=True) == []
     assert sorted(r["user_id"] for r in t.read().collect()) \
         == [k for k in range(200) if not 60 <= k <= 80]
+
+
+def test_sha256_file_reports_unreadable_not_raise(tdir):
+    """_sha256_file on an open-failing path (here a directory ->
+    IsADirectoryError, an OSError that is NOT FileNotFoundError)
+    returns the distinct unreadable marker instead of raising — an
+    executor-side raise would fail the whole hash job, and the audit
+    contract is REPORT, never die (ADVICE r10).  Vanished stays None:
+    the two cases drive different handling (retry vs fail/report) and
+    must remain distinguishable."""
+    from cdc_plg_spark.lakehouse import _HASH_UNREADABLE, _sha256_file
+
+    p, v = _sha256_file(tdir)          # a directory, not a file
+    assert p == tdir and v is not None
+    assert v.startswith(_HASH_UNREADABLE)
+    assert "IsADirectoryError" in v
+    assert _sha256_file(os.path.join(tdir, "nope"))[1] is None
+
+
+def test_fsck_reports_unreadable_during_hash_audit(
+        spark, tdir, monkeypatch):
+    """fsck(verify_hashes=True) with one sealed file unreadable emits
+    exactly one 'unreadable during hash audit' finding carrying the
+    executor-reported cause — not a crash, and not a bogus tamper
+    report (the marker can never equal a sealed hexdigest, but it
+    must not fall through to the mismatch message either)."""
+    from cdc_plg_spark import lakehouse as lh
+
+    t = mk(spark, os.path.join(tdir, "t"))
+    t.stamp_hashes()
+    victim = os.path.join(t.path, sorted(t.snapshot().files)[0])
+    real = type(t)._hash_files
+
+    def inject(self, paths):
+        out = real(self, paths)
+        out[victim] = (lh._HASH_UNREADABLE
+                       + "PermissionError: Permission denied")
+        return out
+
+    monkeypatch.setattr(type(t), "_hash_files", inject)
+    found = t.fsck(verify_hashes=True)
+    assert len(found) == 1, found
+    assert "unreadable during hash audit" in found[0]
+    assert "Permission denied" in found[0]
+    assert "!= sealed" not in found[0]
+
+
+def test_stamp_fails_fast_on_unreadable_not_retry_exhaust(
+        spark, tdir, monkeypatch):
+    """stamp_hashes with an unreadable (but present) live file fails
+    immediately with the cause — EACCES/EIO cannot be fixed by
+    retrying on a fresh snapshot, so burning the 5 retries into a
+    generic ConflictError would bury the actual problem."""
+    from cdc_plg_spark import lakehouse as lh
+
+    t = mk(spark, os.path.join(tdir, "t"))
+    victim = os.path.join(t.path, sorted(t.snapshot().files)[0])
+    real = type(t)._hash_files
+    calls = {"n": 0}
+
+    def inject(self, paths):
+        calls["n"] += 1
+        out = real(self, paths)
+        out[victim] = lh._HASH_UNREADABLE + "OSError: Input/output error"
+        return out
+
+    monkeypatch.setattr(type(t), "_hash_files", inject)
+    with pytest.raises(ValueError, match="unreadable during hash pass"):
+        t.stamp_hashes()
+    assert calls["n"] == 1      # failed fast, no retry loop
+
+
+def test_stamp_missing_file_benign_race_retries_clean(
+        spark, tdir, monkeypatch):
+    """The pre-pass exists-check hitting a file that a CONCURRENT
+    cow-delete + vacuum removed (stale snapshot still lists it) is
+    the same benign race as the mid-pass vanish and must retry on a
+    fresh snapshot, not raise a scary corruption error (ADVICE r10).
+    Simulated faithfully: do the delete+vacuum for real, then feed
+    stamp_hashes the pre-delete snapshot on its first snapshot()
+    call only."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    stale = t.snapshot()
+    t.delete_where(key_between=(0, 9))          # cow rewrite
+    t.vacuum(retain_last=1, min_age_s=0.0)      # unlink the original
+    gone = [p for p in stale.files
+            if not os.path.exists(os.path.join(t.path, p))]
+    assert gone, "fixture: vacuum removed nothing — race not simulated"
+
+    real = type(t).snapshot
+    calls = {"n": 0}
+
+    def first_stale(self, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and version is None:
+            return stale
+        return real(self, version)
+
+    monkeypatch.setattr(type(t), "snapshot", first_stale)
+    r = t.stamp_hashes()
+    assert not r["skipped"] and r["files_stamped"] > 0
+    monkeypatch.undo()
+    assert t.fsck(deep=True, verify_hashes=True) == []
+
+
+def test_stamp_still_raises_when_live_file_truly_missing(spark, tdir):
+    """The narrowed raise must still fire on REAL corruption: the
+    file is missing AND the fresh snapshot still lists it live (no
+    concurrent commit explains the absence)."""
+    t = mk(spark, os.path.join(tdir, "t"))
+    victim = sorted(t.snapshot().files)[0]
+    os.unlink(os.path.join(t.path, victim))
+    with pytest.raises(ValueError, match="missing"):
+        t.stamp_hashes()

@@ -362,9 +362,13 @@ def test_temperature_mix_threshold_math_cross_engine(spark, tmp_path):
     CAST(FLOOR(SQRT(n_min * n_d AS DOUBLE)) AS BIGINT) // n_d, 65535)
     is bit-identical in Spark and DuckDB.  Pin it directly over 20k
     seeded random (n_min, n_d) pairs spanning 1 .. 1e9 docs per
-    domain (far past any fixture) plus adversarial near-perfect-
-    square products where a non-exactly-rounded sqrt would flip the
-    floor."""
+    domain plus 10k pairs with n_d up to 2^46 (r10 VERDICT: the old
+    float-divide Spark side was only provably equal below ~2^37
+    docs/domain; the integer `div` rewrite must hold far past that)
+    plus adversarial near-perfect-square products where a
+    non-exactly-rounded sqrt would flip the floor.  Upper bound
+    2^46: 65536 * sqrt(n_min * n_d) <= 2^16 * 2^46 = 2^62 keeps the
+    numerator inside BIGINT in both engines."""
     import random
 
     import duckdb
@@ -372,9 +376,13 @@ def test_temperature_mix_threshold_math_cross_engine(spark, tmp_path):
     rng = random.Random(42)
     pairs = [(rng.randint(1, 10**9), rng.randint(1, 10**9))
              for _ in range(20000)]
-    pairs += [(k, k) for k in (1, 2, 3, 65535, 65536, 10**9)]
+    # huge-domain tier: past 2^37 where float-division parity broke
+    pairs += [(rng.randint(1, 2**46), rng.randint(2**37, 2**46))
+              for _ in range(10000)]
+    pairs += [(k, k) for k in (1, 2, 3, 65535, 65536, 10**9,
+                               2**37, 2**37 + 1, 2**46)]
     # near-perfect-square products: n_min*n_d = m^2 +/- 1
-    for m in (10, 1000, 31623, 999983):
+    for m in (10, 1000, 31623, 999983, 2**23, 2**23 - 1):
         pairs += [(1, m * m - 1), (1, m * m), (1, m * m + 1)]
     pairs = [(min(a, b), max(a, b)) for a, b in pairs]
 
@@ -384,11 +392,10 @@ def test_temperature_mix_threshold_math_cross_engine(spark, tmp_path):
     got_spark = {r["i"]: r["th"] for r in sdf.select(
         "i",
         F.least(
-            (F.lit(65536)
-             * F.floor(F.sqrt(F.col("n_min").cast("double")
-                              * F.col("n_d"))).cast("long"))
-            .cast("long") / F.col("n_d"),
-            F.lit(65535).cast("double")).cast("long").alias("th")
+            F.expr("(65536 * cast(floor(sqrt("
+                   "cast(n_min as double) * n_d)) as bigint))"
+                   " div n_d"),
+            F.lit(65535).cast("long")).alias("th")
     ).collect()}
 
     con = duckdb.connect()
