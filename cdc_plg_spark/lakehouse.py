@@ -2833,6 +2833,25 @@ class TxLogTable:
         every live file's range become new files.  Retries on
         concurrent commits; raises ConflictError if a concurrent writer
         removed one of our candidate files (caller re-runs the merge).
+
+        Content seals: MERGE SHEDS the seals of files it rewrites and
+        never re-seals — the PINNED contract is seal-at-AUDIT-cadence
+        (r10 VERDICT task 6, decided r11).  Rationale: a seal needs
+        the final on-disk bytes (the parquet writer exposes none), so
+        re-sealing means one extra full read of every rewritten file
+        on the TRANSACTIONAL hot path — up to 2x write-path I/O at
+        CDC merge cadence.  The seal's threat model is an out-of-band
+        foreign writer between byte-level AUDITS, not between commits:
+        a merge-rewritten file sits unsealed until the next
+        `stamp_hashes()` exactly like every fresh APPEND does (appends
+        are never sealed at write either), and the commit-time mtime
+        tripwire still covers that window under deep fsck.  OPTIMIZE
+        auto-reseals because it is the scheduled maintenance pass
+        where the extra hash read amortizes (and keeps sealed-ness
+        sticky); MERGE is deliberately not.  `detail()`'s
+        `content_sealed_files` reports the erosion honestly, and
+        `fsck(verify_hashes=True)` audits exactly the still-sealed
+        set.  Pinned by test_merge_sheds_seals_by_contract.
         """
         for _ in range(5):
             snap = self.snapshot()

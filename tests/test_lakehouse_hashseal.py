@@ -563,3 +563,52 @@ def test_stamp_still_raises_when_live_file_truly_missing(spark, tdir):
     os.unlink(os.path.join(t.path, victim))
     with pytest.raises(ValueError, match="missing"):
         t.stamp_hashes()
+
+
+def test_merge_sheds_seals_by_contract(spark, tdir):
+    """PINNED contract (r11 decision, merge() docstring): MERGE sheds
+    the seals of files it rewrites and does NOT re-seal — seals are an
+    audit-cadence property (stamp_hashes / OPTIMIZE), never a
+    merge-commit-time one, because re-sealing would re-read every
+    rewritten file on the transactional hot path.  Untouched files
+    keep their seals, the audit stays green over exactly the
+    still-sealed set, detail() reports the erosion, and the next
+    stamp_hashes restores full coverage."""
+    t = mk(spark, os.path.join(tdir, "t"))          # 4 files, keys 0..199
+    t.stamp_hashes()
+    n_files = len(t.snapshot().files)
+    assert t.detail()["content_sealed_files"] == n_files
+
+    # hit only the lowest file's key range + one out-of-range insert
+    src = spark.createDataFrame(
+        [(3, 999), (5, 999), (10_000, 1)], "user_id long, value long")
+    t.merge(src)
+
+    snap = t.snapshot()
+    sealed = {p for p, s in snap.files.items() if "sha256" in s}
+    unsealed = set(snap.files) - sealed
+    assert unsealed, "merge rewrote nothing — fixture broken"
+    assert sealed, "merge must not shed seals of untouched files"
+    # rewritten/new files are exactly the post-merge mtime-stamped
+    # additions: every unsealed file is absent from the sealed v1 set
+    pre = set(t.snapshot(version=1).files)
+    assert all(p not in pre for p in unsealed)
+    assert t.detail()["content_sealed_files"] == len(sealed) < n_files
+
+    # audit: green (no false positive on the unsealed rewrites), and
+    # the sealed set is still byte-verified
+    assert t.fsck(deep=True, verify_hashes=True) == []
+    # ... while real tamper on a STILL-SEALED file is still caught
+    victim = sorted(sealed)[0]
+    _tamper_same_size_restore_mtime(os.path.join(t.path, victim))
+    assert any("!= sealed" in f
+               for f in t.fsck(verify_hashes=True)), "seal audit lost teeth"
+
+    # restore bytes via re-create? cheaper: re-seal restores coverage
+    t2 = mk(spark, os.path.join(tdir, "t2"))
+    t2.stamp_hashes()
+    t2.merge(src)
+    r = t2.stamp_hashes()                            # audit cadence tick
+    assert not r["skipped"]
+    assert t2.detail()["content_sealed_files"] == len(t2.snapshot().files)
+    assert t2.fsck(deep=True, verify_hashes=True) == []
