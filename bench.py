@@ -109,9 +109,17 @@ def _median_time(fn, n=N_RUNS):
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder
-             .master(f"local[{CPUS}]")
-             .appName("cdc-plg-spark-bench")
+    builder = (SparkSession.builder
+               .master(f"local[{CPUS}]")
+               .appName("cdc-plg-spark-bench"))
+    # scale-soak knob (scripts/scale_soak docs): the driver's sf0.1
+    # files are single-row-group so the default 128m split is moot, but
+    # the generated sfN fixtures carry many row groups and the scan
+    # should fan out across them — a per-deployment conf in production
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if mpb:
+        builder = builder.config("spark.sql.files.maxPartitionBytes", mpb)
+    spark = (builder
              .config("spark.sql.shuffle.partitions", CPUS)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -144,8 +152,15 @@ def main() -> None:
             "overwrite").save()
 
     per_query: dict[str, float] = {}
+    plan_build: dict[str, float] = {}
     for name in names:
         per_query[name] = round(_median_time(lambda n=name: run_spark(n)), 4)
+        # plan-build share, reported per query so a latency watch can
+        # self-adjudicate driver-side py4j plan construction vs engine
+        # execution (VERDICT r10 task 2: decode_canal_json's escalation
+        # was plan-build + host noise, invisible in the combined number)
+        plan_build[name] = round(_median_time(
+            lambda n=name: entries[n].fn(spark, SF_DIR)), 4)
 
     seq_total = round(sum(per_query.values()), 4)
 
@@ -244,18 +259,25 @@ def main() -> None:
         run_spark(LSH_QUERY)                 # warm
         lsh["spark_sec"] = round(_median_time(
             lambda: run_spark(LSH_QUERY), n=1), 4)
-        try:
-            import duckdb as _dk2
+        if os.environ.get("SPARK_GRAFT_SKIP_LSH_DUCK"):
+            # scale-soak escape hatch: the DuckDB LSH twin is ~6 min at
+            # sf0.1 and scales linearly — ~1 h at sf1 buys nothing the
+            # sf0.1 ratio didn't already establish
+            lsh["duckdb_sec"] = None
+        else:
+            try:
+                import duckdb as _dk2
 
-            xcon = _dk2.connect()
-            duck_views(xcon)
-            xcon.execute(f"SET threads TO {int(CPUS)}")
-            sql = entries[LSH_QUERY].oracle
-            lsh["duckdb_sec"] = round(_median_time(
-                lambda: xcon.execute(sql).fetchall(), n=1), 4)
-            lsh["ratio"] = round(lsh["spark_sec"] / lsh["duckdb_sec"], 3)
-        except Exception:
-            pass
+                xcon = _dk2.connect()
+                duck_views(xcon)
+                xcon.execute(f"SET threads TO {int(CPUS)}")
+                sql = entries[LSH_QUERY].oracle
+                lsh["duckdb_sec"] = round(_median_time(
+                    lambda: xcon.execute(sql).fetchall(), n=1), 4)
+                lsh["ratio"] = round(lsh["spark_sec"] / lsh["duckdb_sec"],
+                                     3)
+            except Exception:
+                pass
 
     duck_seq_total = round(sum(duck.values()), 4) if duck else None
     duck_best = (min(x for x in (duck_seq_total, duck_wall) if x is not None)
@@ -270,6 +292,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "spark_sequential_total": seq_total,
         "spark_plan_build_sec": plan_build_sec,
+        "plan_build_per_query": plan_build,
         "duckdb": duck,
         "duckdb_sequential_total": duck_seq_total,
         "duckdb_concurrent_wall": duck_wall,

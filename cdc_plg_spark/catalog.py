@@ -148,6 +148,88 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+def _parse_spark_bytes(v: str) -> int:
+    """Spark byte-conf strings: '134217728', '134217728b', '16m',
+    '128MB', '1g' — suffix per JavaUtils.byteStringAsBytes."""
+    s = v.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgtp":
+        mult = 1024 ** ("kmgtp".index(s[-1]) + 1)
+        s = s[:-1]
+    return int(float(s) * mult)
+
+
+def scan_splits_estimate(spark: SparkSession, df: DataFrame) -> int:
+    """Estimated input-split count of a file-scan DataFrame WITHOUT
+    materializing an RDD.
+
+    `df.rdd.getNumPartitions()` is exact but pays a full
+    plan-to-RDD conversion per call (~0.1 s of driver py4j time at ANY
+    scale — it dominated decode_canal_json's measured plan-build,
+    VERDICT r10 task 2).  This estimate instead mirrors Spark's own
+    FilePartition sizing formula over `df.inputFiles()` (a listing the
+    scan relation has already cached):
+
+        maxSplitBytes = min(maxPartitionBytes,
+                            max(openCostInBytes, totalBytes/minPartNum))
+        splits ≈ ceil(sum(size + openCost per file) / maxSplitBytes)
+
+    Used by "enough parallelism?" guards (repartition-before-CPU-bound
+    work): at fixture scale it returns the same handful the RDD probe
+    did, and at 100 TB totalBytes/maxPartitionBytes >> cores so the
+    guard never adds a shuffle.  Files whose size can't be statted
+    locally (object-store URIs) make it return a huge count — i.e. the
+    guard conservatively skips the extra shuffle, which is the correct
+    default at the scales where non-local storage appears."""
+    import math
+
+    try:
+        files = df.inputFiles()
+        sizes = []
+        for uri in files:
+            p = uri
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            elif "://" in p:
+                raise OSError("non-local scheme")
+            sizes.append(os.path.getsize(p))
+    except (OSError, ValueError):
+        return 1 << 30
+    if not sizes:
+        return 0
+    # split-sizing confs memoized per session: they are set at session
+    # build (bench/driver) and the unset-minPartitionNum probe costs a
+    # py4j EXCEPTION round-trip per call — per-plan-build chatter this
+    # helper exists to remove
+    cached = getattr(spark, "_cdc_split_conf", None)
+    if cached is None:
+        conf = spark.conf
+        mpb = _parse_spark_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        open_cost = _parse_spark_bytes(
+            conf.get("spark.sql.files.openCostInBytes", "4m"))
+        try:
+            # conf.get VALIDATES defaults for known confs, so an unset
+            # value must be probed by exception, not a sentinel default
+            min_parts = int(conf.get("spark.sql.files.minPartitionNum"))
+        except Exception:
+            min_parts = spark.sparkContext.defaultParallelism
+        cached = (mpb, open_cost, min_parts)
+        try:
+            spark._cdc_split_conf = cached
+        except AttributeError:
+            pass
+    mpb, open_cost, min_parts = cached
+    total = sum(sizes)
+    max_split = min(mpb, max(open_cost, total // max(min_parts, 1) or 1))
+    padded = sum(s + open_cost for s in sizes)
+    return max(1, math.ceil(padded / max_split))
+
+
 # bump when any cached-artifact format changes: derived artifacts in
 # /tmp (text round-trips, bucketed tables, compaction fragments) are
 # reused across runs, and a stale layout must never satisfy a newer

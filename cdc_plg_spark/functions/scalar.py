@@ -757,15 +757,22 @@ def decode_canal_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fail.  One parse per row, JVM-side end to end.
 
     Parallelism guard: the sf0.1 events fixture is ONE single-row-group
-    parquet file, so the scan yields one partition and the (CPU-bound)
-    construct+parse chain runs on one core while the rest idle — the
-    bench's concurrent-wall floor.  When the scan gives fewer
-    partitions than the cluster has slots, redistribute once before
-    the JSON work (a 100k-row shuffle buys a 32-way parse); on a real
-    cluster the scan already yields >= cores splits and no shuffle is
-    added."""
+    parquet file, so the scan yields a handful of mostly-empty splits
+    and the (CPU-bound) construct+parse chain runs on ~one core while
+    the rest idle — the bench's concurrent-wall floor.  When the scan
+    gives fewer partitions than the cluster has slots, redistribute
+    once before the JSON work (a 100k-row shuffle buys a 32-way
+    parse); on a real cluster the scan already yields >= cores splits
+    and no shuffle is added.  The probe is `scan_splits_estimate`
+    (catalog.py) — Spark's FilePartition formula over the scan's
+    cached file listing — NOT `df.rdd.getNumPartitions()`, whose
+    plan-to-RDD conversion cost (~0.1 s driver-side, any SF) dominated
+    this query's measured plan-build (VERDICT r10 task 2; the r9-r10
+    latency-watch escalation traced exactly here)."""
     ev = load_table(spark, "events", sf_dir)
-    if (ev.rdd.getNumPartitions()
+    from cdc_plg_spark.catalog import scan_splits_estimate
+
+    if (scan_splits_estimate(spark, ev)
             < spark.sparkContext.defaultParallelism):
         ev = ev.repartition(spark.sparkContext.defaultParallelism)
     is_i = F.col("event_type") == "signup"

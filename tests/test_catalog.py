@@ -45,3 +45,51 @@ def test_load_table_no_ntz_surface(table, spark, sf_dir):
     event-time ops and oracle parity agree on instants."""
     df = load_table(spark, table, sf_dir)
     assert not any(t == "timestamp_ntz" for _, t in df.dtypes), df.dtypes
+
+
+def test_parse_spark_bytes_suffixes():
+    from cdc_plg_spark.catalog import _parse_spark_bytes
+
+    assert _parse_spark_bytes("134217728") == 128 << 20
+    assert _parse_spark_bytes("134217728b") == 128 << 20
+    assert _parse_spark_bytes("16m") == 16 << 20
+    assert _parse_spark_bytes("128MB") == 128 << 20
+    assert _parse_spark_bytes("4mb") == 4 << 20
+    assert _parse_spark_bytes("1g") == 1 << 30
+    assert _parse_spark_bytes("2k") == 2048
+    assert _parse_spark_bytes(" 7 ") == 7
+
+
+def test_scan_splits_estimate_tracks_rdd_probe(spark, sf_dir):
+    """The FilePartition-formula estimate must agree with the exact
+    (but plan-to-RDD-paying) probe closely enough for 'enough
+    parallelism?' guards: same order of magnitude, and NEVER low
+    enough vs cores to flip a should-repartition decision into a
+    skip.  Overcount by ~1 split (open-cost padding counted per file
+    vs Spark's smarter packer) is the accepted slack."""
+    from cdc_plg_spark.catalog import load_table, scan_splits_estimate
+
+    cores = spark.sparkContext.defaultParallelism
+    for t in ("events", "lineitem", "region"):
+        df = load_table(spark, t, sf_dir)
+        est = scan_splits_estimate(spark, df)
+        real = df.rdd.getNumPartitions()
+        assert real <= est <= max(2 * real, real + 1), (t, est, real)
+        # the guard decision (est < cores) matches the real decision
+        assert (est < cores) == (real < cores), (t, est, real)
+
+
+def test_scan_splits_estimate_nonlocal_scheme_skips_guard(spark):
+    """Files whose bytes can't be statted locally (object-store URIs)
+    must yield a huge estimate so the repartition guard conservatively
+    does NOT add a shuffle — the correct default at the scales where
+    non-local storage appears."""
+    from unittest import mock
+
+    from cdc_plg_spark.catalog import load_table, scan_splits_estimate
+
+    df = load_table(spark, "events", "/root/testdata/sf0.001")
+    with mock.patch.object(
+            type(df), "inputFiles",
+            return_value=["s3://bucket/events.parquet"]):
+        assert scan_splits_estimate(spark, df) >= (1 << 30)
