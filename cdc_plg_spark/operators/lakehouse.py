@@ -1775,3 +1775,140 @@ def lakehouse_fsck_hash_seal(spark: SparkSession,
         F.lit(mtime_blind).alias("mtime_blind_to_utime_restore"),
         F.lit(flags).alias("seal_flags_tamper"),
         F.lit(healed).alias("byte_restore_satisfies_seal"))
+
+
+# ------------------------------------------------------------------
+# SQL command surface (cdc_plg_spark/lakehouse_sql.py) — VERDICT r10
+# "missing" item 5: the engine's lakehouse verbs were Python-API-only.
+# These exhibits drive the SAME TxLogTable semantics purely through
+# SQL statements, so a SQL-first user has a first-class path and the
+# oracle proves the dispatcher forked no semantics.
+
+
+@register(
+    "lakehouse_sql_merge_roundtrip",
+    oracle=f"""
+    WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),
+    delta AS ({_ORACLE_STATE.format(where=f"WHERE ts >= TIMESTAMP '{SPLIT_TS}'")})
+    SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+           COALESCE(d.event_id, s.event_id) AS event_id,
+           epoch_us(COALESCE(d.ts, s.ts)) AS ts_us,
+           ROUND(COALESCE(d.value, s.value), 4) AS value
+    FROM (SELECT * FROM snap WHERE op <> 'D') s
+    FULL OUTER JOIN delta d ON s.user_id = d.user_id
+    WHERE d.op IS NULL OR d.op <> 'D'
+    """,
+    tags=("lakehouse", "sql"),
+)
+def lakehouse_sql_merge_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """lakehouse_merge_upsert driven END TO END through the SQL
+    surface (lakehouse_sql.run_sql): CREATE TXLOG ... AS SELECT,
+    MERGE INTO ... USING <view> OP COLUMN op, then a TEMP VIEW
+    time-travel binding read back with plain spark.sql.  Identical
+    oracle to the Python-API twin — a differing hash would mean the
+    SQL dispatcher forked semantics from the documented methods it
+    fronts, which is the one bug class a wrapper can add."""
+    from cdc_plg_spark.lakehouse_sql import run_sql
+
+    ev = load_table(spark, "events", sf_dir)
+    _apply_latest(ev.filter(F.col("ts") < SPLIT_TS)) \
+        .createOrReplaceTempView("lh_sql_seed")
+    _with_op(_latest_per_user(ev.filter(F.col("ts") >= SPLIT_TS))) \
+        .select("user_id", "event_id", "ts", "value", "op") \
+        .createOrReplaceTempView("lh_sql_delta")
+    p = os.path.join(tempfile.mkdtemp(prefix="lh_sql_"), "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id N_FILES 8 "
+                   f"AS SELECT * FROM lh_sql_seed")
+    run_sql(spark, f"MERGE INTO '{p}' USING lh_sql_delta OP COLUMN op")
+    run_sql(spark,
+            f"CREATE OR REPLACE TEMP VIEW lh_sql_state AS TXLOG '{p}'")
+    return _out(spark.sql("SELECT * FROM lh_sql_state"))
+
+
+@register(
+    "lakehouse_sql_time_travel_restore",
+    oracle=f"""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           ROUND(value, 4) AS value
+    FROM ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")})
+    WHERE op <> 'D'
+    """,
+    tags=("lakehouse", "sql"),
+)
+def lakehouse_sql_time_travel_restore(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """RESTORE ... VERSION AS OF through the SQL surface: create,
+    merge a delta in, then roll HEAD back to v0 and read BOTH ways —
+    the restored head via a TXLOG view and the pinned version via
+    VERSION AS OF — returning the head read.  Oracle = the pre-merge
+    state: a hash match proves RESTORE re-pointed HEAD exactly and
+    the time-travel binding reads the same bytes."""
+    from cdc_plg_spark.lakehouse_sql import run_sql
+
+    ev = load_table(spark, "events", sf_dir)
+    _apply_latest(ev.filter(F.col("ts") < SPLIT_TS)) \
+        .createOrReplaceTempView("lh_sqltt_seed")
+    _with_op(_latest_per_user(ev.filter(F.col("ts") >= SPLIT_TS))) \
+        .select("user_id", "event_id", "ts", "value", "op") \
+        .createOrReplaceTempView("lh_sqltt_delta")
+    p = os.path.join(tempfile.mkdtemp(prefix="lh_sqltt_"), "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id N_FILES 8 "
+                   f"AS SELECT * FROM lh_sqltt_seed")
+    run_sql(spark, f"MERGE INTO '{p}' USING lh_sqltt_delta OP COLUMN op")
+    run_sql(spark, f"RESTORE '{p}' VERSION AS OF 0")
+    run_sql(spark, f"CREATE OR REPLACE TEMP VIEW lh_sqltt_head "
+                   f"AS TXLOG '{p}'")
+    return _out(spark.table("lh_sqltt_head"))
+
+
+@register(
+    "lakehouse_sql_maintenance_audit",
+    oracle=f"""
+    WITH snap AS ({_ORACLE_STATE.format(where=f"WHERE ts < TIMESTAMP '{SPLIT_TS}'")}),
+    delta AS ({_ORACLE_STATE.format(where=f"WHERE ts >= TIMESTAMP '{SPLIT_TS}'")}),
+    merged AS (
+        SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+               COALESCE(d.event_id, s.event_id) AS event_id,
+               epoch_us(COALESCE(d.ts, s.ts)) AS ts_us,
+               ROUND(COALESCE(d.value, s.value), 4) AS value
+        FROM (SELECT * FROM snap WHERE op <> 'D') s
+        FULL OUTER JOIN delta d ON s.user_id = d.user_id
+        WHERE d.op IS NULL OR d.op <> 'D')
+    SELECT user_id, event_id, ts_us, value,
+           CAST(0 AS BIGINT) AS n_fsck_findings
+    FROM merged WHERE user_id NOT BETWEEN 0 AND 9
+    """,
+    tags=("lakehouse", "sql", "audit"),
+)
+def lakehouse_sql_maintenance_audit(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The maintenance verbs as one SQL session: DELETE a key range,
+    OPTIMIZE (compaction auto-reseals nothing here — table unsealed),
+    STAMP HASHES (content-seal), then FSCK DEEP VERIFY HASHES.  The
+    audit's finding COUNT rides every output row (must be 0): a
+    dispatcher bug that corrupted bytes, dropped the seal commit, or
+    mis-parsed the delete range flips either the content hash or the
+    finding count.  Content-only oracle otherwise — file/layout
+    counters are layout-dependent and stay in tests."""
+    from cdc_plg_spark.lakehouse_sql import run_sql
+
+    ev = load_table(spark, "events", sf_dir)
+    _apply_latest(ev.filter(F.col("ts") < SPLIT_TS)) \
+        .createOrReplaceTempView("lh_sqlm_seed")
+    _with_op(_latest_per_user(ev.filter(F.col("ts") >= SPLIT_TS))) \
+        .select("user_id", "event_id", "ts", "value", "op") \
+        .createOrReplaceTempView("lh_sqlm_delta")
+    p = os.path.join(tempfile.mkdtemp(prefix="lh_sqlm_"), "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id N_FILES 8 "
+                   f"AS SELECT * FROM lh_sqlm_seed")
+    run_sql(spark, f"MERGE INTO '{p}' USING lh_sqlm_delta OP COLUMN op")
+    run_sql(spark, f"DELETE FROM '{p}' WHERE KEY BETWEEN 0 AND 9")
+    run_sql(spark, f"OPTIMIZE '{p}'")
+    run_sql(spark, f"STAMP HASHES '{p}'")
+    n_findings = run_sql(
+        spark, f"FSCK '{p}' DEEP VERIFY HASHES").count()  # audit-sized
+    run_sql(spark, f"CREATE OR REPLACE TEMP VIEW lh_sqlm_state "
+                   f"AS TXLOG '{p}'")
+    return _out(spark.table("lh_sqlm_state")).withColumn(
+        "n_fsck_findings", F.lit(int(n_findings)).cast("long"))
