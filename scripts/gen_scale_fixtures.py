@@ -38,7 +38,11 @@ files are single-row-group, which is exactly the single-task-scan floor
 the soak must NOT inherit at 10x.
 
 Usage: python scripts/gen_scale_fixtures.py [--mult 10] [--out DIR]
+      [--src /root/testdata/sf0.1]
 Deterministic — no RNG anywhere; rerunning overwrites byte-identically.
+Properties (FK integrity, token bijection, n_chars invariant, norm
+preservation) are pinned by tests/test_scale_fixtures.py at mult=2
+over sf0.001.
 """
 from __future__ import annotations
 
@@ -84,14 +88,14 @@ def _suffix_tokens(text: str | None, k: int) -> str | None:
     return re.sub(r"\S+", lambda m: f"{m.group(0)}~{k}", text)
 
 
-def replicate(mult: int, out_dir: str) -> None:
+def replicate(mult: int, out_dir: str, src: str = SRC) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    tables = {t: pd.read_parquet(os.path.join(SRC, f"{t}.parquet"))
+    tables = {t: pd.read_parquet(os.path.join(src, f"{t}.parquet"))
               for t in list(KEYED) + list(FIXED)}
     strides = _strides(tables)
 
     for t in FIXED:
-        _write(out_dir, t, tables[t])
+        _write(out_dir, t, tables[t], src)
 
     for t, fks in KEYED.items():
         base = tables[t]
@@ -108,13 +112,14 @@ def replicate(mult: int, out_dir: str) -> None:
                 c["embedding"] = base["embedding"].map(
                     lambda v, k=k: np.roll(np.asarray(v), k))
             copies.append(c)
-        _write(out_dir, t, pd.concat(copies, ignore_index=True))
+        _write(out_dir, t, pd.concat(copies, ignore_index=True), src)
 
 
-def _write(out_dir: str, t: str, df: pd.DataFrame) -> None:
+def _write(out_dir: str, t: str, df: pd.DataFrame,
+           src: str = SRC) -> None:
     # carry the SOURCE file's arrow schema so types (int32 keys, float
     # list embeddings, us timestamps) survive the pandas round-trip
-    want = pq.ParquetFile(os.path.join(SRC, f"{t}.parquet")).schema_arrow
+    want = pq.ParquetFile(os.path.join(src, f"{t}.parquet")).schema_arrow
     want = pa.schema([want.field(i) for i in range(len(want.names))])
     tab = pa.Table.from_pandas(df, schema=want, preserve_index=False)
     rg = max(65536, len(df) // 32)
@@ -128,5 +133,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="/root/repo/.soak/sf1")
+    ap.add_argument("--src", default=SRC)
     a = ap.parse_args()
-    replicate(a.mult, a.out)
+    replicate(a.mult, a.out, a.src)
