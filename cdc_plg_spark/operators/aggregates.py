@@ -176,20 +176,43 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, o_totalprice) AS top_order,
-           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+               + o_orderkey) % 10000000000 AS top_order,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+               + o_orderkey) % 10000000000 AS bottom_order,
            ROUND(MAX(o_totalprice), 2) AS max_price,
            ROUND(MIN(o_totalprice), 2) AS min_price
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmin/argmax per group (max_by/min_by; totalprice doubles are
-    tie-free in the fixtures, keeping arg selection deterministic)."""
+    """argmin/argmax per group with DETERMINISTIC tie resolution that
+    stays HASH-aggregatable.  Found at sf1 in the r11 scale sweep: the
+    driver fixtures happen to be price-tie-free per group, but
+    replicated fixtures (and any real corpus) carry ties, and the
+    plain ``max_by(key, price)`` form lets each engine legally pick a
+    different key.  The obvious fix — ``max_by`` over a
+    ``struct(price, key)`` — is deterministic but demotes the plan
+    from HashAggregate to SortAggregate (struct is not a mutable
+    aggregation-buffer type), i.e. a per-partition sort the 100-TB
+    plan doesn't need.  Instead we pack the composite ordering into a
+    single order-preserving BIGINT: ``cents(price) * 1e10 + key``.
+    Prices are cents-quantized doubles (max |price*100 -
+    round(price*100)| is 3.7e-9 across all fixtures), so cents
+    ordering == price ordering and both engines compute the identical
+    integer; adding the key breaks ties by largest key for MAX /
+    smallest for MIN, exactly the (price, key) lexicographic order.
+    Domain bounds (documented contract): price < $92M and orderkey <
+    1e10 keep the encode inside int64 — TPC-H sf100 tops out at
+    ~$600k / 6e8.  The plan keeps the original single-Exchange
+    partial+final HashAggregate shape; decode (% 1e10) is a post-agg
+    projection of 5 rows."""
     o = load_table(spark, "orders", sf_dir)
+    enc = (F.round(F.col("o_totalprice") * 100).cast("long")
+           * F.lit(10_000_000_000).cast("long") + F.col("o_orderkey"))
     return (o.groupBy("o_orderpriority")
-             .agg(F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
-                  F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+             .agg((F.max(enc) % 10_000_000_000).alias("top_order"),
+                  (F.min(enc) % 10_000_000_000).alias("bottom_order"),
                   F.round(F.max("o_totalprice"), 2).alias("max_price"),
                   F.round(F.min("o_totalprice"), 2).alias("min_price")))
 
