@@ -20,6 +20,15 @@ filesystem path; <ident> a bare [A-Za-z_][A-Za-z0-9_]* identifier):
   DELETE FROM '<path>' WHERE KEY BETWEEN <lo> AND <hi> [MODE DV]
   RESTORE '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF <epoch_s>]
   CLONE '<src>' TO '<dst>' [DEEP] [VERSION AS OF <v>]
+  CONVERT TO TXLOG '<path>' KEY <col>
+      [PARTITIONED BY (<col> <type>[, ...])]  -- adopt-by-reference;
+      -- hive `k=v` layouts only: the non-hive adopt
+      -- (partition_values callable) and GENERATED declarations stay
+      -- Python-only because both take host-language callables/exprs
+      -- a statement grammar cannot carry
+  ALTER TXLOG '<path>' REPARTITION BY (<col>[, ...])
+      [TARGET FILES <n>]                      -- partition-spec evolution
+  ALTER TXLOG '<path>' REPARTITION NONE [TARGET FILES <n>]
   OPTIMIZE '<path>' [ZORDER BY (<col>[, ...])]
   VACUUM '<path>' [RETAIN <n> VERSIONS] [MIN AGE <sec> SECONDS]
       [DRY RUN]
@@ -180,6 +189,35 @@ def run_sql(spark: SparkSession, stmt: str) -> DataFrame:
         return _dict_df(spark, {"path": r["dst"],
                                 "version": c.snapshot().version,
                                 "deep": bool(r["deep"])})
+
+    # ---- CONVERT (adopt-by-reference) ----------------------------
+    r = m(rf"CONVERT TO TXLOG {_PATH} KEY (?P<key>{_IDENT})"
+          rf"(?: PARTITIONED BY \((?P<ps>{_IDENT}\s+{_IDENT}"
+          rf"(?:\s*,\s*{_IDENT}\s+{_IDENT})*)\))?")
+    if r:
+        schema = None
+        if r["ps"]:
+            schema = {}
+            for pair in r["ps"].split(","):
+                col, typ = pair.split()
+                schema[col] = typ.lower()
+        t = TxLogTable.convert(spark, r["path"], r["key"],
+                               partition_schema=schema)
+        snap = t.snapshot()
+        return _dict_df(spark, {"path": r["path"],
+                                "version": snap.version,
+                                "num_files": len(snap.files)})
+
+    # ---- partition-spec evolution --------------------------------
+    r = m(rf"ALTER TXLOG {_PATH} REPARTITION "
+          rf"(?:NONE|BY \((?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\))"
+          rf"(?: TARGET FILES (?P<tf>\d+))?")
+    if r:
+        t = TxLogTable(spark, r["path"])
+        cols = ([c.strip() for c in r["cols"].split(",")]
+                if r["cols"] else None)
+        return _dict_df(spark, t.repartition_layout(
+            cols, target_files=int(r["tf"]) if r["tf"] else None))
 
     # ---- maintenance ---------------------------------------------
     r = m(rf"OPTIMIZE {_PATH}(?: ZORDER BY \((?P<z>{_IDENT}"

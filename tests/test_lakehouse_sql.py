@@ -180,3 +180,87 @@ def test_unrecognized_and_malformed_statements_refuse(spark):
     with pytest.raises(ValueError, match="unrecognized"):
         # injection-shaped view name must not reach spark.table
         run_sql(spark, "MERGE INTO '/x' USING v; DROP TABLE y")
+
+
+def test_convert_to_txlog_sql_adopts_by_reference(spark, tdir):
+    _seed(spark)
+    raw = os.path.join(tdir, "raw")
+    spark.table("sqlt_seed").repartition(3).write.parquet(raw)
+    before = {f for f in os.listdir(raw) if f.endswith(".parquet")}
+    out = run_sql(spark,
+                  f"CONVERT TO TXLOG '{raw}' KEY user_id").collect()[0]
+    assert out["version"] == 0 and out["num_files"] == len(before)
+    # adopt-by-reference: the data files on disk are untouched
+    after = {f for f in os.listdir(raw) if f.endswith(".parquet")}
+    assert after == before
+    run_sql(spark, f"CREATE OR REPLACE TEMP VIEW sqlt_cv AS TXLOG "
+                   f"'{raw}'")
+    got = {r["user_id"]: r["value"]
+           for r in spark.table("sqlt_cv").collect()}
+    assert len(got) == 100 and got[7] == 14
+
+
+def test_convert_partitioned_by_clause(spark, tdir):
+    _seed(spark)
+    raw = os.path.join(tdir, "rawp")
+    (spark.table("sqlt_seed")
+     .withColumn("bucket", F.col("user_id") % 4)
+     .write.partitionBy("bucket").parquet(raw))
+    out = run_sql(spark, f"CONVERT TO TXLOG '{raw}' KEY user_id "
+                         f"PARTITIONED BY (bucket long)").collect()[0]
+    assert out["version"] == 0
+    t = TxLogTable(spark, raw)
+    assert t.read().count() == 100
+    det = run_sql(spark, f"DESCRIBE DETAIL '{raw}'").collect()[0]
+    assert "bucket" in str(det["partition_by"])
+
+
+def test_alter_repartition_roundtrip(spark, tdir):
+    _seed(spark)
+    p = os.path.join(tdir, "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id N_FILES 4 AS "
+                   f"SELECT user_id, value, user_id % 3 AS grp "
+                   f"FROM sqlt_seed")
+    want = {r["user_id"]: (r["value"], r["grp"])
+            for r in TxLogTable(spark, p).read().collect()}
+    out = run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION BY (grp) "
+                         f"TARGET FILES 2").collect()[0]
+    assert out["version"] == 1 and not out["skipped"]
+    det = run_sql(spark, f"DESCRIBE DETAIL '{p}'").collect()[0]
+    assert "grp" in str(det["partition_by"])
+    got = {r["user_id"]: (r["value"], r["grp"])
+           for r in TxLogTable(spark, p).read().collect()}
+    assert got == want, "layout transaction must not change content"
+    # and back to unpartitioned
+    out2 = run_sql(spark,
+                   f"ALTER TXLOG '{p}' REPARTITION NONE").collect()[0]
+    assert out2["version"] == 2
+    det2 = run_sql(spark, f"DESCRIBE DETAIL '{p}'").collect()[0]
+    assert det2["partition_by"] is None
+    got2 = {r["user_id"]: (r["value"], r["grp"])
+            for r in TxLogTable(spark, p).read().collect()}
+    assert got2 == want
+    # NONE again is a no-op commit-wise
+    assert run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION NONE") \
+        .collect()[0]["skipped"]
+
+
+def test_alter_repartition_rejects_bad_column(spark, tdir):
+    _seed(spark)
+    p = os.path.join(tdir, "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id AS "
+                   f"SELECT * FROM sqlt_seed")
+    with pytest.raises(ValueError, match="not in"):
+        run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION BY (nope)")
+    with pytest.raises(ValueError, match="key column"):
+        run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION BY (user_id)")
+
+
+def test_convert_repartition_malformed_refuse(spark):
+    with pytest.raises(ValueError, match="unrecognized"):
+        run_sql(spark, "CONVERT TO TXLOG '/x'")  # KEY required
+    with pytest.raises(ValueError, match="unrecognized"):
+        run_sql(spark, "CONVERT TO TXLOG '/x' KEY k "
+                       "PARTITIONED BY (dt)")  # type required
+    with pytest.raises(ValueError, match="unrecognized"):
+        run_sql(spark, "ALTER TXLOG '/x' REPARTITION")  # BY|NONE required
