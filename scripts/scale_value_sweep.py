@@ -59,6 +59,32 @@ SKIP_BY_DESIGN = {
     "dedup_cluster_cc",
 }
 
+# Layout-claim booleans pinned to the DRIVER fixtures' distribution,
+# dropped from the compare at generated fixtures (values still
+# compared in full).  Key-offset replication preserves each table's
+# marginal distributions but (a) CORRELATES event_id/user_id at the
+# copy-block level — so key-ranged and z-ordered files are tight in
+# the secondary column too, range stats already prune hard, and
+# "full scan before zorder" / "bloom beats range" legitimately flip
+# to False because the engine skips MORE than the claim assumes —
+# and (b) destroys the GLOBAL arrival-order<->ts correlation (each
+# copy's event_id block re-spans the whole time range), so key-range
+# files are no longer time-banded and "temporal skips half" /
+# "dropped whole files" flip because every file straddles the time
+# predicate.  Verified r11 at sf1: all four exhibits' VALUE columns
+# (row counts, checksums, present-key values) hash-match the oracle
+# — pruned reads lose nothing under the changed layout — and bloom's
+# absent_reads_zero_files claim still holds.  The claims themselves
+# keep gating every round at driver fixtures (sf0.01), where they
+# are true by construction.
+DISTRIBUTION_PINNED_CLAIMS = {
+    "lakehouse_zorder_skipping": ("full_scan_before",
+                                  "zorder_skips_half"),
+    "lakehouse_temporal_skipping": ("temporal_skips_half",),
+    "lakehouse_retention_delete": ("dropped_whole_files",),
+    "lakehouse_bloom_point_read": ("bloom_beats_range",),
+}
+
 _FAMILY_ORDER = (
     "fn_", "agg_", "win_", "sort", "limit", "topk", "set_", "project",
     "filter", "mask", "case", "join_", "dedup_latest", "text_",
@@ -81,6 +107,10 @@ def main() -> None:
     ap.add_argument("--budget-s", type=float, default=3600.0)
     ap.add_argument("--out", default="/tmp/scale_sweep.json")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="regex over ids — e.g. restrict an sf2+ pass "
+                         "to aggregating families whose compare cost "
+                         "doesn't scale with output rows")
     args = ap.parse_args()
 
     results: dict[str, str] = {}
@@ -100,13 +130,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from cdc_plg_spark import registry
-    from cdc_plg_spark.testing import check_query
+    from cdc_plg_spark.testing import (assert_frames_match, check_query,
+                                       duckdb_conn)
     registry.load_all()
 
+    def check_values_only(name: str, claims: tuple) -> str:
+        q = registry.all_entries()[name]
+        s = q.fn(spark, args.sf_dir).toPandas()
+        con = duckdb_conn(args.sf_dir)
+        try:
+            o = con.execute(q.oracle).df()
+        finally:
+            con.close()
+        s = s.drop(columns=[c for c in claims if c in s.columns])
+        o = o.drop(columns=[c for c in claims if c in o.columns])
+        assert_frames_match(s, o, name=name)
+        return (f"pass ({len(s)} rows, values-only: layout claims "
+                f"{list(claims)} distribution-pinned")
+
+    import re
     entries = registry.all_entries()
+    only = re.compile(args.only) if args.only else None
     todo = sorted(
         (n for n, q in entries.items()
          if q.oracle and n not in SKIP_BY_DESIGN
+         and (only is None or only.search(n))
          and not results.get(n, "").startswith("pass")),
         key=lambda n: (_family(n), n))
     no_oracle = sorted(n for n, q in entries.items() if not q.oracle)
@@ -140,8 +188,13 @@ def main() -> None:
             break
         t1 = time.time()
         try:
-            rows = check_query(spark, n, args.sf_dir)
-            results[n] = f"pass ({rows} rows, {time.time()-t1:.1f}s)"
+            claims = DISTRIBUTION_PINNED_CLAIMS.get(n)
+            if claims:
+                results[n] = (check_values_only(n, claims)
+                              + f", {time.time()-t1:.1f}s)")
+            else:
+                rows = check_query(spark, n, args.sf_dir)
+                results[n] = f"pass ({rows} rows, {time.time()-t1:.1f}s)"
         except AssertionError as e:
             results[n] = f"FAIL: {str(e)[:200]}"
         except Exception as e:  # noqa: BLE001 — sweep must not die
