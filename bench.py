@@ -255,7 +255,13 @@ def main() -> None:
 
     # LSH band-explode section (separate from the headline wall)
     lsh: dict = {}
-    if LSH_QUERY in entries:
+    if os.environ.get("SPARK_GRAFT_SKIP_LSH_SECTION"):
+        # scale-soak escape hatch #2: at sf2+ the Spark side alone is
+        # ~12 min warm+timed; the growth curve is pinned separately
+        # (SCALE_LSH_POINTS.json via scripts/lsh_scale_point.py), so
+        # a soak bench can skip the section outright
+        lsh = {"skipped": "SPARK_GRAFT_SKIP_LSH_SECTION"}
+    elif LSH_QUERY in entries:
         run_spark(LSH_QUERY)                 # warm
         lsh["spark_sec"] = round(_median_time(
             lambda: run_spark(LSH_QUERY), n=1), 4)

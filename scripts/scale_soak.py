@@ -61,7 +61,14 @@ def lint_and_check(sf_dir: str, names: list[str], do_check: bool
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.sql.files.maxPartitionBytes", "16m")
              .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             # match the soak bench's session: the default 1g driver
+             # OOMs the bucketed saveAsTable sort at sf2 (12M rows)
+             # while the 8g bench session writes it in 1.5 s — the
+             # lint must run the plans under the same memory contract
+             # it is auditing
+             .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     entries = registry.all_entries()
@@ -101,6 +108,8 @@ def main() -> None:
     ap.add_argument("--no-lint", action="store_true")
     ap.add_argument("--no-check", action="store_true",
                     help="skip the sfN oracle value sweep")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "SCALE_SOAK_SF1.json"))
     a = ap.parse_args()
 
     soak = json.load(open(a.soak))
@@ -156,7 +165,7 @@ def main() -> None:
             r["query"] for r in rows
             if r["superlinear"] and not r["expected_cause"]],
     }
-    dst = os.path.join(REPO, "SCALE_SOAK_SF1.json")
+    dst = a.out
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
