@@ -114,7 +114,13 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # marker, missing-file re-snapshot retry) are audit/maintenance-path
 # and force nothing.  With one slot taken, the age rotation drains
 # the r5-latest tail (~36 ids) plus the oldest r6 greens.
-_FORCE_RECHECK: set[str] = {"sample_temperature_mix"}
+# r11 session 2: agg_minmax_by's produced expression changed (tie-
+# deterministic order-preserving integer encode replacing plain
+# max_by/min_by — the sf1 sweep exposed nondeterministic arg
+# selection under price ties), so the driver re-proves it.  The new
+# lakehouse_sql_convert_layout exhibit is never-checked and slots
+# first by construction.
+_FORCE_RECHECK: set[str] = {"sample_temperature_mix", "agg_minmax_by"}
 
 
 def _round_of(path: str) -> int:
