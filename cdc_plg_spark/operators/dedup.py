@@ -583,15 +583,17 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return within.unionByName(cross).filter(F.col("jac") >= 0.5)
 
 
-def _minhash_oracle_sql() -> str:
-    """The ENTIRE MinHash+LSH pipeline in DuckDB SQL (same k/b/r and
-    permutation constants as the Spark side, token hash = md5-prefix
-    int so both engines can compute it)."""
+def _minhash_cte_block() -> str:
+    """The ENTIRE MinHash+LSH pipeline as a DuckDB CTE block ending in
+    `match_pairs(doc1, doc2, n_match)` (same k/b/r and permutation
+    constants as the Spark side, token hash = md5-prefix int so both
+    engines can compute it) — shared by the pair exhibit's oracle and
+    the LSH-edged connected-components oracle."""
     k, rows, bands, p = _MINHASH_K, _MINHASH_ROWS, _MINHASH_BANDS, (1 << 31) - 1
     aj = [(_HASH_A * (2 * j + 1)) % p + 1 for j in range(k)]
     bj = [(_HASH_B * (j + 1)) % (1 << 31) for j in range(k)]
     return f"""
-    WITH consts AS (SELECT {aj}::BIGINT[] AS aj, {bj}::BIGINT[] AS bj),
+    consts AS (SELECT {aj}::BIGINT[] AS aj, {bj}::BIGINT[] AS bj),
     tok AS (
       SELECT doc_id,
              list_transform(list_distinct(string_split(text, ' ')),
@@ -614,29 +616,28 @@ def _minhash_oracle_sql() -> str:
                       l.sig AS sig1, r.sig AS sig2
       FROM bands l JOIN bands r
         ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-      WHERE l.doc_id < r.doc_id)
-    SELECT doc1, doc2,
-           CAST(len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i]))
-                AS BIGINT) AS n_match
-    FROM pairs
-    WHERE len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i])) >= 23
+      WHERE l.doc_id < r.doc_id),
+    match_pairs AS (
+      SELECT doc1, doc2,
+             CAST(len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i]))
+                  AS BIGINT) AS n_match
+      FROM pairs
+      WHERE len(list_filter(range(1, {k}+1), i -> sig1[i] = sig2[i])) >= 23)
     """
 
 
-@register("dedup_fuzzy_minhash_checked", oracle=_minhash_oracle_sql(),
-          tags=("lsh",))
-def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_fuzzy_minhash with every stage cross-engine HASH-CHECKED:
-    the token hash is an md5-prefix integer (reproducible in DuckDB,
-    unlike xxhash64), the band hash is an integer polynomial fold
-    (reproducible, unlike Spark's Murmur `hash()`), and the output is
-    the integer match count (n_match >= 23 ⇔ estimated Jaccard ≥ 0.7;
-    a rounded fraction like 23/32 = 0.71875 lands on a decimal
-    midpoint where the engines' tie-breaks differ).  The production
-    variant (dedup_fuzzy_minhash) keeps the faster xxhash64; THIS
-    query proves the LSH dataflow itself — signature, banding,
-    candidate join, similarity estimate — is correct end to end.
-    Same 100 TB shape: linear scan → band explode → bucket join."""
+def _minhash_oracle_sql() -> str:
+    return (f"WITH {_minhash_cte_block()} "
+            f"SELECT doc1, doc2, n_match FROM match_pairs")
+
+
+def _checked_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-engine-reproducible MinHash+LSH candidate pipeline
+    (md5-prefix token hash, polynomial band fold) returning
+    (doc1, doc2, n_match) pairs with n_match >= 23 — the Spark twin
+    of `_minhash_cte_block()`'s match_pairs CTE.  Shared by
+    dedup_fuzzy_minhash_checked (which returns the pairs) and
+    dedup_cluster_cc_lsh (which builds duplicate clusters on them)."""
     p = F.lit((1 << 31) - 1)
     d = load_table(spark, "documents", sf_dir)
     toks = F.array_distinct(F.split("text", " "))
@@ -682,3 +683,83 @@ def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.withColumn("n_match", n_match.cast("long"))
             .filter(F.col("n_match") >= 23)
             .select("doc1", "doc2", "n_match"))
+
+
+@register("dedup_fuzzy_minhash_checked", oracle=_minhash_oracle_sql(),
+          tags=("lsh",))
+def dedup_fuzzy_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_fuzzy_minhash with every stage cross-engine HASH-CHECKED:
+    the token hash is an md5-prefix integer (reproducible in DuckDB,
+    unlike xxhash64), the band hash is an integer polynomial fold
+    (reproducible, unlike Spark's Murmur `hash()`), and the output is
+    the integer match count (n_match >= 23 ⇔ estimated Jaccard ≥ 0.7;
+    a rounded fraction like 23/32 = 0.71875 lands on a decimal
+    midpoint where the engines' tie-breaks differ).  The production
+    variant (dedup_fuzzy_minhash) keeps the faster xxhash64; THIS
+    query proves the LSH dataflow itself — signature, banding,
+    candidate join, similarity estimate — is correct end to end.
+    Same 100 TB shape: linear scan → band explode → bucket join."""
+    return _checked_minhash_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_cluster_cc_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte_block()},
+    edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM match_pairs
+        UNION SELECT doc2, doc1 FROM match_pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           (MIN(lab) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("iterative", "lsh"),
+)
+def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly over the LSH CANDIDATE graph — the
+    production near-dup pipeline shape end to end: linear scan →
+    MinHash signatures → band explode → bucket join (the
+    cross-engine-checked pipeline from dedup_fuzzy_minhash_checked)
+    → connected components → one canonical doc per cluster.
+
+    This closes the scalability gap the r11 sf1 sweep measured in
+    dedup_cluster_cc: that exhibit generates edges by blocked
+    all-pairs exact Jaccard — quadratic within (source, lang) blocks,
+    >12 min at sf1 — which is the right EXACT BASELINE but not the
+    plan a 100 TB corpus runs.  Here the edge set is the LSH
+    candidate output (linear in corpus size by banding), so the whole
+    dataflow — pair-gen AND cluster assembly — scales; the CC loop is
+    the same min-label propagation to fixpoint (one join + one keyed
+    min-agg per iteration, lineage cut per iteration, iterations
+    bounded by cluster diameter, single digits for near-dup
+    clusters).  Oracle: the identical LSH pipeline in DuckDB SQL
+    (shared CTE block) feeding recursive-CTE reachability."""
+    d = load_table(spark, "documents", sf_dir)
+    pairs = _checked_minhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = (pairs.select(F.col("doc1").alias("src"),
+                          F.col("doc2").alias("dst"))
+             .unionByName(pairs.select(F.col("doc2").alias("src"),
+                                       F.col("doc1").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (d.select(F.col("doc_id").alias("node"),
+                       F.col("doc_id").alias("lab"))
+               .localCheckpoint(eager=True))
+    for _ in range(20):  # backstop; converges in O(cluster diameter)
+        msgs = (edges.join(labels, edges.src == labels.node)
+                     .select(F.col("dst").alias("node"), "lab"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("node").agg(F.min("lab").alias("lab"))
+                      .localCheckpoint(eager=True))
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lab").alias("cluster_id"),
+                         (F.col("lab") == F.col("node")).alias("is_canonical"))

@@ -57,6 +57,11 @@ SKIP_BY_DESIGN = {
     # same exact-baseline class as the pairwise twins above; its
     # cluster-assembly LOGIC is SF-independent and driver-proven
     "dedup_cluster_cc",
+    # the scalable LSH-edged CC twin: its SPARK side is linear (LSH
+    # candidates + min-label propagation; sf1 run timed in
+    # BASELINE.md) but its ORACLE re-runs the whole DuckDB LSH twin,
+    # which is the minutes-scale cost the LSH skips above exist for
+    "dedup_cluster_cc_lsh",
 }
 
 # Layout-claim booleans pinned to the DRIVER fixtures' distribution,
