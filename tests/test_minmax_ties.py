@@ -68,3 +68,29 @@ def test_minmax_by_picks_contracted_keys(spark, tied_sf):
         # the ties are real: several keys share the extreme price
         assert (g["o_totalprice"] == top).sum() >= 3
         assert (g["o_totalprice"] == bot).sum() >= 3
+
+
+# ---- property pin for the order-preserving encode ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ENC_MULT = 10_000_000_000
+# documented domain bounds (agg_minmax_by docstring): price < $92M in
+# cents keeps cents*1e10 + key inside int64 when key < 1e10
+_cents = st.integers(min_value=0, max_value=920_000_000)
+_keys = st.integers(min_value=0, max_value=_ENC_MULT - 1)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_cents, _keys, _cents, _keys)
+def test_encode_is_order_isomorphic(c1, k1, c2, k2):
+    """cents*1e10 + key compares exactly like the lexicographic pair
+    (cents, key) across the documented domain — the property the
+    hash-aggregatable argmax/argmin rests on — and stays in int64."""
+    e1, e2 = c1 * _ENC_MULT + k1, c2 * _ENC_MULT + k2
+    assert e1 < (1 << 63) and e2 < (1 << 63)
+    assert (e1 < e2) == ((c1, k1) < (c2, k2))
+    assert (e1 == e2) == ((c1, k1) == (c2, k2))
+    # decode round-trips the key
+    assert e1 % _ENC_MULT == k1
