@@ -202,14 +202,28 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering == price ordering and both engines compute the identical
     integer; adding the key breaks ties by largest key for MAX /
     smallest for MIN, exactly the (price, key) lexicographic order.
-    Domain bounds (documented contract): price < $92M and orderkey <
-    1e10 keep the encode inside int64 — TPC-H sf100 tops out at
-    ~$600k / 6e8.  The plan keeps the original single-Exchange
-    partial+final HashAggregate shape; decode (% 1e10) is a post-agg
-    projection of 5 rows."""
+    Domain bounds (ENFORCED contract, r12 — ADVICE r11 corrected the
+    r11 docstring's bound, which was wrong by 10x): cents*1e10 + key
+    < 2^63 requires cents <= 922,337,202, i.e. price < ~$9.22M (with
+    orderkey < 1e10) — TPC-H sf100 tops out at ~$600k / 6e8, >15x
+    headroom.  Beyond the bound non-ANSI Spark would silently WRAP
+    the BIGINT and return wrong orderkeys while DuckDB errors, so the
+    bound is now a per-row in-plan guard: `assert_true` costs one
+    codegen comparison per row (no extra job, no plan-shape change —
+    it rides the existing scan projection) and fails the query loudly
+    instead of corrupting it.  The plan keeps the original
+    single-Exchange partial+final HashAggregate shape; decode
+    (% 1e10) is a post-agg projection of 5 rows."""
     o = load_table(spark, "orders", sf_dir)
-    enc = (F.round(F.col("o_totalprice") * 100).cast("long")
-           * F.lit(10_000_000_000).cast("long") + F.col("o_orderkey"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    guard = F.assert_true(
+        cents.between(0, 922_337_202) & F.col("o_orderkey")
+        .between(0, 9_999_999_999),
+        F.lit("agg_minmax_by: o_totalprice/o_orderkey outside the "
+              "int64-encodable domain (price < ~$9.22M, key < 1e10)"))
+    enc = (cents * F.lit(10_000_000_000).cast("long")
+           + F.col("o_orderkey")
+           + F.coalesce(guard.cast("long"), F.lit(0)))
     return (o.groupBy("o_orderpriority")
              .agg((F.max(enc) % 10_000_000_000).alias("top_order"),
                   (F.min(enc) % 10_000_000_000).alias("bottom_order"),

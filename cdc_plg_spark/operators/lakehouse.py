@@ -1939,13 +1939,26 @@ def lakehouse_sql_convert_layout(spark: SparkSession,
     keys (lang, source) straddle the new partition column so a
     partition tuple mis-attached at convert or repartition time
     flips counts.  Text column excluded from the dump: the exhibit
-    measures layout plumbing, not string shipping."""
+    measures layout plumbing, not string shipping.
+
+    r12 (the r11 hash flake, one driver red in 32+ otherwise-green
+    executions): two hardenings.  The raw dump is now HASH-partitioned
+    on doc_id — round-robin `repartition(4)` assigns rows by position,
+    so the adopted files' contents varied with session job history;
+    hash partitioning is a pure function of values.  And the
+    REPARTITION leg now runs under repartition_layout's default
+    refuse-to-publish gate (lakehouse.py `_verify_layout_rewrite`):
+    if the range-shuffled rewrite ever loses, duplicates, or
+    mis-attributes a row again, the commit refuses with the two
+    fingerprints in the error instead of surfacing as a silent
+    downstream hash mismatch.  Pinned by tests/test_layout_invariant
+    .py's perturbed-job-history sweep."""
     from cdc_plg_spark.lakehouse_sql import run_sql
 
     docs = load_table(spark, "documents", sf_dir) \
         .select("doc_id", "lang", "source", "n_chars")
     raw = os.path.join(tempfile.mkdtemp(prefix="lh_sqlcv_"), "t")
-    docs.repartition(4).write.parquet(raw)
+    docs.repartition(4, F.col("doc_id")).write.parquet(raw)
     run_sql(spark, f"CONVERT TO TXLOG '{raw}' KEY doc_id")
     run_sql(spark, f"ALTER TXLOG '{raw}' REPARTITION BY (lang) "
                    f"TARGET FILES 4")

@@ -120,7 +120,20 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # selection under price ties), so the driver re-proves it.  The new
 # lakehouse_sql_convert_layout exhibit is never-checked and slots
 # first by construction.
-_FORCE_RECHECK: set[str] = {"sample_temperature_mix", "agg_minmax_by"}
+# r12: sample_temperature_mix and agg_minmax_by re-recorded hash-green
+# in CORRECTNESS_r11 — CLEARED (VERDICT r11 task 2).  One new force:
+# lakehouse_sql_convert_layout, the r11 red (hash flake, rows/schema
+# green; unreproduced in 32+ re-runs).  Its dataflow changed twice
+# this round — the raw dump is hash-partitioned on doc_id instead of
+# round-robin, and the REPARTITION leg now runs under the
+# refuse-to-publish content-fingerprint gate (_verify_layout_rewrite)
+# — so the driver re-proves it (VERDICT r11 tasks 1+2).  And
+# agg_minmax_by re-enters: ADVICE r11's medium finding (the encode's
+# documented domain bound was 10x too generous; silent BIGINT wrap
+# beyond it) is now a per-row assert_true guard inside the encode —
+# expression changed, driver re-proves.
+_FORCE_RECHECK: set[str] = {"lakehouse_sql_convert_layout",
+                            "agg_minmax_by"}
 
 
 def _round_of(path: str) -> int:

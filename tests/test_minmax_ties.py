@@ -76,10 +76,29 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 _ENC_MULT = 10_000_000_000
-# documented domain bounds (agg_minmax_by docstring): price < $92M in
-# cents keeps cents*1e10 + key inside int64 when key < 1e10
-_cents = st.integers(min_value=0, max_value=920_000_000)
+# enforced domain bounds (agg_minmax_by docstring, corrected r12 per
+# ADVICE): cents <= 922,337,202 — i.e. price < ~$9.22M — keeps
+# cents*1e10 + key inside int64 when key < 1e10; the operator now
+# guards this per row with assert_true instead of only documenting it
+_cents = st.integers(min_value=0, max_value=922_337_202)
 _keys = st.integers(min_value=0, max_value=_ENC_MULT - 1)
+
+
+def test_out_of_domain_price_fails_loudly(spark, tmp_path):
+    """Beyond the encodable bound the operator must RAISE (matching
+    DuckDB's overflow error), never silently wrap the BIGINT and
+    return a wrong orderkey — the r11 ADVICE silent-corruption
+    hazard, now guarded per row with assert_true."""
+    out = tmp_path / "sf"
+    out.mkdir()
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet") and f != "orders.parquet":
+            shutil.copy(os.path.join(SRC, f), out / f)
+    o = pd.read_parquet(os.path.join(SRC, "orders.parquet"))
+    o.loc[o.index[0], "o_totalprice"] = 10_000_000.0  # > ~$9.22M
+    o.to_parquet(out / "orders.parquet", index=False)
+    with pytest.raises(Exception, match="encodable domain"):
+        registry.get("agg_minmax_by").fn(spark, str(out)).collect()
 
 
 @settings(max_examples=500, deadline=None)
