@@ -18,7 +18,7 @@ filesystem path; <ident> a bare [A-Za-z_][A-Za-z0-9_]* identifier):
   MERGE INTO '<path>' USING <view> [OP COLUMN <col>]
       [ORDER BY <col>[, ...]] [PARTIAL]
   DELETE FROM '<path>' WHERE KEY BETWEEN <lo> AND <hi> [MODE DV]
-  RESTORE '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF <epoch_s>]
+  RESTORE '<path>' (VERSION AS OF <v> | TIMESTAMP AS OF <epoch_s>)
   CLONE '<src>' TO '<dst>' [DEEP] [VERSION AS OF <v>]
   CONVERT TO TXLOG '<path>' KEY <col>
       [PARTITIONED BY (<col> <type>[, ...])]  -- adopt-by-reference;
@@ -105,9 +105,25 @@ def _view_df(spark: SparkSession, view: str) -> DataFrame:
     return spark.table(view)
 
 
+def _normalize_stmt(stmt: str) -> str:
+    """Collapse whitespace runs OUTSIDE single-quoted regions only.
+    A blanket `" ".join(stmt.split())` would rewrite string literals
+    and paths too — `AS SELECT 'a  b'` silently became `'a b'`, and a
+    path with consecutive spaces was altered before it ever reached
+    TxLogTable (ADVICE r11).  The grammar's quoted tokens are
+    escape-free (`[^']+`), so alternating unquoted/quoted segments
+    from one split is a faithful tokenization; runs inside quotes pass
+    through verbatim, runs outside shrink to one space (preserved at
+    segment boundaries so keywords never glue onto quotes)."""
+    parts = re.split(r"('[^']*')", stmt)
+    s = "".join(p if i % 2 else re.sub(r"\s+", " ", p)
+                for i, p in enumerate(parts))
+    return s.strip().rstrip(";").strip()
+
+
 def run_sql(spark: SparkSession, stmt: str) -> DataFrame:
     """Execute one lakehouse SQL statement (grammar in module doc)."""
-    s = " ".join(stmt.strip().rstrip(";").split())
+    s = _normalize_stmt(stmt)
 
     def m(pattern: str):
         return re.fullmatch(pattern, s, re.IGNORECASE)
@@ -173,8 +189,12 @@ def run_sql(spark: SparkSession, stmt: str) -> DataFrame:
             mode="dv" if r["dv"] else "cow"))
 
     # ---- RESTORE / CLONE -----------------------------------------
+    # the clause is MANDATORY (ADVICE r11): a bare RESTORE '<path>'
+    # used to parse and then die inside TxLogTable.restore with a
+    # Python-API ValueError — grammar errors should fail at the
+    # grammar, with the unrecognized-statement pointer below
     r = m(rf"RESTORE {_PATH}(?: VERSION AS OF (?P<v>\d+)| TIMESTAMP "
-          rf"AS OF (?P<ts>[0-9.]+))?")
+          rf"AS OF (?P<ts>[0-9.]+))")
     if r:
         t = TxLogTable(spark, r["path"])
         return _dict_df(spark, t.restore(

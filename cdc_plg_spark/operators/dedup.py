@@ -442,22 +442,44 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("doc1").alias("dst")))
              .localCheckpoint(eager=True))
 
-    labels = (d.select(F.col("doc_id").alias("node"),
-                       F.col("doc_id").alias("lab"))
-               .localCheckpoint(eager=True))
-    for _ in range(20):  # backstop; converges in O(cluster diameter)
+    labels = _min_label_cc(
+        d.select(F.col("doc_id").alias("node"),
+                 F.col("doc_id").alias("lab")).localCheckpoint(eager=True),
+        edges)
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lab").alias("cluster_id"),
+                         (F.col("lab") == F.col("node")).alias("is_canonical"))
+
+
+def _min_label_cc(labels: DataFrame, edges: DataFrame,
+                  max_iters: int = 20) -> DataFrame:
+    """Min-label propagation to fixpoint — the shared CC kernel under
+    both cluster exhibits (one join + one keyed min-agg per iteration,
+    lineage cut with an eager localCheckpoint; the GraphX/Pregel shape,
+    iterations bounded by component diameter).  `max_iters` is a
+    runaway backstop, NOT a truncation point: if the fixpoint is not
+    reached the labels are WRONG (a component's far side still carries
+    a stale label), so this raises instead of returning them (ADVICE
+    r11 — silent unconverged output is a correctness hazard on
+    high-diameter graphs; near-dup clusters converge in single digits,
+    so hitting the backstop means the edge graph is not the shape the
+    caller built this for)."""
+    for _ in range(max_iters):
         msgs = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "lab"))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("node").agg(F.min("lab").alias("lab"))
                       .localCheckpoint(eager=True))
-        if new_labels.exceptAll(labels).isEmpty():
-            labels = new_labels
-            break
+        converged = new_labels.exceptAll(labels).isEmpty()
         labels = new_labels
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("lab").alias("cluster_id"),
-                         (F.col("lab") == F.col("node")).alias("is_canonical"))
+        if converged:
+            return labels
+    raise RuntimeError(
+        f"connected-components did not converge within {max_iters} "
+        f"iterations — a component's diameter exceeds the backstop; "
+        f"returning the current labels would silently mis-cluster, so "
+        f"raise instead (raise max_iters if the graph is legitimately "
+        f"deep)")
 
 
 @register(
@@ -747,19 +769,10 @@ def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(pairs.select(F.col("doc2").alias("src"),
                                        F.col("doc1").alias("dst")))
              .localCheckpoint(eager=True))
-    labels = (d.select(F.col("doc_id").alias("node"),
-                       F.col("doc_id").alias("lab"))
-               .localCheckpoint(eager=True))
-    for _ in range(20):  # backstop; converges in O(cluster diameter)
-        msgs = (edges.join(labels, edges.src == labels.node)
-                     .select(F.col("dst").alias("node"), "lab"))
-        new_labels = (labels.unionByName(msgs)
-                      .groupBy("node").agg(F.min("lab").alias("lab"))
-                      .localCheckpoint(eager=True))
-        if new_labels.exceptAll(labels).isEmpty():
-            labels = new_labels
-            break
-        labels = new_labels
+    labels = _min_label_cc(
+        d.select(F.col("doc_id").alias("node"),
+                 F.col("doc_id").alias("lab")).localCheckpoint(eager=True),
+        edges)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lab").alias("cluster_id"),
                          (F.col("lab") == F.col("node")).alias("is_canonical"))

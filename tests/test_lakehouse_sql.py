@@ -264,3 +264,35 @@ def test_convert_repartition_malformed_refuse(spark):
                        "PARTITIONED BY (dt)")  # type required
     with pytest.raises(ValueError, match="unrecognized"):
         run_sql(spark, "ALTER TXLOG '/x' REPARTITION")  # BY|NONE required
+
+
+def test_restore_requires_version_or_timestamp_clause(spark, tdir):
+    """Bare RESTORE '<path>' used to pass the grammar and die inside
+    TxLogTable.restore with a Python-API ValueError; the clause is now
+    mandatory so the failure is the grammar error with the module
+    pointer (ADVICE r11)."""
+    _seed(spark)
+    p = os.path.join(tdir, "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id AS "
+                   f"SELECT * FROM sqlt_seed")
+    with pytest.raises(ValueError, match="unrecognized"):
+        run_sql(spark, f"RESTORE '{p}'")
+    # with the clause both forms still route
+    spark.createDataFrame([(5, 111)], "user_id long, value long") \
+        .createOrReplaceTempView("sqlt_r_up")
+    run_sql(spark, f"MERGE INTO '{p}' USING sqlt_r_up")
+    out = run_sql(spark, f"RESTORE '{p}' VERSION AS OF 0").collect()[0]
+    assert not out["skipped"] and out["files_restored"] == 1
+
+
+def test_whitespace_preserved_inside_quoted_literals(spark, tdir):
+    """Statement normalization must not rewrite quoted regions: a
+    doubled space inside a string literal or a path is DATA, not
+    formatting (ADVICE r11 — `' '.join(split())` collapsed both)."""
+    p = os.path.join(tdir, "a  b", "t")  # path with two spaces
+    run_sql(spark, f"CREATE   TXLOG '{p}'   KEY k AS "
+                   f"SELECT 1 AS k, 'x  y' AS s")
+    run_sql(spark, f"CREATE OR REPLACE TEMP VIEW sqlt_ws AS TXLOG '{p}'")
+    row = spark.sql("SELECT * FROM sqlt_ws").collect()[0]
+    assert row["s"] == "x  y"          # literal survived verbatim
+    assert os.path.isdir(p)            # path survived verbatim

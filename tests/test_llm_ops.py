@@ -410,3 +410,29 @@ def test_temperature_mix_threshold_math_cross_engine(spark, tmp_path):
             if got_spark[i] != got_duck[i]}
     assert not diff, f"{len(diff)} threshold mismatches, e.g. " \
                      f"{sorted(diff.items())[:3]}"
+
+
+def test_cc_raises_on_unconverged_deep_component(spark):
+    """The min-label CC kernel must RAISE when the fixpoint is not
+    reached within the iteration backstop — returning the current
+    labels would silently mis-cluster a high-diameter component
+    (ADVICE r11).  A 12-node path graph needs ~11 propagation rounds;
+    with max_iters=3 it cannot converge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_plg_spark.operators.dedup import _min_label_cc
+
+    n = 12
+    nodes = spark.range(n).select(F.col("id").alias("node"),
+                                  F.col("id").alias("lab"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _min_label_cc(nodes, edges, max_iters=3)
+    # and with room it converges: one component, all labeled 0
+    labs = {r["lab"] for r in
+            _min_label_cc(nodes, edges, max_iters=n + 2).collect()}
+    assert labs == {0}
