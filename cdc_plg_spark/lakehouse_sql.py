@@ -27,9 +27,10 @@ filesystem path; <ident> a bare [A-Za-z_][A-Za-z0-9_]* identifier):
       -- Python-only because both take host-language callables/exprs
       -- a statement grammar cannot carry
   ALTER TXLOG '<path>' REPARTITION BY (<col>[, ...])
-      [TARGET FILES <n>]                      -- partition-spec evolution
-  ALTER TXLOG '<path>' REPARTITION NONE [TARGET FILES <n>]
-  OPTIMIZE '<path>' [ZORDER BY (<col>[, ...])]
+      [TARGET FILES <n>] [NO VERIFY]          -- partition-spec evolution;
+      -- NO VERIFY opts out of the content-untouched publish gate
+  ALTER TXLOG '<path>' REPARTITION NONE [TARGET FILES <n>] [NO VERIFY]
+  OPTIMIZE '<path>' [ZORDER BY (<col>[, ...])] [VERIFY]
   VACUUM '<path>' [RETAIN <n> VERSIONS] [MIN AGE <sec> SECONDS]
       [DRY RUN]
   STAMP HASHES '<path>'
@@ -229,23 +230,29 @@ def run_sql(spark: SparkSession, stmt: str) -> DataFrame:
                                 "num_files": len(snap.files)})
 
     # ---- partition-spec evolution --------------------------------
+    # NO VERIFY opts out of repartition_layout's default content-
+    # untouched publish gate (r12); OPTIMIZE's VERIFY opts IN (the gate
+    # is opt-in there — compaction runs at ingest cadence where the 2x
+    # read is a real tax; see lakehouse.py _verify_layout_rewrite)
     r = m(rf"ALTER TXLOG {_PATH} REPARTITION "
           rf"(?:NONE|BY \((?P<cols>{_IDENT}(?:\s*,\s*{_IDENT})*)\))"
-          rf"(?: TARGET FILES (?P<tf>\d+))?")
+          rf"(?: TARGET FILES (?P<tf>\d+))?(?P<nv> NO VERIFY)?")
     if r:
         t = TxLogTable(spark, r["path"])
         cols = ([c.strip() for c in r["cols"].split(",")]
                 if r["cols"] else None)
         return _dict_df(spark, t.repartition_layout(
-            cols, target_files=int(r["tf"]) if r["tf"] else None))
+            cols, target_files=int(r["tf"]) if r["tf"] else None,
+            verify=not r["nv"]))
 
     # ---- maintenance ---------------------------------------------
     r = m(rf"OPTIMIZE {_PATH}(?: ZORDER BY \((?P<z>{_IDENT}"
-          rf"(?:\s*,\s*{_IDENT})*)\))?")
+          rf"(?:\s*,\s*{_IDENT})*)\))?(?P<vf> VERIFY)?")
     if r:
         t = TxLogTable(spark, r["path"])
         z = ([c.strip() for c in r["z"].split(",")] if r["z"] else None)
-        return _dict_df(spark, t.optimize(zorder_by=z))
+        return _dict_df(spark, t.optimize(zorder_by=z,
+                                          verify=bool(r["vf"])))
     r = m(rf"VACUUM {_PATH}(?: RETAIN (?P<n>\d+) VERSIONS)?"
           rf"(?: MIN AGE (?P<age>[0-9.]+) SECONDS)?(?P<dry> DRY RUN)?")
     if r:

@@ -228,8 +228,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF parameters: K centroid cells, each query probes the nearest
 # _IVF_NPROBE cells → scan fraction ≈ nprobe/K of the corpus.
-_IVF_K = 16
-_IVF_NPROBE = 6
+# r12 retune (the r11 sf1 fixtures tripped the in-plan recall gate —
+# exactly what the gate exists for): K 16→32, nprobe 6→12 holds the
+# SAME 0.375 scan fraction but doubles cell resolution, which the
+# np.roll-decorrelated 10-orientation sf1 corpus needs — measured
+# recall@5 0.58→0.78 at sf1, 0.82 at sf0.01 (grid in the r12 session;
+# gate 0.6).  At real scale K grows ~sqrt(N) with nprobe/K pinned.
+_IVF_K = 32
+_IVF_NPROBE = 12
 _IVF_LLOYD_ITERS = 4
 
 
@@ -320,9 +326,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids seed with deterministic farthest-point (maxmin
     k-means++) selection then take _IVF_LLOYD_ITERS distributed
-    k-means passes (recall 0.44 lowest-id seeds → 0.62 +Lloyd → see
-    tests for the seeded figure, all at fixed nprobe on the sf0.01
-    fixture); the collect() pulls K×64 floats — a model,
+    k-means passes (the r11 K=16 grid measured 0.44 lowest-id seeds
+    → 0.62 +Lloyd; the r12 K=32/nprobe=12 retune reads 0.82 at
+    sf0.01 / 0.78 at sf1 at the same 0.375 scan fraction — see the
+    constants block); the collect() pulls K×64 floats — a model,
     not data — and ships to executors inside the assignment UDF's
     closure, i.e. a broadcast. Cell assignment is one Arrow-batched
     numpy matvec per batch (linear scan); the candidate join is
@@ -594,9 +601,18 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4
 _PQ_SUB = 16
 _PQ_KS = 8              # checked twin: deterministic codewords
-_PQ_M_PROD = 8
+# r12 retune (sf1 recall gate trip): 8→16 subspaces of 4 dims each —
+# on the decorrelated sf1 corpus 8 subspaces' quantization noise
+# swamped the ADC ranking (recall@5 0.24 at the old shortlist; even
+# shortlist=200 only reached 0.58), 16 subspaces restore it (0.96 at
+# sf1, 0.92 at sf0.01).  16 codes = 16 B/vector vs 256 B float32: a
+# 16x bandwidth cut (was 32x — resolution bought with 8 extra bytes).
+_PQ_M_PROD = 16
 _PQ_KS_TRAINED = 32     # production variant: trained codebooks
-_PQ_SHORTLIST = 40      # ADC shortlist size before exact re-rank
+_PQ_SHORTLIST = 40      # ADC shortlist FLOOR before exact re-rank;
+#                         sim_ann_pq scales it as max(40, N//100) —
+#                         a fixed shortlist is a recall cliff at 10x
+#                         corpus (r12; the re-rank stays ~1% of N)
 
 _L2_SQL = ("list_reduce(list_transform(generate_series(1, len({a})), "
            "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
@@ -811,14 +827,15 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN via product quantization with exact re-rank —
     the production shape: trained per-subspace codebooks compress each
     corpus vector to _PQ_M_PROD codes, the ADC scan reads ONLY the
-    codes (the 32x memory-bandwidth cut that makes billion-vector
-    scans feasible), and the top-_PQ_SHORTLIST shortlist is re-ranked
-    with exact cosine so quantization error costs recall only past
-    the shortlist boundary.
+    codes (a 16x memory-bandwidth cut — the trade that makes
+    billion-vector scans feasible), and a corpus-scaled shortlist
+    (max(_PQ_SHORTLIST, N//100)) is re-ranked with exact cosine so
+    quantization error costs recall only past the shortlist boundary.
 
     Vectors are L2-NORMALIZED in-plan before training/encode: on unit
     vectors squared L2 is 2 - 2*cos, so the L2-metric ADC ranks
-    exactly like the cosine ground truth (measured 0.42 -> 0.82
+    exactly like the cosine ground truth (measured 0.42 -> 0.82 at r9's
+    M=8 config; the r12 M=16 retune reads 0.92 at sf0.01 / 0.96 at sf1
     recall@5 on the fixture).  Codebooks train on a deterministic
     hash-picked sample (bounded collect — a model, not data) with
     maxmin seeding + Lloyd, so every run picks identical codebooks
@@ -857,7 +874,13 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m, j, books[m][j].tolist())
          for m in range(_PQ_M_PROD) for j in range(len(books[m]))],
         "m int, j int, cw array<double>")
-    short = _pq_adc(corpus, qs, cw, shortlist=_PQ_SHORTLIST,
+    # shortlist scales with the corpus (floor _PQ_SHORTLIST): a FIXED
+    # shortlist is a recall cliff at 10x data — the ADC scan's top-40
+    # of 20k is a far harsher cut than top-40 of 2k (r12, measured on
+    # the sf1 fixtures); ~1% of N keeps the exact re-rank negligible
+    # while the gate margin survives scale.  `n` is already counted
+    # above for the training-sample stride — no extra job.
+    short = _pq_adc(corpus, qs, cw, shortlist=max(_PQ_SHORTLIST, n // 100),
                     m_parts=_PQ_M_PROD, sub=sub)
     rescored = (short.join(corpus, "corpus_id")
                 .join(F.broadcast(qs), "query_id")

@@ -132,8 +132,17 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # documented domain bound was 10x too generous; silent BIGINT wrap
 # beyond it) is now a per-row assert_true guard inside the encode —
 # expression changed, driver re-proves.
+# r12 session 2: the sf1 rows-only sweep (VERDICT r11 task 4) caught
+# both production ANN paths returning 0 rows at sf1 — their in-plan
+# recall gates fired on the decorrelated 10x corpus (the designed
+# failure mode: empty result, never silent bad recall).  Retuned:
+# IVF K 16→32 / nprobe 6→12 (same scan fraction), PQ 8→16 subspaces +
+# corpus-scaled shortlist.  All three produced expressions changed, so
+# the driver re-proves them (sim_ann_ivf_checked is the hash-oracled
+# dataflow twin; the other two are rows-only by §2 contract).
 _FORCE_RECHECK: set[str] = {"lakehouse_sql_convert_layout",
-                            "agg_minmax_by"}
+                            "agg_minmax_by", "sim_ann_ivf",
+                            "sim_ann_pq", "sim_ann_ivf_checked"}
 
 
 def _round_of(path: str) -> int:

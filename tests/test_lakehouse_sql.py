@@ -296,3 +296,41 @@ def test_whitespace_preserved_inside_quoted_literals(spark, tdir):
     row = spark.sql("SELECT * FROM sqlt_ws").collect()[0]
     assert row["s"] == "x  y"          # literal survived verbatim
     assert os.path.isdir(p)            # path survived verbatim
+
+
+def test_verify_clauses_route_to_layout_gate(spark, tdir):
+    """`ALTER ... REPARTITION ... NO VERIFY` opts OUT of the default
+    content-untouched publish gate; `OPTIMIZE ... VERIFY` opts IN
+    (r12 — the SQL surface of lakehouse.py's _verify_layout_rewrite).
+    Routing proven by corrupting the rewrite below the gate: with the
+    gate on the commit refuses; with NO VERIFY the corruption lands
+    (which is exactly what opting out means)."""
+    from cdc_plg_spark.lakehouse import LayoutInvariantViolation
+
+    _seed(spark)
+    p = os.path.join(tdir, "t")
+    run_sql(spark, f"CREATE TXLOG '{p}' KEY user_id N_FILES 3 AS "
+                   f"SELECT *, concat('c', user_id % 4) AS cat "
+                   f"FROM sqlt_seed")
+    t = TxLogTable(spark, p)
+    orig = t.__class__._write_data
+
+    def bad(self, df, key_col, n_files=None, cluster_expr=None, **kw):
+        return orig(self, df.filter(F.col("user_id") != 7), key_col,
+                    n_files, cluster_expr, **kw)
+
+    t.__class__._write_data = bad
+    try:
+        # default (gate ON): refused
+        with pytest.raises(LayoutInvariantViolation, match="REPARTITION"):
+            run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION BY (cat)")
+        # OPTIMIZE VERIFY: gate ON, refused
+        with pytest.raises(LayoutInvariantViolation, match="OPTIMIZE"):
+            run_sql(spark, f"OPTIMIZE '{p}' VERIFY")
+        # NO VERIFY: the corrupt rewrite publishes — the opt-out
+        run_sql(spark, f"ALTER TXLOG '{p}' REPARTITION BY (cat) "
+                       f"TARGET FILES 3 NO VERIFY")
+    finally:
+        t.__class__._write_data = orig
+    got = {r["user_id"] for r in TxLogTable(spark, p).read().collect()}
+    assert 7 not in got and len(got) == 99
