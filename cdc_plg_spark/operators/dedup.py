@@ -653,15 +653,14 @@ def _minhash_oracle_sql() -> str:
             f"SELECT doc1, doc2, n_match FROM match_pairs")
 
 
-def _checked_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cross-engine-reproducible MinHash+LSH candidate pipeline
-    (md5-prefix token hash, polynomial band fold) returning
-    (doc1, doc2, n_match) pairs with n_match >= 23 — the Spark twin
-    of `_minhash_cte_block()`'s match_pairs CTE.  Shared by
-    dedup_fuzzy_minhash_checked (which returns the pairs) and
-    dedup_cluster_cc_lsh (which builds duplicate clusters on them)."""
+def _checked_sig_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(signatures, exploded band hashes) of the cross-engine-
+    reproducible MinHash pipeline for ANY (doc_id, text) DataFrame —
+    the Spark twin of `_minhash_cte_block()`'s sig/bands CTEs.
+    Factored out (r12) so the batch pair exhibits and the incremental
+    index exhibit compute signatures through ONE code path and cannot
+    drift."""
     p = F.lit((1 << 31) - 1)
-    d = load_table(spark, "documents", sf_dir)
     toks = F.array_distinct(F.split("text", " "))
     hs = F.transform(
         toks,
@@ -694,6 +693,18 @@ def _checked_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)), band_hash))
         .alias("band_idx", "band_hash"))
+    return sig, bands
+
+
+def _checked_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-engine-reproducible MinHash+LSH candidate pipeline
+    (md5-prefix token hash, polynomial band fold) returning
+    (doc1, doc2, n_match) pairs with n_match >= 23 — the Spark twin
+    of `_minhash_cte_block()`'s match_pairs CTE.  Shared by
+    dedup_fuzzy_minhash_checked (which returns the pairs) and
+    dedup_cluster_cc_lsh (which builds duplicate clusters on them)."""
+    d = load_table(spark, "documents", sf_dir)
+    sig, bands = _checked_sig_bands(d)
     pair_ids = _lsh_pair_ids(bands)
     pairs = (pair_ids
              .join(sig.select(F.col("doc_id").alias("doc1"),
@@ -776,3 +787,94 @@ def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lab").alias("cluster_id"),
                          (F.col("lab") == F.col("node")).alias("is_canonical"))
+
+
+@register(
+    "dedup_incremental_vs_index",
+    oracle=f"""
+    WITH {_minhash_cte_block()},
+    hist_bands AS (SELECT doc_id, band_idx, band_hash FROM bands
+                   WHERE doc_id % 10 <> 0),
+    new_bands AS (SELECT doc_id, band_idx, band_hash FROM bands
+                  WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS batch_id, h.doc_id AS hist_id
+      FROM new_bands n JOIN hist_bands h
+        ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash),
+    verified AS (
+      SELECT c.batch_id, c.hist_id,
+             CAST(len(list_filter(range(1, {_MINHASH_K}+1),
+                      i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig s1 ON s1.doc_id = c.batch_id
+      JOIN sig s2 ON s2.doc_id = c.hist_id),
+    best AS (
+      SELECT batch_id, hist_id, n_match,
+             ROW_NUMBER() OVER (PARTITION BY batch_id
+                                ORDER BY n_match DESC, hist_id) AS rk
+      FROM verified WHERE n_match >= 23)
+    SELECT d.doc_id,
+           (b.hist_id IS NOT NULL) AS is_dup,
+           b.hist_id AS matched_doc,
+           b.n_match
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.batch_id = d.doc_id
+    """,
+    tags=("lsh", "incremental"),
+)
+def dedup_incremental_vs_index(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: screen an ARRIVING batch against a
+    persisted LSH index of the historical corpus — the shape a CDC-fed
+    training-data pipeline actually runs (the reference is a
+    change-capture engine, README.md:17: data arrives as ordered row
+    events, not as one static corpus).  The batch exhibits
+    (dedup_fuzzy_minhash*) re-pair the WHOLE corpus per run — O(corpus)
+    per day; this one touches O(batch + matched buckets): history
+    signatures/band-hashes are computed once and persisted as the
+    index (modeled here by the history-side band DataFrame; in
+    production a TxLog table bucketed by (band_idx, band_hash), which
+    MERGE appends each epoch keep co-located), and each arriving doc
+    probes only its own 8 band buckets.
+
+    Split rule doc_id % 10: ~10% of documents play the arriving batch,
+    the rest are history.  Candidates = equi-join of batch band
+    hashes against the index (AQE handles heavy buckets — this is a
+    two-sided join, not the self-join triangle the batch exhibit
+    salts); verification = signature agreement n_match >= 23 (same
+    estimated-Jaccard ≥ 0.7 threshold as the pair exhibits, same
+    shared `_checked_sig_bands` pipeline so engines and exhibits
+    cannot drift); each batch doc reports its BEST history match
+    (max n_match, then lowest doc_id — deterministic) or is_dup=false.
+    Every batch doc appears in the output exactly once: the left join
+    makes "nothing matched" an explicit row, not an absence."""
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    sig, bands = _checked_sig_bands(d)
+    batch_bands = bands.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("batch_id"), "band_idx", "band_hash")
+    hist_bands = bands.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_hash")
+    cand = (batch_bands.join(hist_bands, ["band_idx", "band_hash"])
+            .select("batch_id", "hist_id").distinct())
+    n_match = F.size(F.filter(
+        F.zip_with("sig1", "sig2", lambda a, b: a == b),
+        lambda x: x)).cast("long")
+    verified = (cand
+                .join(sig.select(F.col("doc_id").alias("batch_id"),
+                                 F.col("sig").alias("sig1")), "batch_id")
+                .join(sig.select(F.col("doc_id").alias("hist_id"),
+                                 F.col("sig").alias("sig2")), "hist_id")
+                .withColumn("n_match", n_match)
+                .filter(F.col("n_match") >= 23))
+    w = Window.partitionBy("batch_id").orderBy(F.desc("n_match"),
+                                               F.asc("hist_id"))
+    best = (verified.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("batch_id", "hist_id", "n_match"))
+    batch_docs = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return (batch_docs
+            .join(best, batch_docs.doc_id == best.batch_id, "left")
+            .select("doc_id",
+                    F.col("hist_id").isNotNull().alias("is_dup"),
+                    F.col("hist_id").alias("matched_doc"),
+                    F.col("n_match")))

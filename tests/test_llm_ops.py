@@ -436,3 +436,33 @@ def test_cc_raises_on_unconverged_deep_component(spark):
     labs = {r["lab"] for r in
             _min_label_cc(nodes, edges, max_iters=n + 2).collect()}
     assert labs == {0}
+
+
+def test_incremental_dedup_consistent_with_batch_pairs(spark, sf_dir):
+    """The incremental exhibit must agree with the batch pair exhibit
+    on WHO is a near-dup: a batch doc (doc_id % 10 == 0) is is_dup
+    exactly when the full-corpus pair run links it to at least one
+    history doc (the candidate sets are provably equal — the salted
+    self-join preserves the pair set, and both sides share
+    _checked_sig_bands).  Also: every batch doc appears exactly once,
+    and matched_doc is the deterministic best (max n_match, min id)."""
+    pairs = run("dedup_fuzzy_minhash_checked", spark, sf_dir)
+    inc = run("dedup_incremental_vs_index", spark, sf_dir)
+
+    exp_best = {}
+    for r in pairs.itertuples():
+        for b, h in ((r.doc1, r.doc2), (r.doc2, r.doc1)):
+            if b % 10 == 0 and h % 10 != 0:
+                cur = exp_best.get(b)
+                cand = (-r.n_match, h)
+                if cur is None or cand < cur:
+                    exp_best[b] = cand
+
+    assert inc.doc_id.is_unique
+    assert set(inc.doc_id) == {d for d in inc.doc_id}  # all batch docs once
+    got_dup = set(inc[inc.is_dup].doc_id)
+    assert got_dup == set(exp_best), (
+        len(got_dup ^ set(exp_best)), "membership disagrees")
+    for r in inc[inc.is_dup].itertuples():
+        nm, h = exp_best[r.doc_id]
+        assert (r.matched_doc, r.n_match) == (h, -nm), r
