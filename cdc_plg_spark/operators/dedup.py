@@ -789,9 +789,10 @@ def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.col("lab") == F.col("node")).alias("is_canonical"))
 
 
-@register(
-    "dedup_incremental_vs_index",
-    oracle=f"""
+# Shared by dedup_incremental_vs_index and its streaming replay twin
+# (streaming/queries.py stream_dedup_vs_index): the screen is per-doc
+# independent, so ONE oracle states the contract for both.
+INCR_SCREEN_ORACLE_SQL = f"""
     WITH {_minhash_cte_block()},
     hist_bands AS (SELECT doc_id, band_idx, band_hash FROM bands
                    WHERE doc_id % 10 <> 0),
@@ -819,7 +820,12 @@ def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            b.n_match
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.batch_id = d.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_incremental_vs_index",
+    oracle=INCR_SCREEN_ORACLE_SQL,
     tags=("lsh", "incremental"),
 )
 def dedup_incremental_vs_index(spark: SparkSession,
@@ -849,21 +855,34 @@ def dedup_incremental_vs_index(spark: SparkSession,
     Every batch doc appears in the output exactly once: the left join
     makes "nothing matched" an explicit row, not an absence."""
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    sig, bands = _checked_sig_bands(d)
-    batch_bands = bands.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("batch_id"), "band_idx", "band_hash")
-    hist_bands = bands.filter(F.col("doc_id") % 10 != 0).select(
-        F.col("doc_id").alias("hist_id"), "band_idx", "band_hash")
-    cand = (batch_bands.join(hist_bands, ["band_idx", "band_hash"])
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    hist_sig, hist_bands = _checked_sig_bands(hist)
+    return screen_against_index(batch, hist_sig, hist_bands)
+
+
+def screen_against_index(batch_d: DataFrame, hist_sig: DataFrame,
+                         hist_bands: DataFrame) -> DataFrame:
+    """Screen one arriving-doc DataFrame against a history LSH index
+    ((doc_id, sig) + exploded (doc_id, band_idx, band_hash)) — the
+    shared kernel under dedup_incremental_vs_index (one batch) and
+    stream_dedup_vs_index (per micro-batch): one code path, the
+    streaming replay cannot drift from the batch semantics."""
+    sig_b, bands_b = _checked_sig_bands(batch_d)
+    cand = (bands_b.select(F.col("doc_id").alias("batch_id"),
+                           "band_idx", "band_hash")
+            .join(hist_bands.select(F.col("doc_id").alias("hist_id"),
+                                    "band_idx", "band_hash"),
+                  ["band_idx", "band_hash"])
             .select("batch_id", "hist_id").distinct())
     n_match = F.size(F.filter(
         F.zip_with("sig1", "sig2", lambda a, b: a == b),
         lambda x: x)).cast("long")
     verified = (cand
-                .join(sig.select(F.col("doc_id").alias("batch_id"),
-                                 F.col("sig").alias("sig1")), "batch_id")
-                .join(sig.select(F.col("doc_id").alias("hist_id"),
-                                 F.col("sig").alias("sig2")), "hist_id")
+                .join(sig_b.select(F.col("doc_id").alias("batch_id"),
+                                   F.col("sig").alias("sig1")), "batch_id")
+                .join(hist_sig.select(F.col("doc_id").alias("hist_id"),
+                                      F.col("sig").alias("sig2")), "hist_id")
                 .withColumn("n_match", n_match)
                 .filter(F.col("n_match") >= 23))
     w = Window.partitionBy("batch_id").orderBy(F.desc("n_match"),
@@ -871,7 +890,7 @@ def dedup_incremental_vs_index(spark: SparkSession,
     best = (verified.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("batch_id", "hist_id", "n_match"))
-    batch_docs = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    batch_docs = batch_d.select("doc_id")
     return (batch_docs
             .join(best, batch_docs.doc_id == best.batch_id, "left")
             .select("doc_id",

@@ -881,3 +881,95 @@ def pipeline_cdc_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_table(agg, output_mode="complete")
     return out.select(F.col("window.start").alias("window_start"),
                       "segment", "n_changes", "sum_value")
+
+
+def _ensure_doc_batch_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Re-chunk the ARRIVING documents (doc_id % 10 == 0, the
+    incremental-dedup batch split) into 3 explicit parquet files —
+    one per (doc_id div 10) % 3 value — so availableNow +
+    maxFilesPerTrigger=1 genuinely replays a multi-micro-batch
+    arrival.  Same scratch-then-atomic-rename discipline as
+    _ensure_event_chunks (a crash never publishes a partial layout),
+    one explicit file per chunk id (never repartition-sampler luck)."""
+    import os as _os
+    import shutil as _sh
+
+    from cdc_plg_spark.catalog import cache_dir, load_table
+
+    chunks = cache_dir("incrdedup_chunks", sf_dir)
+    if not _os.path.isdir(chunks):
+        build = chunks + ".build"
+        _sh.rmtree(build, ignore_errors=True)
+        _os.makedirs(build)
+        batch = (load_table(spark, "documents", sf_dir)
+                 .filter(F.col("doc_id") % 10 == 0)
+                 .select("doc_id", "text"))
+        for i in range(3):
+            tmp = _os.path.join(build, f"_b{i}")
+            (batch.filter((F.col("doc_id") / 10 % 3).cast("int") == i)
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = next(f for f in _os.listdir(tmp)
+                        if f.endswith(".parquet") and not f.startswith("."))
+            _os.replace(_os.path.join(tmp, part),
+                        _os.path.join(build, f"chunk{i}.parquet"))
+            _sh.rmtree(tmp)
+        try:
+            _os.rename(build, chunks)
+        except OSError:
+            _sh.rmtree(build, ignore_errors=True)  # concurrent builder won
+    return chunks
+
+
+from cdc_plg_spark.operators.dedup import INCR_SCREEN_ORACLE_SQL
+
+
+@register(
+    "stream_dedup_vs_index",
+    oracle=INCR_SCREEN_ORACLE_SQL,
+    tags=("streaming", "lsh", "incremental"),
+)
+def stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental near-dup screen as a STREAM: arriving documents
+    replay as 3 micro-batches (file source, one chunk per trigger) and
+    each micro-batch is screened inside ``foreachBatch`` against the
+    STATIC history LSH index — `screen_against_index`, the exact
+    kernel the batch exhibit runs, so streaming and batch semantics
+    cannot drift and ONE oracle states both contracts.  Screening is
+    per-doc independent (no cross-batch state), which is precisely why
+    the incremental architecture works: a CDC feed of new documents
+    needs only its own signatures plus index probes per epoch, never a
+    corpus re-pair.  Results append to a per-run parquet accumulator
+    keyed by epoch (idempotent re-apply: overwrite-by-epoch-dir, the
+    README.md:119 checkpoint-ts discipline); the driver reads the
+    accumulated verdicts back as one batch DataFrame."""
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.operators.dedup import (_checked_sig_bands,
+                                               screen_against_index)
+    from cdc_plg_spark.streaming.core import run_foreach_batch
+
+    chunks = _ensure_doc_batch_chunks(spark, sf_dir)
+    hist = (load_table(spark, "documents", sf_dir)
+            .filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"))
+    hist_sig, hist_bands = _checked_sig_bands(hist)
+
+    out_dir = _os.path.join(_tf.gettempdir(),
+                            f"incrdedup_out_{_uuid.uuid4().hex[:12]}")
+    ckpt = _tf.mkdtemp(prefix="incrdedup_ckpt_")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(_os.path.join(chunks, "chunk*.parquet")))
+
+    def screen_batch(bdf: DataFrame, epoch_id: int) -> None:
+        (screen_against_index(bdf, hist_sig, hist_bands)
+         .write.mode("overwrite")
+         .parquet(_os.path.join(out_dir, f"epoch={epoch_id}")))
+
+    run_foreach_batch(stream, screen_batch, ckpt)
+    return (spark.read.option("basePath", out_dir)
+            .parquet(_os.path.join(out_dir, "epoch=*"))
+            .select("doc_id", "is_dup", "matched_doc", "n_match"))

@@ -306,3 +306,28 @@ def test_foreach_batch_plugin_isolation(spark, tdir):
     assert run_foreach_batch_isolated(
         staged_events_stream(spark, "/root/testdata/sf0.001"),
         plugin, ckpt, dlq) == []
+
+
+def test_stream_dedup_vs_index_is_multibatch_and_equals_batch(spark, sf_dir):
+    """The streaming incremental-dedup twin must (a) genuinely replay
+    MULTIPLE micro-batches — 3 chunk files, one per trigger — and (b)
+    produce exactly the batch exhibit's verdicts (screening is per-doc
+    independent; both run screen_against_index, one oracle states
+    both).  (a) is pinned by the per-epoch output layout; (b) by a
+    full row-set compare."""
+    from cdc_plg_spark import registry
+
+    registry.load_all()
+    got = (registry.get("stream_dedup_vs_index").fn(spark, sf_dir)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    # (a): 3 non-empty chunk files exist, and maxFilesPerTrigger=1
+    # makes each its own micro-batch
+    from cdc_plg_spark.streaming.queries import _ensure_doc_batch_chunks
+    chunks = _ensure_doc_batch_chunks(spark, sf_dir)
+    files = [f for f in os.listdir(chunks) if f.endswith(".parquet")]
+    assert len(files) == 3
+    assert all(os.path.getsize(os.path.join(chunks, f)) > 0 for f in files)
+    want = (registry.get("dedup_incremental_vs_index").fn(spark, sf_dir)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
