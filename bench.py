@@ -293,6 +293,16 @@ def main() -> None:
                                      3)
             except Exception:
                 pass
+        # incremental-screen tracker (r12): the arriving-batch screen
+        # vs the full-corpus pair run above — the number that justifies
+        # the incremental architecture (O(batch + matched buckets) per
+        # epoch vs O(corpus) re-pair).  Spark side only: its DuckDB
+        # oracle re-pays the whole sig CTE, a cost the full-run ratio
+        # already prices.
+        if "dedup_incremental_vs_index" in entries:
+            run_spark("dedup_incremental_vs_index")      # warm
+            lsh["incremental_screen_sec"] = round(_median_time(
+                lambda: run_spark("dedup_incremental_vs_index"), n=1), 4)
 
     duck_seq_total = round(sum(duck.values()), 4) if duck else None
     duck_best = (min(x for x in (duck_seq_total, duck_wall) if x is not None)
