@@ -1890,7 +1890,14 @@ def lakehouse_sql_maintenance_audit(spark: SparkSession,
     dispatcher bug that corrupted bytes, dropped the seal commit, or
     mis-parsed the delete range flips either the content hash or the
     finding count.  Content-only oracle otherwise — file/layout
-    counters are layout-dependent and stay in tests."""
+    counters are layout-dependent and stay in tests.
+
+    r12: OPTIMIZE runs with VERIFY — the content-untouched publish
+    gate (lakehouse.py _verify_layout_rewrite) now executes on the
+    DRIVER's correctness path every round, not only under pytest;
+    this is the "audit cadence" opt-in the OPTIMIZE docstring
+    prescribes, and exactly where a rewrite flake would otherwise
+    surface as a downstream hash mismatch."""
     from cdc_plg_spark.lakehouse_sql import run_sql
 
     ev = load_table(spark, "events", sf_dir)
@@ -1904,7 +1911,7 @@ def lakehouse_sql_maintenance_audit(spark: SparkSession,
                    f"AS SELECT * FROM lh_sqlm_seed")
     run_sql(spark, f"MERGE INTO '{p}' USING lh_sqlm_delta OP COLUMN op")
     run_sql(spark, f"DELETE FROM '{p}' WHERE KEY BETWEEN 0 AND 9")
-    run_sql(spark, f"OPTIMIZE '{p}'")
+    run_sql(spark, f"OPTIMIZE '{p}' VERIFY")
     run_sql(spark, f"STAMP HASHES '{p}'")
     n_findings = run_sql(
         spark, f"FSCK '{p}' DEEP VERIFY HASHES").count()  # audit-sized

@@ -140,9 +140,14 @@ _TRUSTED_GREEN_MIN_ROUND = 3
 # corpus-scaled shortlist.  All three produced expressions changed, so
 # the driver re-proves them (sim_ann_ivf_checked is the hash-oracled
 # dataflow twin; the other two are rows-only by §2 contract).
+# r12 session 2 (cont.): lakehouse_sql_maintenance_audit's OPTIMIZE
+# now runs under VERIFY (the r12 layout publish gate, exercised on
+# the driver path at audit cadence) — dataflow changed, driver
+# re-proves it.
 _FORCE_RECHECK: set[str] = {"lakehouse_sql_convert_layout",
                             "agg_minmax_by", "sim_ann_ivf",
-                            "sim_ann_pq", "sim_ann_ivf_checked"}
+                            "sim_ann_pq", "sim_ann_ivf_checked",
+                            "lakehouse_sql_maintenance_audit"}
 
 
 def _round_of(path: str) -> int:
