@@ -956,8 +956,22 @@ def stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"))
     hist_sig, hist_bands = _checked_sig_bands(hist)
 
-    out_dir = _os.path.join(_tf.gettempdir(),
-                            f"incrdedup_out_{_uuid.uuid4().hex[:12]}")
+    # Scratch hygiene (the r10 leaked-directory-pair lesson): the
+    # checkpoint is per-run and removed in `finally` once availableNow
+    # terminates; the OUTPUT must outlive this function (the returned
+    # DataFrame reads it lazily — the driver collects after we return),
+    # so it lives under the cache root where each run purges its
+    # predecessors' runs first (single sequential writer per sf — the
+    # driver/bench/test harnesses all run queries serially).
+    import shutil as _sh
+
+    from cdc_plg_spark.catalog import cache_dir
+
+    out_base = cache_dir("incrdedup_out", sf_dir)
+    _os.makedirs(out_base, exist_ok=True)
+    for prev in _os.listdir(out_base):
+        _sh.rmtree(_os.path.join(out_base, prev), ignore_errors=True)
+    out_dir = _os.path.join(out_base, f"run_{_uuid.uuid4().hex[:12]}")
     ckpt = _tf.mkdtemp(prefix="incrdedup_ckpt_")
 
     stream = (spark.readStream.schema("doc_id long, text string")
@@ -969,7 +983,10 @@ def stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite")
          .parquet(_os.path.join(out_dir, f"epoch={epoch_id}")))
 
-    run_foreach_batch(stream, screen_batch, ckpt)
+    try:
+        run_foreach_batch(stream, screen_batch, ckpt)
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
     return (spark.read.option("basePath", out_dir)
             .parquet(_os.path.join(out_dir, "epoch=*"))
             .select("doc_id", "is_dup", "matched_doc", "n_match"))
