@@ -954,7 +954,14 @@ def stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = _ensure_doc_batch_chunks(spark, sf_dir)
     hist = (load_table(spark, "documents", sf_dir)
             .filter(F.col("doc_id") % 10 != 0).select("doc_id", "text"))
+    # materialize the index ONCE (eager localCheckpoint): these frames
+    # are captured by the foreachBatch closure, and lazy plans would
+    # re-run the O(corpus) signature computation EVERY micro-batch —
+    # the exact cost the incremental architecture exists to avoid (in
+    # production this is the persisted bucketed index table)
     hist_sig, hist_bands = _checked_sig_bands(hist)
+    hist_sig = hist_sig.localCheckpoint(eager=True)
+    hist_bands = hist_bands.localCheckpoint(eager=True)
 
     # Scratch hygiene (the r10 leaked-directory-pair lesson): the
     # checkpoint is per-run and removed in `finally` once availableNow
