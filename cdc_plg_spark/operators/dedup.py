@@ -897,3 +897,64 @@ def screen_against_index(batch_d: DataFrame, hist_sig: DataFrame,
                     F.col("hist_id").isNotNull().alias("is_dup"),
                     F.col("hist_id").alias("matched_doc"),
                     F.col("n_match")))
+
+
+@register(
+    "dedup_index_maintain",
+    oracle=f"""
+    WITH {_minhash_cte_block()}
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(band_hash) AS BIGINT) AS hash_checksum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM bands GROUP BY band_idx
+    """,
+    tags=("lsh", "incremental", "lakehouse"),
+)
+def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE — the write half of the incremental loop
+    (dedup_incremental_vs_index is the read half): after an epoch's
+    batch is screened, its band rows MERGE into the persisted LSH
+    index so the NEXT epoch screens against an index that already
+    contains them.  The index is a real TxLog table keyed on a
+    synthesized (doc_id, band_idx) row key (doc_id * n_bands +
+    band_idx — injective, integral, range-clusterable), seeded from
+    the history corpus and upserted with the arriving batch's rows in
+    ONE transactional commit — idempotent re-apply via the MERGE
+    key contract, exactly how a CDC epoch sink maintains any keyed
+    state table here.
+
+    Contract proven by the oracle: the MAINTAINED index (seed +
+    merge) must equal an index built FROM SCRATCH over the whole
+    corpus — per-band entry counts plus band-hash and doc-id multiset
+    checksums.  A dropped band row, a double-applied batch, or a key
+    collision in the synthesized row key all flip a checksum.  At
+    100 TB the index table is partitioned/bucketed by band hash (the
+    probe key) and each epoch's MERGE prunes to the files its key
+    range touches — the maintenance cost is O(batch), never
+    O(index)."""
+    import os as _os
+    import tempfile as _tf
+
+    from cdc_plg_spark.lakehouse import TxLogTable
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    def band_rows(src: DataFrame) -> DataFrame:
+        _, bands = _checked_sig_bands(src)
+        return bands.select(
+            (F.col("doc_id") * _MINHASH_BANDS + F.col("band_idx"))
+            .alias("row_key"),
+            "doc_id", "band_idx", "band_hash")
+
+    p = _os.path.join(_tf.mkdtemp(prefix="lsh_index_"), "t")
+    t = TxLogTable.create(spark, p, band_rows(hist), "row_key",
+                          n_files=8)
+    t.merge(band_rows(batch))          # the epoch's index update
+    return (t.read()
+            .groupBy("band_idx")
+            .agg(F.count(F.lit(1)).alias("n_entries"),
+                 F.sum("band_hash").alias("hash_checksum"),
+                 F.sum("doc_id").alias("id_checksum")))

@@ -466,3 +466,45 @@ def test_incremental_dedup_consistent_with_batch_pairs(spark, sf_dir):
     for r in inc[inc.is_dup].itertuples():
         nm, h = exp_best[r.doc_id]
         assert (r.matched_doc, r.n_match) == (h, -nm), r
+
+
+def test_index_maintain_merge_is_idempotent(spark, sf_dir):
+    """Re-applying the SAME epoch's batch to the LSH index must be a
+    no-op value-wise (the CDC idempotence contract the MERGE key gives
+    us): checksums after a double apply equal the single apply —
+    which the oracle already proved equals a from-scratch index."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_plg_spark.catalog import load_table
+    from cdc_plg_spark.lakehouse import TxLogTable
+    from cdc_plg_spark.operators.dedup import (_MINHASH_BANDS,
+                                               _checked_sig_bands)
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def band_rows(src):
+        _, bands = _checked_sig_bands(src)
+        return bands.select(
+            (F.col("doc_id") * _MINHASH_BANDS + F.col("band_idx"))
+            .alias("row_key"), "doc_id", "band_idx", "band_hash")
+
+    p = os.path.join(tempfile.mkdtemp(prefix="lsh_idx_idem_"), "t")
+    t = TxLogTable.create(spark, p,
+                          band_rows(d.filter(F.col("doc_id") % 10 != 0)),
+                          "row_key", n_files=4)
+    batch = band_rows(d.filter(F.col("doc_id") % 10 == 0))
+
+    def state():
+        return {r["band_idx"]: (r["n"], r["hc"], r["ic"]) for r in
+                t.read().groupBy("band_idx")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("band_hash").alias("hc"),
+                      F.sum("doc_id").alias("ic")).collect()}
+
+    t.merge(batch)
+    once = state()
+    t.merge(batch)        # replayed epoch — the crash-retry case
+    assert state() == once
