@@ -508,3 +508,18 @@ def test_index_maintain_merge_is_idempotent(spark, sf_dir):
     once = state()
     t.merge(batch)        # replayed epoch — the crash-retry case
     assert state() == once
+
+
+def test_epoch_screen_visibility_is_monotone(spark, sf_dir):
+    """The epoch-ordered run sees history PLUS earlier arrivals, the
+    one-shot screen sees history only — so every doc the one-shot
+    flags must be flagged by the epoch run, with an equal-or-better
+    best match (candidate sets only grow)."""
+    one = run("dedup_incremental_vs_index", spark, sf_dir)
+    ep = run("dedup_incremental_epochs", spark, sf_dir)
+    one_d = {r.doc_id: r.n_match for r in one[one.is_dup].itertuples()}
+    ep_d = {r.doc_id: r.n_match for r in ep[ep.is_dup].itertuples()}
+    missing = set(one_d) - set(ep_d)
+    assert not missing, missing
+    worse = {d for d in one_d if ep_d[d] < one_d[d]}
+    assert not worse, worse
