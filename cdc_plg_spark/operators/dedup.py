@@ -950,8 +950,11 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "band_idx", "band_hash")
 
     p = _os.path.join(_tf.mkdtemp(prefix="lsh_index_"), "t")
+    # hive-partitioned BY band_idx: a probe (or an epoch MERGE) for one
+    # band prunes 7/8 of the table at the manifest before any IO — the
+    # layout the docstring's 100 TB posture names, exercised here
     t = TxLogTable.create(spark, p, band_rows(hist), "row_key",
-                          n_files=8)
+                          n_files=8, partition_by=["band_idx"])
     t.merge(band_rows(batch))          # the epoch's index update
     return (t.read()
             .groupBy("band_idx")
