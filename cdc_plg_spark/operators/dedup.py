@@ -75,6 +75,43 @@ def _shingle_hashes(width: int = _SHINGLE_W) -> F.Column:
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, width)))))
 
 
+def _sig_sweep_udf(empty_sig):
+    """pandas_udf computing the k-permutation min-sweep over a
+    precomputed token-hash array column (values in [0, 2^31)) as ONE
+    Arrow-batched numpy matrix op per document.  `empty_sig` is the
+    value returned for a NULL/empty hash array: the production
+    xxhash64 variant returns a NULL signature; the checked md5 variant
+    returns an array of k NULLs, matching what its former
+    32×`array_min(transform(...))` column stack produced for NULL
+    text.  int64 arithmetic is identical to the JVM/DuckDB paths
+    (h < 2^31, a,b < 2^31 ⇒ a*h+b < 2^62, no overflow), so signature
+    values are bit-equal across all three."""
+    from pyspark.sql.functions import pandas_udf
+
+    a_np = np.array([(_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1
+                     for j in range(_MINHASH_K)], dtype=np.int64)
+    b_np = np.array([(_HASH_B * (j + 1)) % (1 << 31)
+                     for j in range(_MINHASH_K)], dtype=np.int64)
+    p = (1 << 31) - 1
+
+    @pandas_udf("array<long>")
+    def sig_np(sh: pd.Series) -> pd.Series:
+        out = []
+        for h in sh:
+            if h is None or len(h) == 0:
+                # NULL text → NULL shingle array (np.asarray(None)
+                # would raise); empty array → no min to take
+                out.append(empty_sig)
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            # (|doc| × k) universal hashes in one broadcast, min per k
+            out.append(((hv[:, None] * a_np + b_np) % p)
+                       .min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sig_np
+
+
 def _minhash_signature() -> F.Column:
     """array<long> of length k: min over shingles of (a_j*h + b_j).
 
@@ -92,38 +129,9 @@ def _minhash_signature() -> F.Column:
     paths (h < 2^31, a,b < 2^31 ⇒ a*h+b < 2^62, no overflow), so the
     signature values — and dedup_fuzzy_minhash_checked's DuckDB
     oracle, which recomputes them in SQL — are bit-equal."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    a_np = np.array([(_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1
-                     for j in range(_MINHASH_K)], dtype=np.int64)
-    b_np = np.array([(_HASH_B * (j + 1)) % (1 << 31)
-                     for j in range(_MINHASH_K)], dtype=np.int64)
-    p = (1 << 31) - 1
-
-    @pandas_udf("array<long>")
-    def sig_np(sh: pd.Series) -> pd.Series:
-        out = []
-        for h in sh:
-            if h is None:
-                # NULL text → NULL shingle array → NULL signature
-                # (same as the Column-based path; np.asarray(None)
-                # would raise)
-                out.append(None)
-                continue
-            hv = np.asarray(h, dtype=np.int64)
-            if hv.size == 0:
-                out.append(None)
-                continue
-            # (|doc| × k) universal hashes in one broadcast, min per k
-            out.append(((hv[:, None] * a_np + b_np) % p)
-                       .min(axis=0).tolist())
-        return pd.Series(out)
-
     sh = F.transform(_shingle_hashes(),
                      lambda h: F.pmod(h, F.lit(1 << 31)))
-    return sig_np(sh)
+    return _sig_sweep_udf(None)(sh)
 
 
 _LSH_BUCKET_CAP = 1000   # docs per LSH bucket before the salted split
@@ -137,18 +145,11 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     docs into ONE (band_idx, band_hash) bucket, and a hash join then
     computes that whole |bucket|² compare in a single task.
 
-    Guard (exact, not lossy): a map-side-combined aggregate finds
-    buckets over `cap` — at most |corpus|/cap such buckets per band
-    exist, so the frame is tiny for realistic skew (a handful of
-    boilerplate clusters); on a pathological corpus where MOST docs
-    sit in heavy buckets it grows toward |corpus|/cap rows.  No
-    broadcast hint on the join below — AQE measures the aggregate's
-    ACTUAL output at runtime and picks broadcast-hash while the frame
-    is small (every realistic corpus) but degrades to a shuffle join
-    instead of OOM-ing the driver if a pathological corpus ever blows
-    it past the broadcast threshold; that is the adaptive cap a
-    hardcoded hint can't give.  Rows of an oversized bucket get a
-    deterministic salt
+    Guard (exact, not lossy): bucket sizes come from a count window
+    over the band rows themselves (r13 — previously an aggregate
+    joined back, which forced the band/signature pipeline to execute
+    once per plan branch; see the inline note).  Rows of an oversized
+    bucket get a deterministic salt
     g ∈ [0, G), G = ceil(size/cap), and the self-join becomes the
     triangle of (i, j) salt-pair tasks: a row salted g joins as left
     in tasks (g, j≥g) and as right in tasks (i≤g, g), so every
@@ -162,12 +163,19 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     value-matches.  Output volume is inherently quadratic in bucket
     size (those pairs really are near-dups); what the guard bounds is
     task time and memory, the thing that kills a 1000-executor job."""
-    big = (bands.groupBy("band_idx", "band_hash")
-           .agg(F.count(F.lit(1)).alias("_bsize"))
-           .filter(F.col("_bsize") > cap))
-    b2 = (bands.join(big, ["band_idx", "band_hash"], "left")
-          .withColumn("_G", F.coalesce(
-              F.ceil(F.col("_bsize") / F.lit(cap)), F.lit(1)).cast("int"))
+    # Bucket sizes via a WINDOW over bands rather than the r11
+    # aggregate+join-back: the agg/join form referenced the `bands`
+    # subtree from FOUR plan branches (left, right, and one bucket-size
+    # aggregate under each) with zero ReusedExchange, so the whole
+    # signature pipeline upstream executed four times per run (r13
+    # plan audit, guide §2.4).  The window form computes sizes in the
+    # same pass that reads bands, and its Exchange on
+    # (band_idx, band_hash) is an identical subtree under both join
+    # branches, so ReuseExchange executes the signature pipeline ONCE
+    # and both explodes read the shuffled output.
+    wb = Window.partitionBy("band_idx", "band_hash")
+    b2 = (bands.withColumn("_bsize", F.count(F.lit(1)).over(wb))
+          .withColumn("_G", F.ceil(F.col("_bsize") / F.lit(cap)).cast("int"))
           .withColumn("_s", F.pmod(F.xxhash64("doc_id"),
                                    F.col("_G")).cast("int")))
     left = b2.select(F.col("doc_id").alias("da"),
@@ -179,6 +187,24 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
                       "band_idx", "band_hash",
                       F.explode(F.sequence(F.lit(0), "_s")).alias("_i"),
                       F.col("_s").alias("_j"))
+    # Repartition the PROBE side by the full salted key before the
+    # (usually broadcast) self-join: without it the join inherits the
+    # scan's partitioning — a single-row-group parquet fixture means
+    # ONE task computes the entire |bucket|²-row join output and its
+    # partial distinct (measured 45 s of the 48 s sf0.1 wall, r13).
+    # The salt exists precisely to spread this work (guide §2.5); the
+    # (band_idx, band_hash, _i, _j) key has thousands of distinct
+    # values (48+ on the heavy bucket alone), so hashing spreads the
+    # triangle tasks across the cluster while shuffling only the
+    # narrow (id, band, salt) rows — never signatures or text.
+    # The partition count is EXPLICIT (session shuffle.partitions, so
+    # it scales with the deployment conf): the band rows are a few MB
+    # and AQE's coalescing — which only sees shuffle-write bytes, not
+    # the |bucket|²-fold join fan-out above them — otherwise folds
+    # this exchange back to one partition and re-serializes the join
+    # (measured: 33.5 s single-task stage at sf0.1).
+    n_part = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(n_part, "band_idx", "band_hash", "_i", "_j")
     return (left.join(right, ["band_idx", "band_hash", "_i", "_j"])
             .filter(F.col("da") != F.col("db"))
             .select(F.least("da", "db").alias("doc1"),
@@ -659,7 +685,20 @@ def _checked_sig_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     the Spark twin of `_minhash_cte_block()`'s sig/bands CTEs.
     Factored out (r12) so the batch pair exhibits and the incremental
     index exhibit compute signatures through ONE code path and cannot
-    drift."""
+    drift.
+
+    r13: the k-permutation sweep runs through the same Arrow/numpy
+    kernel as the production variant (`_sig_sweep_udf`) instead of a
+    stack of 32 `array_min(transform(hs, ...))` columns.  The HOF
+    stack was quadratic in disguise: catalyst inlines the shared `hs`
+    token-hash subexpression into every one of the 32 columns and HOF
+    lambdas get no common-subexpression elimination, so the
+    md5→conv→pmod chain ran 32× per document (visible verbatim in the
+    r13 before-plan).  Token hashing (md5-prefix, the cross-engine-
+    reproducible part) stays in JVM codegen and now runs once; the
+    sweep arithmetic is identical int64 (guide §4.2), so signatures
+    stay bit-equal to the DuckDB oracle — pinned by the unchanged
+    hash-checked driver rows."""
     p = F.lit((1 << 31) - 1)
     toks = F.array_distinct(F.split("text", " "))
     hs = F.transform(
@@ -667,16 +706,9 @@ def _checked_sig_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         lambda t: F.pmod(
             F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
             F.lit(1 << 31)))
-
-    def perm(a: F.Column, b: F.Column):
-        return lambda h: F.pmod(a * h + b, p)
-
-    perms = []
-    for j in range(_MINHASH_K):
-        a = F.lit((_HASH_A * (2 * j + 1)) % ((1 << 31) - 1) + 1)
-        b = F.lit((_HASH_B * (j + 1)) % (1 << 31))
-        perms.append(F.array_min(F.transform(hs, perm(a, b))))
-    sig = d.select("doc_id", F.array(*perms).alias("sig"))
+    sig = d.select(
+        "doc_id",
+        _sig_sweep_udf([None] * _MINHASH_K)(hs).alias("sig"))
 
     def band_hash(b: F.Column):
         sl = F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS)

@@ -1925,7 +1925,8 @@ def lakehouse_sql_maintenance_audit(spark: SparkSession,
     "lakehouse_sql_convert_layout",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars, SUM(doc_id) AS id_checksum
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM documents GROUP BY lang, source
     """,
     tags=("lakehouse", "sql"),

@@ -77,6 +77,23 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        if exact:
+            # Driver-faithfulness gate (VERDICT r12 #2): the driver hashes
+            # RAW values, so an int64 Spark column paired with a float64
+            # oracle column (DuckDB widening integer SUM to HUGEINT →
+            # pandas float64) hashes 5000 vs 5000.0 and reds the round even
+            # though the float-tolerant branch below would pass.  Refuse
+            # the pairing outright instead of normalizing it away.
+            a_int = pd.api.types.is_integer_dtype(av)
+            b_int = pd.api.types.is_integer_dtype(bv)
+            a_flt = pd.api.types.is_float_dtype(av)
+            b_flt = pd.api.types.is_float_dtype(bv)
+            assert not (a_int and b_flt) and not (a_flt and b_int), (
+                f"{name}: column {c!r}: integer-vs-float dtype kind mismatch "
+                f"(spark={av.dtype}, oracle={bv.dtype}) — the driver's raw "
+                f"value hash WILL fail on this. If the oracle is a DuckDB "
+                f"integer SUM, CAST(SUM(...) AS BIGINT) it "
+                f"(registry.py oracle-authoring discipline).")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype(float).to_numpy()
             bv = bv.astype(float).to_numpy()
