@@ -901,8 +901,18 @@ def screen_against_index(batch_d: DataFrame, hist_sig: DataFrame,
     stream_dedup_vs_index (per micro-batch): one code path, the
     streaming replay cannot drift from the batch semantics."""
     sig_b, bands_b = _checked_sig_bands(batch_d)
+    # Explicitly repartition the probe side by the bucket key before
+    # the (broadcast) index join — same r13 finding as _lsh_pair_ids:
+    # the batch band rows are a few hundred KB, so the scan's single
+    # partition (single-row-group fixture) or an AQE-coalesced
+    # exchange would compute the whole |batch-bucket|×|index-bucket|
+    # join fan-out and its partial distinct in ONE task.  Thousands
+    # of distinct bucket keys spread the probe; the count is the
+    # session shuffle.partitions conf, so it scales with deployment.
+    n_part = int(batch_d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (bands_b.select(F.col("doc_id").alias("batch_id"),
                            "band_idx", "band_hash")
+            .repartition(n_part, "band_idx", "band_hash")
             .join(hist_bands.select(F.col("doc_id").alias("hist_id"),
                                     "band_idx", "band_hash"),
                   ["band_idx", "band_hash"])
@@ -966,7 +976,6 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     range touches — the maintenance cost is O(batch), never
     O(index)."""
     import os as _os
-    import tempfile as _tf
 
     from cdc_plg_spark.lakehouse import TxLogTable
 
@@ -981,7 +990,21 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("row_key"),
             "doc_id", "band_idx", "band_hash")
 
-    p = _os.path.join(_tf.mkdtemp(prefix="lsh_index_"), "t")
+    # Scratch hygiene (ADVICE r12): the index table must outlive this
+    # function (the returned DataFrame reads it lazily), so it lives
+    # under the cache root where each run purges its predecessors —
+    # the former bare mkdtemp leaked an ~8×N-row band table into /tmp
+    # per invocation, sizeable across repeated bench/sweep runs.
+    import shutil as _sh
+    import uuid as _uuid
+
+    from cdc_plg_spark.catalog import cache_dir
+
+    base = cache_dir("lsh_index", sf_dir)
+    _os.makedirs(base, exist_ok=True)
+    for prev in _os.listdir(base):
+        _sh.rmtree(_os.path.join(base, prev), ignore_errors=True)
+    p = _os.path.join(base, f"run_{_uuid.uuid4().hex[:12]}", "t")
     # hive-partitioned BY band_idx: a probe (or an epoch MERGE) for one
     # band prunes 7/8 of the table at the manifest before any IO — the
     # layout the docstring's 100 TB posture names, exercised here
