@@ -490,14 +490,23 @@ def _min_label_cc(labels: DataFrame, edges: DataFrame,
     high-diameter graphs; near-dup clusters converge in single digits,
     so hitting the backstop means the edge graph is not the shape the
     caller built this for)."""
+    # Convergence via the label-sum invariant (r13): each step takes
+    # node.lab = min(old lab, incoming labs), so labels are monotone
+    # non-increasing per node and SUM(lab) is strictly decreasing
+    # until the fixpoint — sum unchanged ⟺ no label changed.  One
+    # scalar aggregate over the (model-sized, just-checkpointed)
+    # label frame per iteration replaces the exceptAll anti-join,
+    # which shuffled both label frames every round.
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
     for _ in range(max_iters):
         msgs = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "lab"))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("node").agg(F.min("lab").alias("lab"))
                       .localCheckpoint(eager=True))
-        converged = new_labels.exceptAll(labels).isEmpty()
-        labels = new_labels
+        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        converged = new_sum == prev_sum
+        labels, prev_sum = new_labels, new_sum
         if converged:
             return labels
     raise RuntimeError(
