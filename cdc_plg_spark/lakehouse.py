@@ -1726,11 +1726,23 @@ class TxLogTable:
         wraparound, so two different multisets can't alias through
         overflow below ~10^19 rows) and it cannot raise under an
         ANSI-mode session (the engine must verify correctly under the
-        caller's session semantics, not just its own)."""
+        caller's session semantics, not just its own).
+
+        NULLs are position-sensitive (ADVICE r12): xxhash64 SKIPS
+        null inputs, so a row whose value transposes between two
+        same-typed columns with NULL in the other — (x, NULL) vs
+        (NULL, x) — would hash identically, and a rewrite corrupting
+        data that way would pass verify.  Appending the row's
+        null-mask bit string as one extra hashed input folds WHICH
+        columns were null into the row hash (no typed sentinel
+        needed, so no sentinel/value collision class)."""
         cols = [F.col(c) for c in sorted(df.columns)]
+        null_mask = F.concat_ws(
+            "", *[F.isnull(c).cast("int").cast("string") for c in cols])
         r = df.agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("_h"),
+            F.sum(F.xxhash64(*cols, null_mask)
+                  .cast("decimal(38,0)")).alias("_h"),
         ).collect()[0]
         return int(r["_n"]), int(r["_h"] if r["_h"] is not None else 0)
 
