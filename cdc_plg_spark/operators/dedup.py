@@ -463,10 +463,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("doc1") < F.col("doc2"))
               .filter(jac >= 0.6)
               .select("doc1", "doc2"))
-    edges = (pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-             .unionByName(pairs.select(F.col("doc2").alias("src"),
-                                       F.col("doc1").alias("dst")))
-             .localCheckpoint(eager=True))
+    # symmetrize with explode, not a self-union: the kernel's edge
+    # contraction consumes this plan exactly once, so one lazy pass
+    # replaces the eager 2|E|-row checkpoint (r13)
+    edges = _symmetrize_pairs(pairs)
 
     labels = _min_label_cc(
         d.select(F.col("doc_id").alias("node"),
@@ -475,6 +475,20 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lab").alias("cluster_id"),
                          (F.col("lab") == F.col("node")).alias("is_canonical"))
+
+
+def _symmetrize_pairs(pairs: DataFrame) -> DataFrame:
+    """(doc1, doc2) pairs → both directed (src, dst) rows, emitted by
+    explode in ONE pass.  A self-union of two projections would
+    re-execute the upstream pair pipeline per branch (no exchange
+    reuse across differing projections); explode keeps the pipeline
+    single-execution, which is what lets the CC callers feed their
+    edge plans to the kernel lazily instead of checkpointing the
+    2|E|-row multiset (r13)."""
+    return pairs.select(F.explode(F.array(
+        F.struct(F.col("doc1").alias("src"), F.col("doc2").alias("dst")),
+        F.struct(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    ).alias("_e")).select("_e.src", "_e.dst")
 
 
 def _min_label_cc(labels: DataFrame, edges: DataFrame,
@@ -490,6 +504,49 @@ def _min_label_cc(labels: DataFrame, edges: DataFrame,
     high-diameter graphs; near-dup clusters converge in single digits,
     so hitting the backstop means the edge graph is not the shape the
     caller built this for)."""
+    # One hash-to-min star contraction before iterating (r13, guide
+    # §2.3 — shuffle fewer bytes): replace the edge set with
+    # {(m(u), w) : w ∈ N(u) ∪ {u}} where m(u) = min({u} ∪ N(u)),
+    # deduplicated as undirected pairs.  Component-preserving both
+    # ways — every emitted edge joins two members of u's component
+    # (m(u) is u or a neighbor), and every original edge (u,v) stays
+    # connected through m(u) via the emitted (m(u),u) and (m(u),v) —
+    # so MIN labels (and therefore the output) are unchanged.  On
+    # near-dup graphs, whose clusters are near-cliques, this collapses
+    # each k-clique's k²/2 pair edges into one k-edge star: the LSH
+    # cluster exhibit's 9.9M directed edges become ~1 edge per node,
+    # so the propagation loop's per-iteration join+agg shuffles
+    # node-count rows instead of re-shuffling the full pair multiset
+    # every round.  Cost: two passes over the raw edges (min-per-src
+    # agg + join back) and one distinct — paid once, not per round.
+    # Diameter at most roughly halves per application, so the
+    # unconverged-RAISE backstop semantics survive (a path needing
+    # ~d rounds still needs ~d/2; pinned by the max_iters=3 test).
+    #
+    # The contraction is also the only consumer of the raw `edges`
+    # plan, and it reads it exactly ONCE: m(u) comes from a window
+    # min over the same src-partitioned shuffle (no separate
+    # aggregate joined back), and the star rows are emitted with
+    # explode instead of a self-union (a union's two projection
+    # branches re-execute the upstream pipeline; explode emits both
+    # rows in one pass).  Callers therefore pass their edge plan
+    # lazily — no 2|E|-row localCheckpoint of the pair multiset.
+    base = edges.withColumn(
+        "_m", F.least(F.min("dst").over(Window.partitionBy("src")),
+                      F.col("src")))
+    star = base.select(F.explode(F.array(
+        F.struct(F.col("_m").alias("_a"), F.col("dst").alias("_b")),
+        F.struct(F.col("_m").alias("_a"), F.col("src").alias("_b")))
+    ).alias("_e")).select("_e._a", "_e._b")
+    und = (star.filter(F.col("_a") != F.col("_b"))
+           .select(F.least("_a", "_b").alias("_x"),
+                   F.greatest("_a", "_b").alias("_y"))
+           .distinct())
+    edges = (und.select(F.explode(F.array(
+        F.struct(F.col("_x").alias("src"), F.col("_y").alias("dst")),
+        F.struct(F.col("_y").alias("src"), F.col("_x").alias("dst")))
+    ).alias("_e")).select("_e.src", "_e.dst")
+        .localCheckpoint(eager=True))
     # Convergence via the label-sum invariant (r13): each step takes
     # node.lab = min(old lab, incoming labs), so labels are monotone
     # non-increasing per node and SUM(lab) is strictly decreasing
@@ -816,11 +873,10 @@ def dedup_cluster_cc_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared CTE block) feeding recursive-CTE reachability."""
     d = load_table(spark, "documents", sf_dir)
     pairs = _checked_minhash_pairs(spark, sf_dir).select("doc1", "doc2")
-    edges = (pairs.select(F.col("doc1").alias("src"),
-                          F.col("doc2").alias("dst"))
-             .unionByName(pairs.select(F.col("doc2").alias("src"),
-                                       F.col("doc1").alias("dst")))
-             .localCheckpoint(eager=True))
+    # lazy explode-symmetrization (see dedup_cluster_cc): the kernel's
+    # contraction is the single consumer, so the whole LSH pair
+    # pipeline executes once with no 2|E|-row checkpoint (r13)
+    edges = _symmetrize_pairs(pairs)
     labels = _min_label_cc(
         d.select(F.col("doc_id").alias("node"),
                  F.col("doc_id").alias("lab")).localCheckpoint(eager=True),
