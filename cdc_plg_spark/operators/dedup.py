@@ -19,7 +19,9 @@ bucket groupBy join (shuffle on band hash) → verify candidates.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -28,6 +30,18 @@ from pyspark.sql import functions as F
 
 from cdc_plg_spark.catalog import load_table
 from cdc_plg_spark.registry import register
+
+# LSH-index scratch dirs created by THIS process (dedup_index_maintain),
+# removed at exit — see the hygiene note inside that operator.
+_LSH_INDEX_RUN_DIRS: list[str] = []
+
+
+def _purge_lsh_index_runs() -> None:
+    for d in _LSH_INDEX_RUN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_purge_lsh_index_runs)
 
 # MinHash parameters: k permutations in b bands of r rows (k = b*r).
 _MINHASH_K = 32
@@ -137,6 +151,18 @@ def _minhash_signature() -> F.Column:
 _LSH_BUCKET_CAP = 1000   # docs per LSH bucket before the salted split
 
 
+def _shuffle_partition_count(df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``sparkContext.defaultParallelism`` when the conf is non-numeric
+    (e.g. 'auto' on AQE-advisory deployments, where int() would raise)
+    — shared by every explicit probe-side repartition (ADVICE r13)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """Candidate (doc1, doc2) pairs from exploded band rows — with a
     heavy-hitter guard, because the plain bucket self-join is the
@@ -203,7 +229,7 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     # the |bucket|²-fold join fan-out above them — otherwise folds
     # this exchange back to one partition and re-serializes the join
     # (measured: 33.5 s single-task stage at sf0.1).
-    n_part = int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partition_count(bands)
     left = left.repartition(n_part, "band_idx", "band_hash", "_i", "_j")
     return (left.join(right, ["band_idx", "band_hash", "_i", "_j"])
             .filter(F.col("da") != F.col("db"))
@@ -553,15 +579,19 @@ def _min_label_cc(labels: DataFrame, edges: DataFrame,
     # until the fixpoint — sum unchanged ⟺ no label changed.  One
     # scalar aggregate over the (model-sized, just-checkpointed)
     # label frame per iteration replaces the exceptAll anti-join,
-    # which shuffled both label frames every round.
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    # which shuffled both label frames every round.  The sum is taken
+    # in decimal(38,0): a raw int64 SUM over large labels can raise
+    # under an ANSI-mode caller session or wrap under non-ANSI
+    # (ADVICE r13 — same hazard _content_fingerprint documents).
+    _lab_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lab_sum).collect()[0][0]
     for _ in range(max_iters):
         msgs = (edges.join(labels, edges.src == labels.node)
                      .select(F.col("dst").alias("node"), "lab"))
         new_labels = (labels.unionByName(msgs)
                       .groupBy("node").agg(F.min("lab").alias("lab"))
                       .localCheckpoint(eager=True))
-        new_sum = new_labels.agg(F.sum("lab")).collect()[0][0]
+        new_sum = new_labels.agg(_lab_sum).collect()[0][0]
         converged = new_sum == prev_sum
         labels, prev_sum = new_labels, new_sum
         if converged:
@@ -974,7 +1004,7 @@ def screen_against_index(batch_d: DataFrame, hist_sig: DataFrame,
     # join fan-out and its partial distinct in ONE task.  Thousands
     # of distinct bucket keys spread the probe; the count is the
     # session shuffle.partitions conf, so it scales with deployment.
-    n_part = int(batch_d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = _shuffle_partition_count(batch_d)
     cand = (bands_b.select(F.col("doc_id").alias("batch_id"),
                            "band_idx", "band_hash")
             .repartition(n_part, "band_idx", "band_hash")
@@ -1057,19 +1087,24 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Scratch hygiene (ADVICE r12): the index table must outlive this
     # function (the returned DataFrame reads it lazily), so it lives
-    # under the cache root where each run purges its predecessors —
-    # the former bare mkdtemp leaked an ~8×N-row band table into /tmp
-    # per invocation, sizeable across repeated bench/sweep runs.
-    import shutil as _sh
+    # under the cache root — the former bare mkdtemp leaked an ~8×N-row
+    # band table into /tmp per invocation.  Purge discipline is
+    # OWN-DIRS-AT-PROCESS-EXIT (ADVICE r13): the former eager
+    # purge-predecessors deleted ANY dir under the shared root, so a
+    # concurrent bench/sweep on the same sf_dir — or a still-referenced
+    # DataFrame from an earlier call in this session — could have its
+    # live TxLog files deleted mid-query.  Each process now removes
+    # only the run dirs it created, at exit (same pattern as
+    # streaming/core._purge_scratch).
     import uuid as _uuid
 
     from cdc_plg_spark.catalog import cache_dir
 
     base = cache_dir("lsh_index", sf_dir)
     _os.makedirs(base, exist_ok=True)
-    for prev in _os.listdir(base):
-        _sh.rmtree(_os.path.join(base, prev), ignore_errors=True)
-    p = _os.path.join(base, f"run_{_uuid.uuid4().hex[:12]}", "t")
+    run_dir = _os.path.join(base, f"run_{_uuid.uuid4().hex[:12]}")
+    _LSH_INDEX_RUN_DIRS.append(run_dir)
+    p = _os.path.join(run_dir, "t")
     # hive-partitioned BY band_idx: a probe (or an epoch MERGE) for one
     # band prunes 7/8 of the table at the manifest before any IO — the
     # layout the docstring's 100 TB posture names, exercised here

@@ -233,7 +233,12 @@ def run_to_table(stream_df: DataFrame, output_mode: str = "append",
         q = w.format("parquet").option("path", out).start()
         q.awaitTermination()
         # Explicit schema: an all-null or zero-row stream must still
-        # come back with the stream's exact column types.
+        # come back with the stream's exact column types.  A stream
+        # that committed ZERO batches never creates the sink dir, so
+        # make it exist before reading — the explicit schema then
+        # yields a typed empty DataFrame instead of a path error
+        # (ADVICE r13; the memory sink used to return an empty table).
+        os.makedirs(out, exist_ok=True)
         return spark.read.schema(stream_df.schema).parquet(out)
     q = w.format("memory").queryName(name).start()
     q.awaitTermination()
