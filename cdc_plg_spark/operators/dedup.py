@@ -179,16 +179,33 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     g ∈ [0, G), G = ceil(size/cap), and the self-join becomes the
     triangle of (i, j) salt-pair tasks: a row salted g joins as left
     in tasks (g, j≥g) and as right in tasks (i≤g, g), so every
-    unordered pair still meets (cross-salt pairs exactly once,
-    same-salt pairs twice, collapsed by the trailing distinct) while
-    per-task input drops to ~2·cap rows and per-task compare work to
-    ~cap².  Normal buckets take the same code path with G = 1 — one
-    task, zero replication.  The candidate SET is identical to the
-    unsalted join (tests/test_skew.py pins this), so the DuckDB oracle
-    of dedup_fuzzy_minhash_checked — a plain SQL self-join — still
-    value-matches.  Output volume is inherently quadratic in bucket
-    size (those pairs really are near-dups); what the guard bounds is
-    task time and memory, the thing that kills a 1000-executor job."""
+    unordered pair still meets (cross-salt pairs exactly once in the
+    (min,max)-salt task, same-salt pairs twice in the (g,g) task)
+    while per-task input drops to ~2·cap rows and per-task compare
+    work to ~cap².  Normal buckets take the same code path with G = 1
+    — one task, zero replication.
+
+    EXACTLY-ONCE emission (r14, guide §2.3/§2.4): each unordered pair
+    is emitted only from its FIRST shared band — `bands` carries every
+    doc's full band-hash array (`bhs`), and a joined row survives only
+    when no earlier band's hashes match — plus only one of the two
+    same-salt meetings (`_i < _j OR da < db`).  That makes the join
+    output exactly the candidate SET, so the trailing `distinct()` — a
+    full Exchange + two HashAggregates over the pair MULTISET (~8
+    meetings per near-dup pair at b=8: the multiset was ~6x the set at
+    sf1) — is gone.  The first-shared-band test is a short-circuit
+    CASE of scalar int64 element_at compares, i.e. ~(first match + 1)
+    comparisons and ZERO per-row allocation — the r13 zip_with/slice
+    form of this same idea allocated two arrays per joined row and
+    measured AGAINST (OPTIMIZATION_r13.md "Measured and rejected");
+    set-equality with the old distinct form is pinned by
+    tests/test_skew.py and the unchanged DuckDB oracle (a plain SQL
+    DISTINCT self-join) of dedup_fuzzy_minhash_checked.
+
+    The candidate SET is identical to the unsalted join; output volume
+    is inherently quadratic in bucket size (those pairs really are
+    near-dups) — what the guard bounds is task time and memory, the
+    thing that kills a 1000-executor job."""
     # Bucket sizes via a WINDOW over bands rather than the r11
     # aggregate+join-back: the agg/join form referenced the `bands`
     # subtree from FOUR plan branches (left, right, and one bucket-size
@@ -205,11 +222,13 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
           .withColumn("_s", F.pmod(F.xxhash64("doc_id"),
                                    F.col("_G")).cast("int")))
     left = b2.select(F.col("doc_id").alias("da"),
+                     F.col("bhs").alias("_ha"),
                      "band_idx", "band_hash",
                      F.col("_s").alias("_i"),
                      F.explode(F.sequence("_s", F.col("_G") - 1))
                       .alias("_j"))
     right = b2.select(F.col("doc_id").alias("db"),
+                      F.col("bhs").alias("_hb"),
                       "band_idx", "band_hash",
                       F.explode(F.sequence(F.lit(0), "_s")).alias("_i"),
                       F.col("_s").alias("_j"))
@@ -231,11 +250,25 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     # (measured: 33.5 s single-task stage at sf0.1).
     n_part = _shuffle_partition_count(bands)
     left = left.repartition(n_part, "band_idx", "band_hash", "_i", "_j")
+    # first shared band of the pair: a pair whose hashes agree at band
+    # b meets in EVERY such band's bucket; keeping only band_idx ==
+    # min{b : ha[b] = hb[b]} (plus one of the two same-salt meetings)
+    # emits it exactly once.  CASE short-circuits left-to-right, so
+    # this is ~(first match + 1) scalar compares per joined row — no
+    # arrays built, no hash aggregate downstream.  Joined rows always
+    # have fully non-NULL hash arrays (a NULL-signature doc has all-
+    # NULL band hashes and never equi-joins), so plain `==` is safe.
+    fsb = F.when(F.element_at("_ha", 1) == F.element_at("_hb", 1), 0)
+    for b in range(1, _MINHASH_BANDS):
+        fsb = fsb.when(
+            F.element_at("_ha", b + 1) == F.element_at("_hb", b + 1), b)
+    fsb = fsb.otherwise(F.lit(-1))
     return (left.join(right, ["band_idx", "band_hash", "_i", "_j"])
             .filter(F.col("da") != F.col("db"))
+            .filter(((F.col("_i") < F.col("_j")) | (F.col("da") < F.col("db")))
+                    & (F.col("band_idx") == fsb))
             .select(F.least("da", "db").alias("doc1"),
-                    F.greatest("da", "db").alias("doc2"))
-            .distinct())
+                    F.greatest("da", "db").alias("doc2")))
 
 
 @register("dedup_fuzzy_minhash", tags=("lsh",))
@@ -257,18 +290,22 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     sig = (d.select("doc_id", _minhash_signature().alias("sig")))
 
-    # candidate generation stays NARROW: only (doc_id, band, hash)
-    # rides the 8x band explode and the bucket self-join shuffle; the
+    # candidate generation stays NARROW: only (doc_id, band hashes)
+    # ride the 8x band explode and the bucket self-join shuffle; the
     # k-long signatures are attached AFTER pair dedup, so signature
     # bytes are shuffled once per surviving pair, not once per band
     # per bucket row — at corpus scale the band shuffle is the
-    # dominant volume and this cuts it ~(1 + k/2)x
-    bands = sig.select(
+    # dominant volume and this cuts it ~(1 + k/2)x.  `bhs` (the doc's
+    # full b-long band-hash array) rides along for _lsh_pair_ids'
+    # first-shared-band exactly-once emission (r14).
+    bands = (sig.select(
         "doc_id",
-        F.posexplode(F.transform(
+        F.transform(
             F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
-            lambda b: F.hash(F.slice("sig", b * _MINHASH_ROWS + 1, _MINHASH_ROWS), b)))
-        .alias("band_idx", "band_hash"))
+            lambda b: F.hash(F.slice("sig", b * _MINHASH_ROWS + 1,
+                                     _MINHASH_ROWS), b)).alias("bhs"))
+        .select("doc_id", "bhs",
+                F.posexplode("bhs").alias("band_idx", "band_hash")))
 
     pair_ids = _lsh_pair_ids(bands)
     pairs = (pair_ids
@@ -814,13 +851,15 @@ def _checked_sig_bands(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             lambda acc, v: F.pmod(acc * 31 + v, p))
 
     # narrow candidate generation (same shape as the production
-    # variant): only ids ride the band shuffle; signatures join back
-    # after pair dedup
-    bands = sig.select(
+    # variant): only ids + band hashes ride the band shuffle;
+    # signatures join back after pair dedup.  `bhs` rides along for
+    # the first-shared-band exactly-once emission (r14).
+    bands = (sig.select(
         "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)), band_hash))
-        .alias("band_idx", "band_hash"))
+        F.transform(F.sequence(F.lit(0), F.lit(_MINHASH_BANDS - 1)),
+                    band_hash).alias("bhs"))
+        .select("doc_id", "bhs",
+                F.posexplode("bhs").alias("band_idx", "band_hash")))
     return sig, bands
 
 

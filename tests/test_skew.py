@@ -71,8 +71,12 @@ def test_lsh_bucket_skew_guard_bounds_tasks_and_preserves_pairs(spark):
          for i in range(300)],
         "doc_id long, text string")
     # one band per doc whose hash is the text hash — every duplicate
-    # lands in the same bucket (the worst case, isolated from minhash)
-    bands = docs.select("doc_id", F.lit(0).alias("band_idx"),
+    # lands in the same bucket (the worst case, isolated from minhash).
+    # `bhs` is the per-doc band-hash array _lsh_pair_ids' first-shared-
+    # band emission reads (here 1 band, so it reduces to the salt cut).
+    bands = docs.select("doc_id",
+                        F.array(F.xxhash64("text")).alias("bhs"),
+                        F.lit(0).alias("band_idx"),
                         F.xxhash64("text").alias("band_hash"))
 
     cap = 32
