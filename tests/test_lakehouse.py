@@ -1056,6 +1056,7 @@ def test_stream_matches_batch_cdf_over_random_ops(spark, tdir, cdf_seed):
     assert streamed == batch and len(streamed) > 0
 
 
+@pytest.mark.multijvm
 def test_multiprocess_writer_race(spark, tdir):
     """TRUE multi-process writer torture (the thread-based racing
     tests share one JVM; this one doesn't): 3 separate OS processes —
@@ -1909,6 +1910,7 @@ def test_temporal_bounds_as_raw_integers(spark, tdir):
     ).collect())
 
 
+@pytest.mark.multijvm
 def test_multiprocess_chaos_with_restore_and_predicate_delete(spark, tdir):
     """Process-boundary chaos soak for the fourth-session ops: 3 OS
     processes race random MERGE / predicate-DELETE (cow+dv) / RESTORE

@@ -256,6 +256,7 @@ def test_string_keys_and_partitioned_table_compose(spark, tdir):
         {p + ".bloom" for p in t.snapshot().files}
 
 
+@pytest.mark.multijvm
 def test_multiprocess_writer_race_bloomed(spark, tdir):
     """The multi-process MERGE/OPTIMIZE/VACUUM torture on a BLOOMED
     table: every winning merge also builds sidecars, every losing

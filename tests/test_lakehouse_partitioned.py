@@ -334,6 +334,7 @@ def test_stream_cdf_matches_batch_on_partitioned_table(spark, tdir):
     assert all(x[4] is not None for x in streamed)
 
 
+@pytest.mark.multijvm
 def test_multiprocess_writer_race_partitioned(spark, tdir):
     """The multi-process writer torture on a PARTITIONED table: every
     merge also MOVES its rows across hive partition directories (the
