@@ -316,6 +316,38 @@ def main() -> None:
     duck_seq_total = round(sum(duck.values()), 4) if duck else None
     duck_best = (min(x for x in (duck_seq_total, duck_wall) if x is not None)
                  if duck else None)
+    # Durability of the ONE-LINE contract (VERDICT r13 #8): BENCH_r12's
+    # line was tail-truncated on the driver side and blinded a whole
+    # round's per-query PERF diff.  The big nested maps that aren't part
+    # of the driver contract (per-query plan-build + DuckDB medians)
+    # move to a SIDE FILE; the line keeps every contract field
+    # ("metric"/"value"/"unit"/"queries"/"sf"), all summary numbers, and
+    # a pointer.  Nothing is dropped from "queries" (additions-only).
+    side_path = os.environ.get("SPARK_GRAFT_BENCH_SIDE",
+                               "/tmp/bench_side.json")
+    side = {
+        "plan_build_per_query": plan_build,
+        "duckdb": duck,
+        "lakehouse_duckdb": lake_duck,
+        "notes": {
+            "lakehouse": ("write-path transactions (build+MERGE+read per "
+                          "run) vs DuckDB computing the same result from "
+                          "raw parquet with zero format work — format "
+                          "overhead tracker, not part of the headline "
+                          "wall"),
+            "minhash_lsh": ("full MinHash+LSH near-dup dataflow "
+                            "(band-explode shuffle + salted heavy-hitter "
+                            "self-join) vs its DuckDB twin — own section "
+                            "so the 30s-scale query can't mask "
+                            "headline-wall regressions; one warmed run "
+                            "per engine"),
+        },
+    }
+    try:
+        with open(side_path, "w") as f:
+            json.dump(side, f)
+    except OSError:
+        side_path = None
     out = {
         "metric": ("headline workload wall-time (concurrent submission, "
                    "median of %d), vs DuckDB's best of sequential/"
@@ -326,8 +358,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "spark_sequential_total": seq_total,
         "spark_plan_build_sec": plan_build_sec,
-        "plan_build_per_query": plan_build,
-        "duckdb": duck,
+        "side_file": side_path,
         "duckdb_sequential_total": duck_seq_total,
         "duckdb_concurrent_wall": duck_wall,
         "duckdb_best": duck_best,
@@ -336,23 +367,13 @@ def main() -> None:
         "ratio_sequential": (round(seq_total / duck_seq_total, 3)
                              if duck_seq_total else None),
         "lakehouse": {
-            "note": ("write-path transactions (build+MERGE+read per "
-                     "run) vs DuckDB computing the same result from "
-                     "raw parquet with zero format work — format "
-                     "overhead tracker, not part of the headline wall"),
             "queries": lake,
-            "duckdb": lake_duck,
             "ratio": (round(sum(lake.values())
                             / sum(lake_duck.values()), 3)
                       if lake and lake_duck and sum(lake_duck.values())
                       else None),
         },
         "minhash_lsh": {
-            "note": ("full MinHash+LSH near-dup dataflow (band-explode "
-                     "shuffle + salted heavy-hitter self-join) vs its "
-                     "DuckDB twin — own section so the 30s-scale query "
-                     "can't mask headline-wall regressions; one warmed "
-                     "run per engine"),
             "query": LSH_QUERY,
             **lsh,
         },
