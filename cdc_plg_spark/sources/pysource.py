@@ -191,7 +191,8 @@ class JsonlSinkSource(DataSource):
 
 
 try:
-    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (DataSourceArrowWriter,
+                                        WriterCommitMessage)
     from dataclasses import dataclass
 
     @dataclass
@@ -199,7 +200,15 @@ try:
         filename: str
         n_rows: int
 
-    class JsonlWriter(DataSourceWriter):
+    class JsonlWriter(DataSourceArrowWriter):
+        """Arrow-batched (r14, guide §4): the engine ships
+        pyarrow.RecordBatches instead of an iterator of pickled Rows —
+        one C-level columnar conversion per batch replaces a per-row
+        Row deserialization + field lookup, and each batch's lines go
+        through ONE writelines call.  Scalar JSON encoding is
+        unchanged; nested values (no current caller writes any) now
+        serialize as real JSON objects/arrays instead of str(Row)."""
+
         def __init__(self, path: str, columns: list) -> None:
             self.path, self.columns = path, columns
 
@@ -211,12 +220,14 @@ try:
             _os.makedirs(self.path, exist_ok=True)
             name = f"part-{_uuid.uuid4().hex}.jsonl"
             n = 0
+            dumps, cols = _json.dumps, self.columns
             with open(_os.path.join(self.path, name), "w") as f:
-                for row in iterator:
-                    f.write(_json.dumps(
-                        {c: row[c] for c in self.columns},
-                        default=str) + "\n")
-                    n += 1
+                for batch in iterator:
+                    d = batch.to_pydict()
+                    f.writelines(
+                        dumps(dict(zip(cols, vals)), default=str) + "\n"
+                        for vals in zip(*(d[c] for c in cols)))
+                    n += batch.num_rows
             return _Part(filename=name, n_rows=n)
 
         def commit(self, messages) -> None:
@@ -246,7 +257,15 @@ try:
         # [(partition, filename, n_records), ...] for one writer task
         segments: list
 
-    class KafkaFileWriter(DataSourceWriter):
+    class KafkaFileWriter(DataSourceArrowWriter):
+        """Arrow-batched (r14, guide §4): same per-(task, partition)
+        append-log semantics and identical record JSON, but rows reach
+        Python as columnar RecordBatches (no per-row Row unpickle) and
+        each batch's lines land with one writelines per partition.
+        Arrival order is preserved: batches arrive in task input order
+        and rows are walked in batch order, exactly like the Row
+        iterator was."""
+
         def __init__(self, path: str) -> None:
             self.path = path
 
@@ -259,17 +278,21 @@ try:
             tid = _uuid.uuid4().hex
             handles: dict = {}
             counts: dict = {}
-            for row in iterator:
-                p = int(row["partition"])
-                if p not in handles:
-                    fname = f"segment-p{p:05d}-{tid}.jsonl"
-                    handles[p] = (fname, open(
-                        _os.path.join(self.path, fname), "w"))
-                    counts[p] = 0
-                f = handles[p][1]
-                f.write(_json.dumps({"seq": counts[p], "key": row["key"],
-                                     "value": row["value"]}) + "\n")
-                counts[p] += 1
+            dumps = _json.dumps
+            for batch in iterator:
+                d = batch.to_pydict()
+                lines: dict = {}
+                for p, k, v in zip(d["partition"], d["key"], d["value"]):
+                    n = counts.get(p, 0)
+                    counts[p] = n + 1
+                    lines.setdefault(p, []).append(
+                        dumps({"seq": n, "key": k, "value": v}) + "\n")
+                for p, ls in lines.items():
+                    if p not in handles:
+                        fname = f"segment-p{p:05d}-{tid}.jsonl"
+                        handles[p] = (fname, open(
+                            _os.path.join(self.path, fname), "w"))
+                    handles[p][1].writelines(ls)
             for p, (_, f) in handles.items():
                 f.close()
             return _Segments(segments=[(p, fname, counts[p])
