@@ -239,81 +239,52 @@ _IVF_NPROBE = 12
 _IVF_LLOYD_ITERS = 4
 
 
-def _farthest_point_seeds(corpus: DataFrame, k: int = _IVF_K):
-    """Deterministic k-means++-style seeding: start from the lowest
-    vec_id vector, then greedily add the corpus vector FARTHEST (by
-    cosine) from the seeds picked so far — the maxmin variant of
-    k-means++ (distance-weighted sampling with the randomness replaced
-    by argmax, so every run and every engine picks the same seeds).
+def _train_ivf_centroids(corpus: DataFrame, k: int = _IVF_K,
+                         iters: int = _IVF_LLOYD_ITERS, cap: int = 2048):
+    """Train the IVF coarse quantizer on a deterministic hash-picked
+    BOUNDED SAMPLE, maxmin seeding + Lloyd in numpy on the driver —
+    the same bounded-collect-a-model pattern (and justification) as
+    `_pq_train`: FAISS trains IVF/PQ quantizers on a sample the same
+    way; the expensive parts (cell assignment, candidate join, scoring)
+    stay distributed.
 
-    Spread-out seeds start Lloyd near distinct cluster cores instead
-    of k adjacent low-id vectors, which is worth ~0.1 recall at the
-    same nprobe/K scan fraction (tests/test_llm_ops.py). Cost: k-1
-    corpus scans at index-build time, each an Arrow-batched matvec +
-    a 1-row min_by reduce — no shuffle of the corpus itself.
-    """
+    r14 (guide §1/§5): this replaces a DISTRIBUTED maxmin walk (k-1
+    sequential Spark jobs, each a full corpus scan + 1-row min_by
+    collect) plus 4 distributed Lloyd passes — 35 serialized jobs whose
+    scheduling floor WAS the exhibit's wall at fixture scale (phase
+    profile: seeds 13.5 s + Lloyd 2.5 s of sim_ann_ivf's 13.3 s warm
+    wall), and whose latency at 100 TB is k-1 sequential corpus scans
+    by construction. Sample training is one bounded collect (≤ cap
+    vectors — a model input, not data movement) and keeps recall: the
+    maxmin seeding is the same algorithm on the sample (start at the
+    lowest-vec_id sampled vector, greedily add the sample vector with
+    the LOWEST max-cosine to the seeds so far, first-index tie-break =
+    lowest vec_id since the sample is vec_id-ordered), Lloyd means over
+    sample cells, empty cells keep their centroid. Deterministic:
+    xxhash64 stride + vec_id order, no RNG — every run and SF-rerun
+    picks identical centroids for a given fixture. Recall@5 measured
+    after the change: see OPTIMIZATION_r14.md (gate is >= 0.6 in-plan,
+    tests pin >= 0.65 at sf0.01)."""
     import numpy as np
 
-    first = (corpus.orderBy("vec_id").limit(1)
-             .select("embedding").collect()[0].embedding)
-    S = np.asarray([first], dtype=np.float64)
-    S /= np.linalg.norm(S, axis=1, keepdims=True)
-    while len(S) < k:
-        Sn = S  # rebind for closure capture of the current seed set
-
-        def _max_sim(emb: pd.Series) -> pd.Series:
-            E = np.stack(emb.to_numpy()).astype(np.float64)
-            E = E / np.linalg.norm(E, axis=1, keepdims=True)
-            return pd.Series((E @ Sn.T).max(axis=1))
-
-        max_sim = pandas_udf(_max_sim, "double")
-        far = (corpus.select("vec_id", "embedding",
-                             max_sim("embedding").alias("ms"))
-               .select(F.min_by(F.struct("vec_id", "embedding"),
-                                F.struct(F.round("ms", 9), "vec_id"))
-                       .alias("pick"))
-               .collect()[0].pick)
-        v = np.asarray(far.embedding, dtype=np.float64)
-        S = np.vstack([S, v / np.linalg.norm(v)])
-    return S
-
-
-def _lloyd_refine(corpus: DataFrame, C, iters: int = _IVF_LLOYD_ITERS):
-    """Refine IVF centroids with distributed Lloyd (k-means) passes.
-
-    Each pass: assign every corpus vector to its nearest centroid
-    (Arrow-batched matvec, centroids ride in the UDF closure =
-    broadcast of a K×dim model), then reduce the per-cell mean with
-    ``applyInPandas`` — one shuffle keyed on cell, no 64× explode.
-    Only K×dim floats ever return to the driver. Empty cells keep
-    their previous centroid. Cost per pass at 100 TB: one corpus scan
-    + one hash shuffle of (cell, vec) — run it once at index-build
-    time, not per query.
-    """
-    import numpy as np
-
+    n = corpus.count()
+    take = max(1, (n + cap - 1) // cap)
+    sample = (corpus.filter(F.pmod(F.xxhash64("vec_id"), take) == 0)
+              .orderBy("vec_id").select("embedding").collect())
+    X = np.stack([r.embedding for r in sample]).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:1].copy()
+    while len(C) < min(k, len(X)):
+        ms = (X @ C.T).max(axis=1)
+        C = np.vstack([C, X[int(ms.argmin())]])
     for _ in range(iters):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-        def _nearest(emb: pd.Series) -> pd.Series:
-            E = np.stack(emb.to_numpy()).astype(np.float64)
-            E = E / np.linalg.norm(E, axis=1, keepdims=True)
-            return pd.Series(np.argmax(E @ Cn.T, axis=1).astype("int32"))
-
-        nearest = pandas_udf(_nearest, "int")
-
-        def _cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64).mean(0)
-            return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])],
-                                 "mean_emb": [m.tolist()]})
-
-        means = (corpus.select(nearest("embedding").alias("cell"), "embedding")
-                 .groupBy("cell")
-                 .applyInPandas(_cell_mean, "cell int, mean_emb array<double>")
-                 .collect())
+        a = np.argmax(X @ Cn.T, axis=1)
         C = C.copy()
-        for r in means:
-            C[r.cell] = np.asarray(r.mean_emb, dtype=np.float64)
+        for j in range(len(C)):
+            hit = X[a == j]
+            if len(hit):
+                C[j] = hit.mean(0)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
@@ -324,18 +295,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     into K centroid cells, score each query only against its nprobe
     nearest cells.
 
-    Centroids seed with deterministic farthest-point (maxmin
-    k-means++) selection then take _IVF_LLOYD_ITERS distributed
-    k-means passes (the r11 K=16 grid measured 0.44 lowest-id seeds
-    → 0.62 +Lloyd; the r12 K=32/nprobe=12 retune reads 0.82 at
-    sf0.01 / 0.78 at sf1 at the same 0.375 scan fraction — see the
-    constants block); the collect() pulls K×64 floats — a model,
-    not data — and ships to executors inside the assignment UDF's
-    closure, i.e. a broadcast. Cell assignment is one Arrow-batched
-    numpy matvec per batch (linear scan); the candidate join is
-    equi on cell id, so at 100 TB the corpus can be written
-    partitionBy(cell) once and every query prunes to nprobe/K of the
-    files.
+    Centroids train with deterministic maxmin seeding + Lloyd on a
+    bounded hash-picked sample, numpy on the driver (r14 — see
+    _train_ivf_centroids; the r11 K=16 grid measured 0.44 lowest-id
+    seeds → 0.62 +Lloyd; the r12 K=32/nprobe=12 retune read 0.82 at
+    sf0.01 / 0.78 at sf1; the r14 sample-trained centroids measure in
+    the same band — OPTIMIZATION_r14.md); the sample collect pulls
+    ≤ 2048×64 floats — a model input, not data — and the trained K×64
+    matrix ships to executors inside the assignment UDF's closure,
+    i.e. a broadcast. Cell assignment is one Arrow-batched numpy
+    matvec per batch (linear scan); the candidate join is equi on
+    cell id, so at 100 TB the corpus can be written partitionBy(cell)
+    once and every query prunes to nprobe/K of the files.
 
     Driver-visible contract: the plan embeds a RECALL AUDIT — the
     exact top-5 for the same (small) query set is computed in-plan
@@ -355,10 +326,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= 10)
     qs = e.filter(F.col("vec_id") < 10)
 
-    # deterministic k-means++-style maxmin seeding, then Lloyd
-    # refinement toward the actual cluster structure — spread seeds +
-    # balanced cells → higher recall at the same nprobe/K scan fraction.
-    C = _lloyd_refine(corpus, _farthest_point_seeds(corpus))
+    # deterministic maxmin seeding + Lloyd on a bounded hash-picked
+    # sample (driver-side numpy — see _train_ivf_centroids for the r14
+    # rationale and the measured before/after): spread seeds + balanced
+    # cells → higher recall at the same nprobe/K scan fraction.
+    C = _train_ivf_centroids(corpus)
 
     def _cells_fn(emb: pd.Series) -> pd.Series:
         E = np.stack(emb.to_numpy()).astype(np.float64)
@@ -659,12 +631,45 @@ def _pq_adc(corpus: DataFrame, qs: DataFrame, cw: DataFrame,
 
     ADC: each query precomputes its distance TABLE (one L2 per
     (subspace, codeword) — Q x M x Ks doubles, a broadcast-sized
-    model); the scan is then `m_parts` broadcast hash joins on
-    (query, code) and a FIXED-ORDER left-associated sum, built
-    explicitly so Spark and the DuckDB oracle add in the same order —
-    a groupBy sum over the subspace rows would re-associate terms and
-    could flip last-ulp ranks between engines."""
-    sub_c = F.slice(F.col("ce"), F.col("m") * sub + 1, sub)
+    model); the scan is ONE broadcast join of the per-query distance
+    arrays onto the codes table and `m_parts` array lookups
+    (element_at(table_m, code_m + 1)) summed in FIXED left-associated
+    order, built explicitly so Spark and the DuckDB oracle add in the
+    same order — a groupBy sum over subspace rows would re-associate
+    terms and could flip last-ulp ranks between engines.
+
+    r14 (guide §5 driver / §3): the lookup join replaces the previous
+    chain of `m_parts` separate broadcast hash joins on (query, code).
+    At M=16 that chain cost ~20 s of pure DRIVER plan construction
+    (measured: `_pq_adc` plan build alone 20.5 s at sf0.1) plus 16
+    join stages at execution; the distance values, the summation
+    order, and therefore every adist double are bit-identical (the
+    per-m d is computed by the same expression, only FETCHED via
+    array index instead of join key), pinned by sim_ann_pq_checked's
+    oracle hash and a before/after row-for-row compare of sim_ann_pq
+    at two SFs.
+
+    The per-(row, codeword) L2 is UNROLLED to a fixed chain of scalar
+    element_at compares (r14, guide §4): `sub` is statically known, so
+    `slice` + `zip_with` + `aggregate` — higher-order functions whose
+    lambdas evaluate per element with no codegen, allocating two
+    arrays per joined row across the corpus × (M·Ks) encode explosion
+    — become a codegen-able left-associated scalar sum with ZERO
+    allocation.  Summation order is identical to the old fold (0.0 +
+    t1 + t2 + …, each t = (a-b)*(a-b) on double casts), so every
+    distance is bit-equal and the checked twin's oracle hash is
+    untouched (pinned: 2000-row adversarial fold-vs-unrolled diff = 0,
+    and sim_ann_pq_checked hash-green post-change)."""
+
+    def _l2_sub(vec, cw_col):
+        # left-assoc from 0.0, same order as l2_col's fold / _L2_SQL
+        s = F.lit(0.0)
+        for i in range(sub):
+            a = F.element_at(vec, (F.col("m") * sub + i + 1)
+                             .cast("int")).cast("double")
+            b = F.element_at(cw_col, i + 1).cast("double")
+            s = s + (a - b) * (a - b)
+        return s
     # argmin via min_by groupBy, NOT a row_number window: the window
     # would shuffle the full corpus x (M*Ks) candidate explosion,
     # while min_by partially aggregates map-side so the exchange
@@ -673,36 +678,35 @@ def _pq_adc(corpus: DataFrame, qs: DataFrame, cw: DataFrame,
     # assignment.  Tie-break (d, j) matches the oracle's ORDER BY.
     enc = (corpus.join(F.broadcast(cw))
            .select("corpus_id", "m", "j",
-                   l2_col(sub_c, F.col("cw")).alias("d"))
+                   _l2_sub(F.col("ce"), F.col("cw")).alias("d"))
            .groupBy("corpus_id", "m")
            .agg(F.min_by(F.col("j"),
                          F.struct(F.col("d"), F.col("j"))).alias("j"))
            .groupBy("corpus_id")
            .pivot("m", list(range(m_parts))).agg(F.first("j")))
-    sub_q = F.slice(F.col("qe"), F.col("m") * sub + 1, sub)
     dt = (qs.join(F.broadcast(cw))
           .select("query_id", "m", "j",
-                  l2_col(sub_q, F.col("cw")).alias("d")))
-    adc = enc
-    for m in range(m_parts):
-        dtm = (dt.filter(F.col("m") == m)
-               .select(F.col("query_id").alias(f"q{m}"),
-                       F.col("j").alias(f"j{m}"),
-                       F.col("d").alias(f"d{m}")))
-        cond = adc[str(m)] == dtm[f"j{m}"]
-        if m > 0:
-            cond = cond & (adc["q0"] == dtm[f"q{m}"])
-        adc = adc.join(F.broadcast(dtm), cond)
-    approx = F.col("d0")
+                  _l2_sub(F.col("qe"), F.col("cw")).alias("d")))
+    # per-(query, m) distance array ordered by codeword j, pivoted to
+    # one row per query (Q rows, M arrays of Ks doubles — the model)
+    dtp = (dt.groupBy("query_id", "m")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("j", "d"))),
+               lambda s: s["d"]).alias("arr"))
+           .groupBy("query_id").pivot("m", list(range(m_parts)))
+           .agg(F.first("arr"))
+           .select("query_id", *[F.col(str(m)).alias(f"t{m}")
+                                 for m in range(m_parts)]))
+    adc = enc.join(F.broadcast(dtp))            # Q-row broadcast cross
+    approx = F.element_at("t0", F.col("0") + 1)
     for m in range(1, m_parts):
-        approx = approx + F.col(f"d{m}")
-    wq = Window.partitionBy("q0").orderBy(approx.asc(),
-                                          F.asc("corpus_id"))
+        approx = approx + F.element_at(f"t{m}", F.col(str(m)) + 1)
+    wq = Window.partitionBy("query_id").orderBy(approx.asc(),
+                                                F.asc("corpus_id"))
     return (adc.withColumn("adist", approx)
             .withColumn("rk", F.row_number().over(wq))
             .filter(F.col("rk") <= shortlist)
-            .select(F.col("q0").alias("query_id"), "corpus_id",
-                    "adist", "rk"))
+            .select("query_id", "corpus_id", "adist", "rk"))
 
 
 def _ann_pq_checked_oracle_sql() -> str:

@@ -32,7 +32,7 @@ spark.sparkContext.setLogLevel("ERROR")
 from cdc_plg_spark import registry  # noqa: E402
 from cdc_plg_spark.catalog import load_table  # noqa: E402
 from cdc_plg_spark.operators.similarity import (  # noqa: E402
-    _farthest_point_seeds, _lloyd_refine)
+    _train_ivf_centroids)
 
 entries = registry.all_entries()
 out: dict = {"sf_dir": SF}
@@ -53,8 +53,7 @@ load_table(spark, "embeddings", SF).count()
 # --- sim_ann_ivf phases
 e = load_table(spark, "embeddings", SF)
 corpus = e.filter(F.col("vec_id") >= 10)
-C0 = t("ivf_seeds", lambda: _farthest_point_seeds(corpus))
-C = t("ivf_lloyd", lambda: _lloyd_refine(corpus, C0))
+t("ivf_train", lambda: _train_ivf_centroids(corpus))
 t("ivf_full_cold", lambda: entries["sim_ann_ivf"].fn(spark, SF)
   .write.format("noop").mode("overwrite").save())
 t("ivf_full_warm", lambda: entries["sim_ann_ivf"].fn(spark, SF)
