@@ -163,6 +163,27 @@ def _shuffle_partition_count(df: DataFrame) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+def _first_shared_band(ha: str, hb: str):
+    """Index of the FIRST band where two docs' band hashes agree, else
+    -1 — the r14 exactly-once emission predicate shared by the batch
+    pair self-join and the incremental screen: a pair whose hashes
+    agree at band b meets in EVERY such band's bucket, so keeping only
+    `band_idx == _first_shared_band(...)` emits it once and the
+    trailing distinct() over the pair MULTISET goes away.  CASE
+    short-circuits left-to-right: ~(first match + 1) scalar int64
+    element_at compares per joined row, zero allocation, and at b=8 the
+    expression stays comfortably inside whole-stage codegen (the
+    32-term n_match unroll measured 8x AGAINST for falling out of it —
+    OPTIMIZATION_r14.md §8; term count decides, measure each site).
+    Joined rows always have fully non-NULL hash arrays (a NULL-
+    signature doc has all-NULL band hashes and never equi-joins), so
+    plain `==` is safe."""
+    fsb = F.when(F.element_at(ha, 1) == F.element_at(hb, 1), 0)
+    for b in range(1, _MINHASH_BANDS):
+        fsb = fsb.when(F.element_at(ha, b + 1) == F.element_at(hb, b + 1), b)
+    return fsb.otherwise(F.lit(-1))
+
+
 def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     """Candidate (doc1, doc2) pairs from exploded band rows — with a
     heavy-hitter guard, because the plain bucket self-join is the
@@ -258,15 +279,10 @@ def _lsh_pair_ids(bands: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
     # arrays built, no hash aggregate downstream.  Joined rows always
     # have fully non-NULL hash arrays (a NULL-signature doc has all-
     # NULL band hashes and never equi-joins), so plain `==` is safe.
-    fsb = F.when(F.element_at("_ha", 1) == F.element_at("_hb", 1), 0)
-    for b in range(1, _MINHASH_BANDS):
-        fsb = fsb.when(
-            F.element_at("_ha", b + 1) == F.element_at("_hb", b + 1), b)
-    fsb = fsb.otherwise(F.lit(-1))
     return (left.join(right, ["band_idx", "band_hash", "_i", "_j"])
             .filter(F.col("da") != F.col("db"))
             .filter(((F.col("_i") < F.col("_j")) | (F.col("da") < F.col("db")))
-                    & (F.col("band_idx") == fsb))
+                    & (F.col("band_idx") == _first_shared_band("_ha", "_hb")))
             .select(F.least("da", "db").alias("doc1"),
                     F.greatest("da", "db").alias("doc2")))
 
@@ -1043,14 +1059,23 @@ def screen_against_index(batch_d: DataFrame, hist_sig: DataFrame,
     # join fan-out and its partial distinct in ONE task.  Thousands
     # of distinct bucket keys spread the probe; the count is the
     # session shuffle.partitions conf, so it scales with deployment.
+    # Exactly-once candidate emission (r14): a (batch, hist) pair
+    # meets once per shared band — keeping only the FIRST shared band
+    # (the same _first_shared_band predicate as the batch self-join;
+    # no salt here, so no same-salt cut is needed) makes the join
+    # output the candidate SET and drops the trailing distinct()'s
+    # Exchange + two HashAggregates over the candidate multiset.
     n_part = _shuffle_partition_count(batch_d)
     cand = (bands_b.select(F.col("doc_id").alias("batch_id"),
+                           F.col("bhs").alias("_ha"),
                            "band_idx", "band_hash")
             .repartition(n_part, "band_idx", "band_hash")
             .join(hist_bands.select(F.col("doc_id").alias("hist_id"),
+                                    F.col("bhs").alias("_hb"),
                                     "band_idx", "band_hash"),
                   ["band_idx", "band_hash"])
-            .select("batch_id", "hist_id").distinct())
+            .filter(F.col("band_idx") == _first_shared_band("_ha", "_hb"))
+            .select("batch_id", "hist_id"))
     n_match = F.size(F.filter(
         F.zip_with("sig1", "sig2", lambda a, b: a == b),
         lambda x: x)).cast("long")
