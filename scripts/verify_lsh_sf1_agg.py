@@ -77,6 +77,14 @@ import duckdb  # noqa: E402
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
 con.execute(f"SET threads TO {os.cpu_count()}")
+# The sf1 oracle's working set passed 97 GB RSS unbounded on a 128 GB
+# box (first r14 attempt, killed to protect a concurrent suite run):
+# cap it and give the in-memory connection a spill dir so the twin
+# completes by spilling instead of racing the OOM killer.
+con.execute("SET memory_limit='60GB'")
+spill = os.path.join(os.path.dirname(SF.rstrip("/")), "duck_tmp")
+os.makedirs(spill, exist_ok=True)
+con.execute(f"SET temp_directory='{spill}'")
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"):
     p = os.path.join(SF, f"{t}.parquet")
